@@ -1,0 +1,121 @@
+"""Reusable column expressions shared by operators.
+
+Everything here is built from `pyspark.sql.functions` so it stays
+JVM-side inside whole-stage codegen — no Python UDFs in the hot path.
+Where a helper must match the DuckDB oracle bit-for-bit (hashes,
+shingles, dot products), the construction is chosen to be expressible
+identically in both engines (md5 hex, sequential fold order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+
+def hash64(col: Column | str) -> Column:
+    """Deterministic 60-bit positive integer hash of a string.
+
+    Uses md5 hex (available in both Spark and DuckDB) rather than
+    Spark's xxhash64 so the DuckDB oracle can reproduce it exactly:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.  15 hex chars = 60
+    bits, always positive in a signed int64.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def salted_md5(col: Column, salt: int) -> Column:
+    """md5 of ``salt:value`` — the per-permutation hash family for
+    minhash (analog of seeded placement randomness, reference
+    ``MapOutputTracker.scala:202``: all randomness must be seedable)."""
+    return F.md5(F.concat(F.lit(f"{salt}:"), col))
+
+
+# ---------------------------------------------------------------------------
+# tokens & shingles
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct n-word shingles of a token array (empty if < n tokens).
+
+    Built with sequence+transform+slice so it runs in codegen; the
+    DuckDB oracle mirrors it with a list comprehension over range().
+    """
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, shingled).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector math over array<float> (B17/B25)
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double.
+
+    Sequential left-to-right fold → identical floating-point result to
+    the oracle's list comprehension sum.  Stays in codegen via
+    higher-order functions (no UDF, no Python).
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(vec_dot(a, a))
+
+
+def vec_cosine(a: Column, b: Column) -> Column:
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (kept beside the Spark builders so the two
+# definitions evolve together)
+# ---------------------------------------------------------------------------
+
+
+def sql_hash64(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split(lower({expr}), ' ')"
+
+
+def sql_word_shingles(toks_expr: str, n: int) -> str:
+    return (
+        f"list_distinct([array_to_string({toks_expr}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({toks_expr}) - {n - 2})])"
+    )
+
+
+def sql_vec_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, len({a}) + 1)], 'sum')"
+    )
+
+
+def sql_vec_cosine(a: str, b: str) -> str:
+    return (
+        f"({sql_vec_dot(a, b)} / "
+        f"(sqrt({sql_vec_dot(a, a)}) * sqrt({sql_vec_dot(b, b)})))"
+    )

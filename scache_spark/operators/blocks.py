@@ -1,0 +1,220 @@
+"""Shuffle-block data-plane analogs (SURVEY.md §2 Part A → B21/B22).
+
+The reference's core data model is a shuffle block keyed by
+``(app, jobId, shuffleId, mapId, reduceId)`` with a size
+(`storage/BlockId.scala:79-81`), per-shuffle MapStatus size statistics
+(`scheduler/MapStatus.scala:45-82`), round-robin reduce pre-placement
+(`MapOutputTracker.scala:199-213`) and a reduce-side fetch plan
+(`MapOutputTracker.scala:373-394`).  This module materializes that
+model as a *relational view* derived deterministically from lineitem
+(FIXTURES.md "reference-shaped auxiliary fixtures") and implements the
+reference's bookkeeping as declarative aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+N_HOSTS = 5  # deterministic stand-in for the client list
+N_BACKUPS = 1  # scache.shuffle.replication − 1
+
+# The deterministic block view: one block per lineitem row.
+_BLOCK_VIEW_SQL = """
+    SELECT 'scache' AS app,
+           0 AS job,
+           CAST(l_orderkey % 4 AS INT) AS shuffle,
+           CAST(l_partkey % 8 AS INT) AS map,
+           CAST(l_suppkey % 4 AS INT) AS reduce,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS size
+    FROM lineitem
+"""
+
+
+def block_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the ScacheBlockId-shaped view (app, job, shuffle, map,
+    reduce, size) from lineitem — seedless and deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.lit("scache").alias("app"),
+        F.lit(0).alias("job"),
+        (F.col("l_orderkey") % 4).cast("int").alias("shuffle"),
+        (F.col("l_partkey") % 8).cast("int").alias("map"),
+        (F.col("l_suppkey") % 4).cast("int").alias("reduce"),
+        # floor-then-cast: Spark's double→long cast truncates, DuckDB's
+        # rounds; floor() agrees in both engines
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("size"),
+    )
+
+
+@register(
+    "block_size_stats",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL})
+    SELECT shuffle, reduce,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           sum(size) AS total_bytes,
+           avg(size) AS avg_bytes,
+           max(size) AS max_bytes,
+           CAST(ceil(ln(greatest(sum(size), 1)) / ln(1.1)) AS INT)
+               AS compressed_total
+    FROM blocks GROUP BY shuffle, reduce
+    """,
+    tags=("A.2", "B7", "B21"),
+    doc="MapStatus analog: per-(shuffle,reduce) block counts + sizes + "
+    "the 1-byte log1.1 compressed encoding (scheduler/MapStatus.scala:62-81).",
+)
+def block_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # At 100 TB this is the partial-agg pattern: per-map combine first,
+    # one small shuffle on (shuffle, reduce) — exactly how the
+    # reference's master aggregates MapStatus updates.
+    b = block_view(spark, sf_dir)
+    return b.groupBy("shuffle", "reduce").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("size").alias("total_bytes"),
+        F.avg("size").alias("avg_bytes"),
+        F.max("size").alias("max_bytes"),
+        F.ceil(F.log(F.greatest(F.sum("size"), F.lit(1))) / F.log(F.lit(1.1)))
+        .cast("int")
+        .alias("compressed_total"),
+    )
+
+
+@register(
+    "block_topk_per_shuffle",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    sized AS (
+      SELECT shuffle, map, reduce, sum(size) AS sz
+      FROM blocks GROUP BY shuffle, map, reduce
+    )
+    SELECT * FROM (
+      SELECT shuffle, map, reduce, sz,
+             CAST(row_number() OVER (PARTITION BY shuffle
+                  ORDER BY sz DESC, map ASC, reduce ASC) AS INT) AS rk
+      FROM sized
+    ) WHERE rk <= 5
+    """,
+    tags=("A.4", "B10"),
+    doc="BoundedPriorityQueue analog (util/BoundedPriorityQueue.scala:27): "
+    "top-5 heaviest blocks per shuffle.",
+)
+def block_topk_per_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sized = (
+        block_view(spark, sf_dir)
+        .groupBy("shuffle", "map", "reduce")
+        .agg(F.sum("size").alias("sz"))
+    )
+    w = Window.partitionBy("shuffle").orderBy(
+        F.col("sz").desc(), F.col("map").asc(), F.col("reduce").asc()
+    )
+    return sized.select(
+        "shuffle", "map", "reduce", "sz", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 5)
+
+
+@register(
+    "block_placement_roundrobin",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL})
+    SELECT DISTINCT shuffle, reduce,
+           CAST(reduce % {N_HOSTS} AS INT) AS host,
+           CAST((reduce + 1) % {N_HOSTS} AS INT) AS backup_host
+    FROM blocks
+    """,
+    tags=("A.2",),
+    doc="Reduce pre-scheduling analog (MapOutputTracker.scala:199-213): "
+    "round-robin host assignment + replication backup.  The reference "
+    "shuffles the host list with an unseeded Random; we use identity "
+    "order so placement is reproducible (SURVEY §4 determinism rule).",
+)
+def block_placement_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = block_view(spark, sf_dir)
+    return (
+        b.select("shuffle", "reduce")
+        .distinct()
+        .select(
+            "shuffle",
+            "reduce",
+            (F.col("reduce") % N_HOSTS).cast("int").alias("host"),
+            ((F.col("reduce") + 1) % N_HOSTS).cast("int").alias("backup_host"),
+        )
+    )
+
+
+@register(
+    "block_fetch_plan",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL})
+    SELECT shuffle, reduce,
+           CAST(count(DISTINCT map) AS BIGINT) AS n_source_maps,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           sum(size) AS fetch_bytes,
+           CAST(min(map) AS INT) AS first_map,
+           CAST(max(map) AS INT) AS last_map
+    FROM blocks GROUP BY shuffle, reduce
+    """,
+    tags=("A.2",),
+    doc="convertMapStatuses analog (MapOutputTracker.scala:373-394): "
+    "the per-reducer fetch plan — how many maps / blocks / bytes to pull.",
+)
+def block_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = block_view(spark, sf_dir)
+    return b.groupBy("shuffle", "reduce").agg(
+        F.countDistinct("map").cast("long").alias("n_source_maps"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("size").alias("fetch_bytes"),
+        F.min("map").cast("int").alias("first_map"),
+        F.max("map").cast("int").alias("last_map"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B7", "B21"),
+    doc="Two-phase salted aggregation: identical result to a plain "
+    "groupBy (the oracle) but the first shuffle spreads each hot key "
+    "over 8 salt buckets — the engine's answer to the reference's "
+    "LPT balanced pre-scheduling of skewed reducers (sim/sim.py:223-263).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.groupBy(
+        "l_returnflag", (F.col("l_orderkey") % 8).alias("_salt")
+    ).agg(
+        F.sum("l_quantity").alias("_pq"),
+        F.count(F.lit(1)).alias("_pn"),
+    )
+    return salted.groupBy("l_returnflag").agg(
+        F.sum("_pq").alias("total_qty"),
+        F.sum("_pn").cast("long").alias("n"),
+    )
+
+
+@register(
+    "partition_stats",
+    oracle=None,  # depends on physical partition layout → rows-only check
+    tags=("B21",),
+    doc="spark_partition_id introspection: per-partition row counts — "
+    "the engine's observable MapStatus (BlockManagerMasterEndpoint "
+    "memoryStatus analog).  Layout-dependent, so no SQL oracle.",
+)
+def partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
+    return (
+        li.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("l_extendedprice").alias("bytes_proxy"),
+        )
+    )

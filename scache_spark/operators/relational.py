@@ -1,0 +1,645 @@
+"""Relational core: scans, projections, filters, joins, aggregates,
+windows, set ops (SURVEY.md §2 B1-B13).
+
+Every query is declarative DataFrame code — Catalyst gets the whole
+plan, so predicate pushdown, column pruning, join reordering and AQE
+are in effect.  Scale notes per query explain why the plan survives
+100 TB (broadcast choices, shuffle keys, skew posture).
+
+Reference grounding: a join or aggregation is exactly the shuffle
+contract the reference manages (`deploy/DeployMessage.scala:22-27`,
+`MapOutputTracker.scala:219` — a join = two registered shuffles of one
+shuffle-set); broadcast replicates small data like the reference's
+block replication push (`storage/BlockManager.scala:1164-1281`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# B1/B4/B5/B7 — flagship: revenue by region/nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r_name, n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r_name, n_name
+    """,
+    tags=("B1", "B3", "B4", "B5", "B7"),
+    doc="TPC-H Q5-style star join: fact lineitem against 4 dims.",
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale plan: lineitem/orders are the big sides and join on their
+    # natural keys (one shuffle each, co-partitioned by AQE); customer,
+    # nation, region are dims → broadcast (no shuffle of the fact
+    # table for them).  Date filter sits on orders before the join so
+    # it prunes at the scan (PushedFilters).
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — TPC-H Q1 pricing summary (partial-agg heavy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)       AS sum_qty,
+           sum(l_extendedprice)  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)       AS avg_qty,
+           avg(l_extendedprice)  AS avg_price,
+           avg(l_discount)       AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("B3", "B7"),
+    doc="TPC-H Q1: wide aggregate over the fact table; map-side combine.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale plan: groupBy on a 6-value composite key → partial
+    # aggregation reduces 100 TB to KBs before the single tiny shuffle.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2/B3 — projection / rename / cast / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_cast",
+    oracle="""
+    SELECT o_orderkey AS order_id,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           upper(o_orderstatus) AS status,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice > 1000.0
+      AND o_orderpriority LIKE '1-%'
+    """,
+    tags=("B2", "B3"),
+    doc="Projection+rename+cast with compound pushable predicates.",
+)
+def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All three predicates push to the parquet scan; projection prunes
+    # the ReadSchema to 5 of 6 columns (verified in tests/test_plans).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_totalprice") > 1000.0)
+            & F.col("o_orderpriority").like("1-%")
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            # floor-then-cast: Spark's double→long cast truncates while
+            # DuckDB's rounds; floor() agrees in both engines
+            F.floor("o_totalprice").cast("long").alias("price_int"),
+            F.upper("o_orderstatus").alias("status"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — outer joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           coalesce(sum(o_totalprice), 0.0) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    tags=("B4", "B7", "B19"),
+    doc="Left join preserving customers with no orders.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: customer is the small side but must be preserved → Spark
+    # picks broadcast for the *right* side or shuffle-hash; with AQE
+    # the decision is stats-driven.  Aggregation key = join key, so
+    # the exchange is reused (single shuffle).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("B4", "B12", "B19"),
+    doc="Full outer join of per-nation customer vs supplier counts.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_supp"))
+    )
+    return cust.join(supp, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B6 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+    """,
+    tags=("B6",),
+    doc="Left-semi join: customers having at least one big order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semi join never materializes the probe payload — at scale this
+    # beats join+distinct (no duplicate blow-up, smaller shuffle).
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+    tags=("B6",),
+    doc="Left-anti join: customers with no 400k+ order (threshold keeps "
+    "the result non-empty at every fixture SF — a trivially empty "
+    "result would be a vacuous oracle match).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — explicit broadcast join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_join_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           sum(l_quantity) AS total_qty,
+           avg(p_retailprice) AS avg_retail
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    """,
+    tags=("B5", "B7"),
+    doc="Fact⋈dim with a forced broadcast (BroadcastBlockId analog, "
+    "/root/reference storage/BlockId.scala:67).",
+)
+def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale: part is bounded (~200M rows at SF100k would NOT broadcast;
+    # the filtered p_size<=25 slice is what ships).  Filter-first then
+    # broadcast → zero shuffle of the 100 TB fact side.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.avg("p_retailprice").alias("avg_retail"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B7 — aggregate function battery (exact only; approx in tests)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_battery",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           sum(o_totalprice) AS sum_price,
+           avg(o_totalprice) AS avg_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("B7",),
+    doc="sum/count/avg/min/max/count-distinct in one pass.",
+)
+def agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count(DISTINCT) expands via Catalyst's two-phase expand+agg —
+    # fine for one distinct column; approx_count_distinct (HLL, no
+    # expansion) is the 100 TB path and is tested in pytest against
+    # a 5% error bound (its estimate differs from DuckDB's HLL so it
+    # cannot hash-match an oracle).
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("o_custkey").cast("long").alias("n_custs"),
+        F.sum("o_totalprice").alias("sum_price"),
+        F.avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B8 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           sum(c_acctbal) AS total_bal,
+           CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("B8",),
+    doc="Hierarchical rollup with grouping() indicators.",
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("c_acctbal").alias("total_bal"),
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+        )
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("B8",),
+    doc="Full cube over two low-cardinality dimensions.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cube = Expand (4× rows here) then one aggregate; at scale prefer
+    # partial-agg-first when dimensions are low-cardinality (Catalyst
+    # does this automatically via partial aggregation before Expand's
+    # shuffle).
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+    tags=("B8",),
+    doc="Explicit grouping sets via SQL passthrough.",
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9/B10 — sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multikey_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+    tags=("B9", "B10"),
+    doc="Global top-100 under a total order (ties broken by PK).",
+)
+def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global sort+limit compiles to TakeOrderedAndProject: each
+    # partition keeps its local top-100 (BoundedPriorityQueue — the
+    # same structure as reference util/BoundedPriorityQueue.scala:27),
+    # driver merges. No full sort, no full shuffle — scales to any N.
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    tags=("B10", "B11"),
+    doc="Top-3 orders by value within each priority class.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window top-k shuffles once on the partition key.  For skewed
+    # groups at 100 TB, pre-aggregate a per-partition local top-k
+    # first (see blocks.block_topk_per_shuffle for that pattern).
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 — window analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    tags=("B11",),
+    doc="Ranking + analytic + running-frame windows per customer.",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One window spec → one shuffle+sort serves all six functions.
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.sum("o_totalprice").over(wf).alias("running_total"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B12 — set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+    SELECT nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION
+      SELECT s_nationkey AS nk FROM supplier
+    )
+    """,
+    tags=("B12",),
+    doc="Union-distinct of customer and supplier nation keys.",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    tags=("B12",),
+    doc="Nations having both customers and suppliers.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+    """,
+    tags=("B12",),
+    doc="Nations with customers but no high-balance supplier (filter "
+    "keeps the result non-empty at every fixture SF).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    # subtract == EXCEPT DISTINCT (exceptAll is bag semantics — wrong here)
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# B13 — distinct / dedup-by-key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_flags",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("B13",),
+    doc="Exact distinct over a composite key.",
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@register(
+    "dedup_pick_min",
+    oracle="""
+    SELECT o_custkey,
+           min(o_orderkey) AS first_orderkey,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("B13",),
+    doc="Deterministic dedup-by-key: keep min-PK representative "
+    "(dropDuplicates keeps an arbitrary row — not oracle-matchable; "
+    "min-PK is the deterministic, scale-safe idiom).",
+)
+def dedup_pick_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )

@@ -1,0 +1,383 @@
+"""Scalar function surface: strings, dates, math, arrays, JSON,
+conditionals, stats & sampling (SURVEY.md §2 B14-B20).
+
+All expressions are built-in `pyspark.sql.functions` — JVM-side,
+inside whole-stage codegen.  Reference grounding: the reference's only
+"expressions" are block-id regex parsing (storage/BlockId.scala:98-131),
+log₁.₁ size compression (scheduler/MapStatus.scala:62-81) and trace
+timestamp munging (sim/util.py:30-44); each battery below covers the
+general family those instances belong to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# B14 — strings (incl. the BlockId-style regex parse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_type) AS type_lo,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           regexp_extract(p_brand, '([A-Za-z]+)#?([0-9]+)', 2) AS brand_num,
+           replace(p_type, ' ', '_') AS type_slug,
+           CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END AS is_brass,
+           trim(p_name) AS name_trim
+    FROM part
+    """,
+    tags=("B14",),
+    doc="String battery; regexp_extract mirrors BlockId.scala:98-131 parsing.",
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_extract("p_brand", r"([A-Za-z]+)#?([0-9]+)", 2).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+        F.when(F.col("p_type").like("%BRASS%"), 1).otherwise(0).alias("is_brass"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+@register(
+    "string_split_parse",
+    oracle="""
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-')[1] AS prio_code,
+           string_split(o_orderpriority, '-')[2] AS prio_name,
+           CAST(len(string_split(o_orderpriority, '-')) AS INT) AS n_parts
+    FROM orders
+    """,
+    tags=("B14",),
+    doc="split + element access (ShuffleKey.fromString done right — the "
+    "reference's version mis-parses, util/ShuffleKey.scala:8-14).",
+)
+def string_split_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        parts.getItem(0).alias("prio_code"),
+        parts.getItem(1).alias("prio_name"),
+        F.size(parts).cast("int").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — date/time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+               AS days_since_95
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    """,
+    tags=("B15",),
+    doc="Calendar decomposition + truncation + epoch arithmetic.",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@register(
+    "date_bucket_agg",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS qty
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("B15", "B7"),
+    doc="Time-bucketed aggregation — the batch twin of B27 windows.",
+)
+def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("l_quantity").alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B16 — math (incl. MapStatus log₁.₁ size compression)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ln(l_extendedprice) AS ln_price,
+           CAST(ceil(ln(greatest(l_extendedprice, 1.0)) / ln(1.1)) AS INT)
+               AS size_compressed,
+           power(l_discount, 2) AS disc_sq,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(l_extendedprice, 1) AS price_round,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt
+    FROM lineitem
+    """,
+    tags=("B16",),
+    doc="Math battery; size_compressed is exactly the reference's 1-byte "
+    "MapStatus encoding ⌈log₁.₁ size⌉ (scheduler/MapStatus.scala:62-81).",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.ceil(
+            F.log(F.greatest(F.col("l_extendedprice"), F.lit(1.0))) / F.log(F.lit(1.1))
+        )
+        .cast("int")
+        .alias("size_compressed"),
+        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.col("l_extendedprice"), 1).alias("price_round"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17 — arrays (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           embedding[1] AS first_comp,
+           embedding[1:4] AS head4,
+           list_aggregate([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                           for i in range(1, len(embedding) + 1)], 'sum') AS sq_norm,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+    tags=("B17",),
+    doc="Array battery over array<float>: size/index/slice/higher-order "
+    "fold (dot product) /filter — all codegen, no UDF.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import vec_dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("int").alias("dim"),
+        F.element_at(emb, 1).alias("first_comp"),
+        F.slice(emb, 1, 4).alias("head4"),
+        vec_dot(emb, emb).alias("sq_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
+    )
+
+
+@register(
+    "array_explode_agg",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_components,
+           avg(comp) AS avg_comp,
+           max(comp) AS max_comp
+    FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS comp FROM embeddings)
+    GROUP BY label
+    """,
+    tags=("B17", "B7"),
+    doc="explode (unnest) then reaggregate per label.",
+)
+def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.explode("embedding").alias("comp_f"))
+        .select("label", F.col("comp_f").cast("double").alias("comp"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.avg("comp").alias("avg_comp"),
+            F.max("comp").alias("max_comp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18 — JSON (events.props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    """,
+    tags=("B18", "B3"),
+    doc="JSON field extraction + predicate on the extracted value.",
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("k_val"), "event_type"
+    ).filter(F.col("k_val") >= 50)
+
+
+@register(
+    "json_schema_parse_agg",
+    oracle="""
+    SELECT event_type,
+           avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("B18", "B7"),
+    doc="from_json with explicit schema, then aggregate.",
+)
+def json_schema_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.avg(F.col("p.k")).alias("avg_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19 — conditionals / null handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_class,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_masked,
+           CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_is_null,
+           greatest(c_acctbal, 0.0) AS bal_clamped
+    FROM customer
+    """,
+    tags=("B19",),
+    doc="when/otherwise, coalesce, nullif, greatest (deal_na analog, "
+    "sim/sim.py:21-25).",
+)
+def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("seg_masked"),
+        F.isnull("c_acctbal").alias("bal_is_null"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_clamped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B20 — sampling & statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_summary",
+    oracle="""
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice) AS qty_price_corr,
+           stddev_samp(l_extendedprice) AS price_std,
+           var_samp(l_extendedprice) AS price_var,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS price_median,
+           covar_pop(l_quantity, l_extendedprice) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B20", "B7"),
+    doc="Statistical aggregates incl. exact interpolated median "
+    "(approxQuantile is the 100 TB path; tested vs exact in pytest).",
+)
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.stddev_samp("l_extendedprice").alias("price_std"),
+        F.var_samp("l_extendedprice").alias("price_var"),
+        F.percentile("l_extendedprice", 0.5).alias("price_median"),
+        F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_cov"),
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+    tags=("B20", "B3"),
+    doc="Key-hash sampling: deterministic, partition-count-independent "
+    "(unlike rand-based sample; df.sample(seed) is tested in pytest — "
+    "its row set depends on partition layout so it can't hash-match "
+    "a DuckDB oracle).  First-map-wave sampling analog, sim/train.py:237.",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

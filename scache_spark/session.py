@@ -1,0 +1,88 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Every knob here is chosen for the 100 TB / 1000-executor target and
+merely *tested* on local[N]:
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace the reference's pre-scheduled
+  reduce placement + shuffle-size prediction (SCache
+  ``MapOutputTracker.scala:193-217``, ``sim/train.py:11-29``) with
+  exact observed statistics.
+- lz4 shuffle/IO compression: same default the reference ships
+  (``io/CompressionCodec.scala:94-95``).
+- UTC session timezone: fixture timestamps are UTC; keeps the DuckDB
+  oracle and Spark in agreement.
+- Arrow enabled: all Python↔JVM transfer is columnar; any unavoidable
+  Python stays in vectorized pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Partition sizing: at 100 TB with ~128 MB target partitions you want
+# O(800k) input splits and a shuffle partition count sized so a
+# partition fits comfortably in executor memory.  AQE coalesces down
+# from a generous initial number, so we set a high initial partition
+# count and let runtime stats shrink it — the scalable direction
+# (too many → coalesced cheaply; too few → irrecoverable spill).
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "scache-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # --- adaptive execution: the engine's answer to the reference's
+        # pre-scheduling/prediction plane (SURVEY.md §4) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        # --- shuffle sizing ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MB splits
+        # --- broadcast: dims up to 64 MB ship to every executor instead
+        # of shuffling the fact side (replication push analog,
+        # SCache BlockManager.replicate) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- codecs: lz4 everywhere, matching the reference default ---
+        .config("spark.io.compression.codec", "lz4")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # --- python boundary: Arrow-batched, never row-at-a-time ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- determinism for oracle matching ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet timestamps in fixtures are ms/ns; read as TIMESTAMP
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # quieter driver-side logs in local runs
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
