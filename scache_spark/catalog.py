@@ -131,6 +131,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot read as
+# TimestampType (micros).  It is read as a raw nanos long (requires
+# spark.sql.legacy.parquet.nanosAsLong=true, set in session.py) and
+# converted with integer division — `div`, not `/`: nanos-since-epoch
+# ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
+_EVENTS_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
@@ -138,6 +155,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan's ReadSchema minimal after Catalyst column pruning and avoids
     a footer-read planning step per query on a 100k-file dataset.
     """
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(
+            table_path(sf_dir, name)
+        )
+        from pyspark.sql import functions as F
+
+        return raw.select(
+            "event_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 

@@ -1,1 +1,488 @@
-"""Placeholder - queries land next commit."""
+"""Deduplication suite (SURVEY.md §2 B13/B24, north-star LLM-pipeline
+operators): exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+All hash functions are md5-based so the DuckDB oracle reproduces them
+bit-for-bit (seedable randomness rule, SURVEY §4 — the reference's
+unseeded `Random.shuffle` placement, MapOutputTracker.scala:202, is
+the anti-pattern).  Everything below is built-in-function codegen —
+no Python UDFs.
+
+Because the fixture documents are all unique, each query runs over an
+*augmented* corpus with deterministically planted duplicates (exact
+copies of every 10th doc, near-duplicates — first word dropped — of
+every doc ≡ 5 mod 10), so the dedup operators have real positives to
+find and the oracle verifies they find exactly the same ones.
+
+Scale design (100 TB): every stage is a pure shuffle-on-key dataflow —
+shingle explode → per-doc signature agg → band-key self-join (the LSH
+trick that replaces the O(n²) pair space with per-bucket joins) →
+verification only on candidates.  Skewed bands (e.g. boilerplate
+shingles) are bounded because band keys are 128-bit hashes of 2
+minhashes; residual skew is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.functions import salted_md5, word_shingles
+from scache_spark.registry import register
+
+N_MINHASH = 8  # permutations
+N_BANDS = 4  # bands of 2 rows each
+SHINGLE_N = 3  # words per shingle
+
+# ---------------------------------------------------------------------------
+# augmented corpus (shared by the dedup family)
+# ---------------------------------------------------------------------------
+
+_AUG_SQL = """
+    base AS (SELECT doc_id, lower(text) AS text, source FROM documents),
+    aug AS (
+      SELECT doc_id, text, source FROM base
+      UNION ALL
+      SELECT doc_id + 100000, text, source FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 200000,
+             array_to_string(string_split(text, ' ')[2:], ' ') AS text,
+             source
+      FROM base WHERE doc_id % 10 = 5
+    )
+"""
+
+_SHINGLE_SQL = (
+    "shingled AS (SELECT doc_id, source, "
+    "list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ') "
+    "for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh FROM aug)"
+)
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted exact copies ∪ planted near-dups."""
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("text"), "source"
+    )
+    exact = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+    )
+    toks = F.split(F.col("text"), " ")
+    near = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        ).alias("text"),
+        "source",
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, sh: array<string>) — distinct 3-word shingles."""
+    aug = augmented_docs(spark, sf_dir)
+    return aug.select(
+        "doc_id", "source", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
+    )
+
+
+def _signature_cols() -> list:
+    """minhash_i = min over shingles of md5('i:' || shingle)."""
+    return [
+        F.array_min(F.transform(F.col("sh"), lambda s: salted_md5(s, i))).alias(
+            f"sig_{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+
+
+def _band_cols() -> list:
+    """band_j = md5(sig_{2j} || sig_{2j+1}) — 2 rows per band."""
+    return [
+        F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}"))).alias(
+            f"band_{j}"
+        )
+        for j in range(N_BANDS)
+    ]
+
+
+_SIG_SQL = ", ".join(
+    f"list_aggregate([md5('{i}:' || s) for s in sh], 'min') AS sig_{i}"
+    for i in range(N_MINHASH)
+)
+_BAND_SQL = ", ".join(
+    f"md5(sig_{2 * j} || sig_{2 * j + 1}) AS band_{j}" for j in range(N_BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_hash",
+    oracle=f"""
+    WITH {_AUG_SQL}
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM aug GROUP BY md5(text)
+    """,
+    tags=("B13", "B24"),
+    doc="Exact dedup via content hash: one group per distinct text, "
+    "min-id representative.  At 100 TB: hash is computed map-side, "
+    "shuffle carries (hash, id) only — never the text.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    # Project to (hash, id) BEFORE the shuffle: the 100 TB of text
+    # never moves, only 16-byte digests + ids do.
+    return (
+        aug.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled)
+    SELECT doc_id, sig_0, sig_3, sig_7, {_BAND_SQL}
+    FROM sigs
+    """,
+    tags=("B24",),
+    doc="Per-doc MinHash signature (8 md5 permutations) + 4 LSH band "
+    "keys.  Shingle→minhash stays inside one narrow projection: no "
+    "shuffle at all until bucketing.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = shingled_docs(spark, sf_dir).select("doc_id", *_signature_cols())
+    return sigs.select(
+        "doc_id", "sig_0", "sig_3", "sig_7", *_band_cols()
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """,
+    tags=("B24",),
+    doc="Full MinHash-LSH dedup pipeline: band-bucket self-join for "
+    "candidates, exact Jaccard verification on candidates only "
+    "(≥0.5).  The O(n²) pair space never materializes — only "
+    "same-bucket pairs do.",
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "sh")
+    sigs = sh.select("doc_id", *_signature_cols())
+    bands = sigs.select("doc_id", *_band_cols())
+    melted = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), F.col(f"band_{j}").alias("band_hash")
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_expr() -> list:
+    """Columns for the grouped bit-vote sums, from exploded token hashes."""
+    h = F.col("hv")
+    return [
+        F.sum(
+            F.when((F.shiftright(h, b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+
+
+_SIMHASH_BIT_SQL = ", ".join(
+    f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_FOLD_SQL = " + ".join(
+    f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END"
+    for b in range(_SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM aug),
+    hashes AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+               FROM toks),
+    bits AS (SELECT doc_id, {_SIMHASH_BIT_SQL} FROM hashes GROUP BY doc_id),
+    sims AS (SELECT doc_id, {_SIMHASH_FOLD_SQL} AS simhash FROM bits)
+"""
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash: long) over the augmented corpus."""
+    from scache_spark.functions import hash64
+
+    aug = augmented_docs(spark, sf_dir)
+    toks = (
+        aug.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+        .select("doc_id", hash64(F.col("tok")).alias("hv"))
+    )
+    bits = toks.groupBy("doc_id").agg(*_simhash_expr())
+    fold = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fold = term if fold is None else fold + term
+    return bits.select("doc_id", fold.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SIMHASH_SQL}
+    SELECT doc_id, simhash FROM sims
+    """,
+    tags=("B24",),
+    doc="32-bit SimHash per doc: per-token md5-derived hash, bitwise "
+    "majority vote.  One explode + one groupBy — shuffle carries "
+    "(doc_id, 64-bit hash) pairs only.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_docs(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SIMHASH_SQL},
+    banded AS (
+      {" UNION ALL ".join(f"SELECT doc_id, simhash, {i} AS band_id, (simhash >> {8 * i}) & 255 AS band_val FROM sims" for i in range(4))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    tags=("B24",),
+    doc="SimHash near-dup pairs: 4×8-bit band blocking (a pair within "
+    "hamming≤3 must agree on ≥1 whole byte), verify bit_count(xor).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = _simhash_docs(spark, sf_dir)
+    banded = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))).alias(
+                            "band_val"
+                        ),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("B24",),
+    doc="Exact n-gram Jaccard within source-blocks: the brute-force "
+    "baseline MinHash-LSH approximates.  Blocking key (source) bounds "
+    "the pair space; at 100 TB you'd block on LSH buckets instead "
+    "(dedup_minhash_pairs) — this exists to validate them.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_docs(spark, sf_dir)
+    a = sh.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH aug AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding, label FROM embeddings
+      WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                            for i in range(1, len(a.embedding) + 1)], 'sum')
+            / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                                    for i in range(1, len(a.embedding) + 1)], 'sum'))
+             * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                                    for i in range(1, len(b.embedding) + 1)], 'sum'))))
+               AS cosine
+    FROM aug a JOIN aug b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE (list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                           for i in range(1, len(a.embedding) + 1)], 'sum')
+           / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+                                   for i in range(1, len(a.embedding) + 1)], 'sum'))
+            * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                                   for i in range(1, len(b.embedding) + 1)], 'sum')))) >= 0.95
+    """,
+    tags=("B24", "B25"),
+    doc="Embedding near-dup: cosine ≥ 0.95 pairs within label blocks "
+    "over an augmented set with planted exact copies.  At 100 TB the "
+    "blocking key becomes an LSH bucket (similarity.ann_lsh_bucketed).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import vec_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    a = aug.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = aug.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = vec_cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.95)
+    )

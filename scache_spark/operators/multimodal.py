@@ -1,1 +1,177 @@
-"""Placeholder - queries land next commit."""
+"""Multimodal column plumbing (north-star): opaque binary payloads +
+typed metadata, with decode/feature-extraction as Arrow-batched
+pandas stages.
+
+This mirrors the reference's own data model most directly: SCache's
+unit of data IS an opaque byte blob with metadata
+(`io/ChunkedByteBuffer.scala`, `storage/BlockId.scala:79-81`) — here
+the blob is a column (`BinaryType`) inside a schema-first DataFrame.
+
+The container has no image/audio codecs, so the decode step is a
+clearly marked deterministic stand-in (byte-level statistics standing
+in for pixel decoding); the Spark-side plumbing — schema, Arrow batch
+shape, mapInPandas signature, partition behavior — is real and tested.
+Swapping `_fake_decode` for a PIL/libav call changes nothing upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+
+def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a (asset_id, blob: binary, mime, n_bytes) table from
+    documents — the opaque-payload-with-metadata shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+    FROM documents
+    """,
+    tags=("north-star",),
+    doc="Typed metadata over opaque binary payloads: size, content "
+    "hash, magic-byte peek — computed without ever decoding.",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).cast("int").alias("first_byte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract via mapInPandas
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_std", T.DoubleType()),
+        T.StructField("feat_head", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode(blob: bytes) -> "pd.Series":
+    """STUB for the real decoder (PIL.Image.open / librosa.load /
+    av.open).  The container ships no media codecs, so we 'decode' the
+    blob into its raw byte values — deterministic, so tests are exact.
+    Replace this function (only) to plug a real codec in."""
+    import numpy as np
+
+    arr = np.frombuffer(blob, dtype=np.uint8).astype("float64")
+    return arr
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction: one pandas frame per batch in,
+    one out.  This is the 100 TB pattern for media: partition-parallel,
+    vectorized inside the batch, constant memory (batch-bounded)."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for _, row in pdf.iterrows():
+            arr = _fake_decode(row["blob"])
+            feats.append(
+                (
+                    row["asset_id"],
+                    row["mime"],
+                    int(len(arr)),
+                    float(arr.mean()) if len(arr) else 0.0,
+                    float(arr.std()) if len(arr) else 0.0,
+                    [float(x) for x in arr[:4]],
+                )
+            )
+        yield pd.DataFrame(
+            feats,
+            columns=[
+                "asset_id",
+                "mime",
+                "n_bytes",
+                "feat_mean",
+                "feat_std",
+                "feat_head",
+            ],
+        )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # pandas pipeline — verified structurally in pytest
+    tags=("north-star", "B23"),
+    doc="mapInPandas decode+featurize pipeline over binary assets: "
+    "Arrow batches in, typed features out.  Decode itself is stubbed "
+    "(no codecs in container) but deterministic.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = binary_assets(spark, sf_dir)
+    return assets.mapInPandas(extract_features, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_feature_agg",
+    oracle="""
+    WITH decoded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS mime,
+             list_aggregate([CAST(ascii(substr(text, i, 1)) AS DOUBLE)
+                             for i in range(1, length(text) + 1)], 'sum')
+                 / length(text) AS feat_mean
+      FROM documents)
+    SELECT mime,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           avg(feat_mean) AS mime_mean
+    FROM decoded GROUP BY mime
+    """,
+    tags=("north-star",),
+    doc="Cross-check of the pandas featurizer: byte-mean per asset "
+    "recomputed in pure SQL (ASCII text ⇒ byte==codepoint), "
+    "aggregated per mime class.  Hash-matches the oracle, proving "
+    "the UDF path and the declarative path agree.",
+)
+def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir)
+    return feats.groupBy("mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.avg("feat_mean").alias("mime_mean"),
+    )

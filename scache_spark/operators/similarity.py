@@ -1,1 +1,199 @@
-"""Placeholder - queries land next commit."""
+"""Similarity search over embeddings (SURVEY.md §2 B25, north-star).
+
+Brute-force cosine top-k is the correctness baseline; the
+hyperplane-LSH bucketed variant is the 100 TB scale path (bucket the
+corpus once, probe only the query's bucket — turns a full scan into a
+~1/2^p partition read).  All plane weights are closed-form
+(sin-derived), so both engines compute identical buckets with no
+stored model and no RNG (seedable-randomness rule, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.functions import sql_vec_cosine, vec_cosine
+from scache_spark.registry import register
+
+N_PLANES = 8
+DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_brute_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {sql_vec_cosine("embedding", "qv")} AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("B25", "B10"),
+    doc="Brute-force cosine top-10 for one query vector.  Compiles to "
+    "TakeOrderedAndProject: per-partition top-k, driver merge — no "
+    "global sort even at 10⁹ vectors.",
+)
+def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", vec_cosine(F.col("embedding"), F.col("qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "knn_batch_topk",
+    oracle=f"""
+    WITH qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+                FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT * FROM (
+      SELECT q_id, vec_id AS neighbor_id,
+             {sql_vec_cosine("embedding", "qv")} AS cosine,
+             CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY {sql_vec_cosine("embedding", "qv")} DESC, vec_id ASC)
+                  AS INT) AS rk
+      FROM embeddings JOIN qs
+        ON label = q_label AND vec_id <> q_id
+    ) WHERE rk <= 3
+    """,
+    tags=("B25", "B10", "B11"),
+    doc="Batched k-NN: top-3 per query within label blocks — the "
+    "broadcast-queries × partitioned-corpus pattern; corpus is "
+    "scanned once for all queries.",
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("q_label"),
+    )
+    cos = vec_cosine(F.col("embedding"), F.col("qv"))
+    joined = e.join(
+        F.broadcast(qs),
+        (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")),
+    ).select("q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return joined.select(
+        "q_id", "neighbor_id", "cosine", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_dot(emb: Column, p: int) -> Column:
+    """Dot of emb with deterministic pseudo-random plane p:
+    weight(p, j) = sin(p*131 + j*7)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(DIM)),
+            lambda j: F.element_at(emb, j).cast("double")
+            * F.sin(F.lit(float(p * 131)) + j.cast("double") * 7.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Hyperplane-LSH bucket id: sign bits of N_PLANES dots."""
+    bucket = None
+    for p in range(N_PLANES):
+        bit = F.when(_plane_dot(emb, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def _sql_plane_dot(emb: str, p: int) -> str:
+    return (
+        f"list_aggregate([CAST({emb}[j] AS DOUBLE) * sin({p * 131}.0 + j * 7.0) "
+        f"for j in range(1, {DIM} + 1)], 'sum')"
+    )
+
+
+_SQL_BUCKET = " + ".join(
+    f"CASE WHEN {_sql_plane_dot('embedding', p)} > 0 THEN {1 << p} ELSE 0 END"
+    for p in range(N_PLANES)
+)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT CAST({_SQL_BUCKET} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+    tags=("B25",),
+    doc="Hyperplane-LSH bucketing of the corpus (8 planes → 256 "
+    "buckets).  At scale this is the partitioning key: write the "
+    "corpus bucketed-by(bucket) once, then each query reads ~1/256 "
+    "of the data.  Recall vs brute force is asserted in pytest.",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "ann_lsh_probe",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS INT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS q_bucket FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id, {sql_vec_cosine("embedding", "qv")} AS cosine
+    FROM bucketed, q
+    WHERE bucket = q_bucket AND vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("B25",),
+    doc="ANN query via single-bucket probe: score only the query's LSH "
+    "bucket, top-10 within it.  The scale path behind knn_brute_cosine.",
+)
+def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != 0))
+        .select("vec_id", vec_cosine(F.col("embedding"), F.col("qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

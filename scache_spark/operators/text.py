@@ -1,1 +1,257 @@
-"""Placeholder - queries land next commit."""
+"""Text analysis for LLM data pipelines (SURVEY.md §2 B24,
+north-star): token statistics, language-ID heuristic, quality scoring,
+document fingerprinting, regex token counting.
+
+All pure built-in expressions (split/regexp/higher-order functions) —
+the whole module is one narrow projection per query, no shuffle except
+final aggregates, no UDFs.  Reference grounding: log-parsing regexes
+(sim/train.py:64-90) and block-id string parsing
+(storage/BlockId.scala:98-131) are the reference's only text ops;
+these queries generalize that surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+# Tiny function-word lists per language for the n-gram/stopword
+# heuristic.  (Fixture text is synthetic word salad, so the heuristic's
+# *accuracy* is meaningless — its mechanics are what's under test.)
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "de", "un"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, n_chars,
+                         string_split(lower(text), ' ') AS t
+                  FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_unique,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+           list_aggregate([CAST(length(w) AS DOUBLE) for w in t], 'sum') / len(t)
+               AS avg_token_len,
+           n_chars
+    FROM toks
+    """,
+    tags=("B24", "B14"),
+    doc="Per-doc token statistics: count, unique, type-token ratio, "
+    "mean token length.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    d = d.select("doc_id", "lang", "n_chars", t.alias("t"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("int").alias("n_unique"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("ttr"),
+        (
+            F.aggregate(
+                F.transform(F.col("t"), lambda w: F.length(w).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("t")
+        ).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         string_split(lower(text), ' ') AS t
+                  FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, w -> list_contains({_sql_list(_STOPWORDS["en"])}, w))) AS DOUBLE) / len(t) AS score_en,
+             CAST(len(list_filter(t, w -> list_contains({_sql_list(_STOPWORDS["es"])}, w))) AS DOUBLE) / len(t) AS score_es,
+             CAST(len(list_filter(t, w -> list_contains({_sql_list(_STOPWORDS["fr"])}, w))) AS DOUBLE) / len(t) AS score_fr
+      FROM toks)
+    SELECT doc_id, lang, score_en, score_es, score_fr,
+           CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0
+                  THEN 'en'
+                WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+                WHEN score_fr > 0 THEN 'fr'
+                ELSE 'und' END AS predicted
+    FROM scored
+    """,
+    tags=("B24",),
+    doc="Stopword-ratio language-ID heuristic with deterministic "
+    "argmax tie-break (en > es > fr > und).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+
+    def score(lang: str):
+        wl = [F.lit(w) for w in _STOPWORDS[lang]]
+        return F.size(
+            F.filter(F.col("t"), lambda w: w.isin([x for x in _STOPWORDS[lang]]))
+        ).cast("double") / F.size("t")
+
+    scored = d.select("doc_id", "lang", t.alias("t")).select(
+        "doc_id",
+        "lang",
+        score("en").alias("score_en"),
+        score("es").alias("score_es"),
+        score("fr").alias("score_fr"),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score_en",
+        "score_es",
+        "score_fr",
+        F.when(
+            (F.col("score_en") >= F.col("score_es"))
+            & (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") > 0),
+            "en",
+        )
+        .when((F.col("score_es") >= F.col("score_fr")) & (F.col("score_es") > 0), "es")
+        .when(F.col("score_fr") > 0, "fr")
+        .otherwise("und")
+        .alias("predicted"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^a-z ]')) AS INT) AS n_nonalpha,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(['the','a','of','and','to'], w))) AS INT)
+                 AS n_stop
+      FROM documents)
+    SELECT doc_id, source, n_len, n_tok,
+           CAST(n_nonalpha AS DOUBLE) / n_len AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+           (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+            + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+            + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) AS quality,
+           CASE WHEN (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+                + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) >= 0.5
+                THEN 'keep' ELSE 'drop' END AS tier
+    FROM feats
+    """,
+    tags=("B24",),
+    doc="Heuristic quality score: length + stopword-density + "
+    "punctuation terms, with a keep/drop gate — the C4-style filter "
+    "shape.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lower_t = F.split(F.lower("text"), " ")
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("int").alias("n_len"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+        F.size(F.expr("regexp_extract_all(text, '[^a-z ]', 0)"))
+        .cast("int")
+        .alias("n_nonalpha"),
+        F.size(
+            F.filter(lower_t, lambda w: w.isin(["the", "a", "of", "and", "to"]))
+        )
+        .cast("int")
+        .alias("n_stop"),
+    )
+    quality = (
+        0.4 * F.least(F.col("n_tok").cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * (F.col("n_stop").cast("double") / F.col("n_tok"))
+        + 0.2 * (1.0 - F.col("n_nonalpha").cast("double") / F.col("n_len"))
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_len",
+        "n_tok",
+        (F.col("n_nonalpha").cast("double") / F.col("n_len")).alias("punct_ratio"),
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("stop_ratio"),
+        quality.alias("quality"),
+        F.when(quality >= 0.5, "keep").otherwise("drop").alias("tier"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(text), ' '))), ' ')) AS fingerprint
+      FROM documents)
+    SELECT fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM fp GROUP BY fingerprint
+    """,
+    tags=("B24",),
+    doc="Order-insensitive document fingerprint (md5 of sorted distinct "
+    "vocabulary): catches permuted/reshuffled duplicates exact "
+    "hashing misses.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+        )
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+@register(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+               AS n_bpe_ish,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS INT) AS n_len_est,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws
+    FROM documents
+    """,
+    tags=("B24", "B14"),
+    doc="Token counting three ways: BPE-ish regex segmentation, "
+    "chars/4 estimate, whitespace split.",
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("int")
+        .alias("n_bpe_ish"),
+        F.ceil(F.length("text").cast("double") / 4.0).cast("int").alias("n_len_est"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_ws"),
+    )

@@ -72,6 +72,10 @@ def get_session(
         # parquet timestamps in fixtures are ms/ns; read as TIMESTAMP
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # TIMESTAMP(NANOS) parquet columns (events.ts) are read as raw
+        # nanos longs and converted in catalog.load_table — Spark has
+        # no nanosecond TimestampType
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quieter driver-side logs in local runs
         .config("spark.ui.enabled", "false")
     )

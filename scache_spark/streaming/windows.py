@@ -1,1 +1,213 @@
-"""Placeholder - queries land next commit."""
+"""Structured Streaming over the events table (SURVEY.md §2 B27).
+
+The reference's push-trigger — master broadcasts `StartMapFetch` the
+moment a map's output is complete, clients react per-arrival
+(`storage/BlockManagerMasterEndpoint.scala:347-366`) — is an
+at-data-arrival callback, i.e. exactly a streaming micro-batch
+trigger.  Here the events fixture is replayed as a file stream with
+`availableNow` (deterministic batch-equivalent semantics), through
+tumbling / sliding / session windows, watermarks, and streaming dedup.
+
+On a real cluster the same plans run unchanged on Kafka sources with
+`trigger(processingTime=...)`; availableNow is what makes them
+oracle-checkable.
+
+The fixture's nanosecond timestamps are unreadable by the streaming
+parquet reader (PARQUET_TYPE_ILLEGAL for TIMESTAMP(NANOS)), so events
+is staged once per sf_dir through a batch rewrite (micros) into
+`.stream_src/` — a fixture-prep detail, not an engine behavior.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import SCHEMAS, load_table
+from scache_spark.registry import register
+
+_STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".stream_src")
+_SINK_COUNTER = itertools.count()
+
+
+def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
+    """Stage events.parquet as a streamable directory (micros ts).
+    ``copies=2`` writes the rows twice — planted duplicates for the
+    streaming-dedup query."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STAGE_ROOT, f"{key}_x{copies}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(4).write.mode("overwrite").parquet(out)
+        for i in range(copies - 1):
+            ev.repartition(4).write.mode("append").parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFrame:
+    path = _staged_events_dir(spark, sf_dir, copies)
+    return spark.readStream.schema(SCHEMAS["events"]).parquet(path)
+
+
+def run_stream(df, name: str, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink as a batch DataFrame."""
+    sink = f"{name}_{next(_SINK_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return df.sparkSession.table(sink)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("B27",),
+    doc="Tumbling 5-minute windowed aggregate with a 1-minute "
+    "watermark, replayed via availableNow — result equals the batch "
+    "time-bucket aggregation (the oracle).",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("total_value"),
+    )
+    res = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+    return run_stream(res, "tumbling", "complete")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
+             value
+      FROM events
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS total_value
+    FROM b GROUP BY 1
+    """,
+    tags=("B27",),
+    doc="Sliding window (10 min length, 5 min slide): every event lands "
+    "in exactly two windows; oracle materializes both bucket "
+    "assignments explicitly.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("total_value"),
+    )
+    res = agg.select(F.col("w.start").alias("window_start"), "n", "total_value")
+    return run_stream(res, "sliding", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("B27",),
+    doc="Session windows (10-minute gap) per user — Spark "
+    "session_window vs the oracle's gaps-and-islands SQL.  A session "
+    "closes when the next event is >= gap away (half-open interval), "
+    "hence the oracle's >=.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = s.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    res = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    return run_stream(res, "session", "complete")
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("B27", "B13"),
+    doc="Streaming dedup: the staged source contains every event TWICE "
+    "(two files); dropDuplicates on event_id with a watermark emits "
+    "each exactly once — result equals plain events (the oracle).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir, copies=2).withWatermark("ts", "1 minute")
+    deduped = s.dropDuplicates(["event_id"]).select("event_id", "event_type", "value")
+    return run_stream(deduped, "dedup", "append")
+
+
+@register(
+    "stream_late_data_filter",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, mx
+    WHERE ts >= max_ts - INTERVAL '7 days'
+    GROUP BY event_type
+    """,
+    tags=("B27", "B15"),
+    doc="Watermark-style late-data policy expressed in batch: keep only "
+    "events within 7 days of the stream head — the deterministic twin "
+    "of withWatermark drop semantics (exact streaming drop timing is "
+    "micro-batch-dependent, so the policy itself is what's contracted).",
+)
+def stream_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
