@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed via the same registry the driver checks for
+correctness; timing covers full plan execution (collect to count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scache_spark.registry import REGISTRY, _ensure_loaded
+from scache_spark.session import get_session
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# plans (joins, windows, LSH self-joins) where scale behavior shows.
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "pricing_summary",
+    "broadcast_join_parts",
+    "agg_battery",
+    "window_analytics",
+    "topk_per_group",
+    "dedup_exact_hash",
+    "dedup_minhash_pairs",
+    "knn_batch_topk",
+    "ann_lsh_probe",
+    "text_quality_score",
+    "block_size_stats",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    _ensure_loaded()
+    spark = get_session("scache-spark-bench")
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for it
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,73 @@
-"""Plan inspection helpers."""
+"""Physical-plan introspection helpers.
+
+The engine's optimization contract (SURVEY.md §4) is that Catalyst does
+what the reference hand-built: partition selection ↔ predicate
+pushdown, block-size stats ↔ AQE runtime statistics, pre-scheduling ↔
+exchange planning.  These helpers make the contract *testable*: pull
+the formatted physical plan and assert pushdown / pruning / broadcast /
+codegen properties on it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section(s) of the scan nodes."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters" in line
+    )
+
+
+def read_schema(df: DataFrame) -> str:
+    """The ReadSchema section(s) — what actually gets decoded from
+    parquet after column pruning."""
+    return "\n".join(
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "ReadSchema" in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan — the engine's
+    'registered shuffles' count (MapOutputTracker.registerShuffles
+    analog: every exchange is known before execution).  Broadcast
+    exchanges are excluded: they replicate, they don't shuffle."""
+    plan = formatted_plan(df)
+    # formatted mode describes each node as "(N) Exchange" /
+    # "(N) BroadcastExchange"
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """WholeStageCodegen spans — wider is better (fewer pipeline
+    breaks).  Executes the plan (AQE finalizes only at runtime), then
+    counts the ``*(n)`` codegen-stage markers in the executed plan."""
+    # collect() executes df's own queryExecution (count() would build a
+    # separate plan and leave this one unfinalized under AQE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -1,1 +1,88 @@
-"""Sources package."""
+"""Source/sink surface (SURVEY.md §2 B1): parquet, CSV, JSON-lines,
+and partitioned/bucketed writes.
+
+The reference's 'sources' are mmap'd tmp files handed across the
+daemon boundary (deploy/Daemon.scala:45-64) — i.e. raw bytes with no
+format.  The engine is format-first: every reader takes an explicit
+schema (no inference scans at 100 TB) and every writer controls
+layout (partitioning, bucketing, target file size) because layout IS
+the query plan's first stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Schema-required CSV: inference reads the whole dataset twice at
+    100 TB — never."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-required JSON-lines (the reference's trace-log shape,
+    sim/util.py:21-51 parses Spark event-log JSON)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partition-aware parquet sink.  ``partition_by`` columns become
+    directory partitions → downstream partition pruning; cap file size
+    via maxRecordsPerFile so 100 TB writes produce ~128 MB files, not
+    2 GB stragglers."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates join keys at write time
+    so later joins on ``bucket_cols`` skip the shuffle entirely — the
+    engine's durable version of the reference's pre-scheduled reduce
+    placement (MapOutputTracker.scala:199-213): partition-by-key
+    decided once, reused by every consumer."""
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -1,0 +1,67 @@
+"""Physical-plan contract tests (SURVEY.md §4): pushdown, pruning,
+broadcast, exchange counts — asserting the engine produces the plans
+it was designed around, not just correct rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scache_spark import plans
+from scache_spark.catalog import load_table
+from scache_spark.operators.relational import (
+    broadcast_join_parts,
+    filter_project_cast,
+    flagship_revenue_by_region,
+    pricing_summary,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = filter_project_cast(spark, sf_dir)
+    pf = plans.pushed_filters(df)
+    assert "o_orderstatus" in pf and "o_totalprice" in pf, pf
+    # LIKE 'prefix%' pushes as StringStartsWith
+    assert "StartsWith" in pf or "o_orderpriority" in pf, pf
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    rs = plans.read_schema(df)
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs, f"scan reads pruned column: {rs}"
+
+
+def test_flagship_uses_broadcast_joins(spark, sf_dir):
+    df = flagship_revenue_by_region(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    # dims broadcast; only lineitem⋈orders may justify a shuffle join,
+    # so the plan must not shuffle more than: join + final agg
+    assert plans.exchange_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = broadcast_join_parts(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+    # fact side never shuffles for the join; single exchange for the agg
+    assert plans.exchange_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_pricing_summary_single_shuffle(spark, sf_dir):
+    # partial agg map-side; exactly one exchange on the group key
+    df = pricing_summary(spark, sf_dir)
+    assert plans.exchange_count(df) == 1, plans.formatted_plan(df)
+    pf = plans.pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = pricing_summary(spark, sf_dir)
+    assert plans.codegen_stage_count(df) >= 1
+
+
+def test_date_filter_prunes_rowgroups(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    assert "o_orderdate" in plans.pushed_filters(df)
