@@ -1,0 +1,134 @@
+"""Temporal joins (as-of, interval/range) — operators Spark lacks as
+primitives, composed scale-first from built-ins (SURVEY.md custom-
+operator rule (a): composition before UDFs).
+
+As-of join via union+window: tag both streams, union, one window sort
+per key, last_value(ignorenulls) carries the most recent left-side row
+forward.  This is O(n log n) per key with ONE shuffle — versus the
+naive inequality join whose range predicate forces a broadcast
+nested loop (O(n·m)).  The same trick is how streaming engines do
+temporal joins; it survives 100 TB because it's just a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 'click' AS side FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 'purchase' AS side FROM events
+      WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, side,
+             max(CASE WHEN side = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts,
+           CAST(last_click_ts AS TIMESTAMP) AS last_click_ts
+    FROM carried WHERE side = 'purchase'
+    """,
+    tags=("temporal", "B11"),
+    doc="As-of join: for each purchase, the user's most recent strictly "
+    "earlier click — via union+window (one shuffle on user_id), not an "
+    "inequality join (broadcast-nested-loop at scale).  Total order "
+    "(ts, side, event_id) makes simultaneous events deterministic.",
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit("click").alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("purchase").alias("side")
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = tagged.withColumn(
+        "last_click_ts",
+        F.max(F.when(F.col("side") == "click", F.col("ts"))).over(w),
+    )
+    return carried.filter(F.col("side") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+@register(
+    "range_join_ship_window",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_shipped_30d,
+           sum(l_quantity) AS qty_30d
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL '30 days'
+    GROUP BY o_orderkey
+    """,
+    tags=("temporal", "B4"),
+    doc="Interval/range join done right at scale: the EQUI key "
+    "(l_orderkey = o_orderkey) drives a hash join; the range predicate "
+    "is a post-join filter — never a standalone inequality join.",
+)
+def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shipped_30d"),
+            F.sum("l_quantity").alias("qty_30d"),
+        )
+    )
+
+
+@register(
+    "time_bucket_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS total,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("temporal", "B15", "B7"),
+    doc="Hypertable-style daily rollup with per-bucket distinct users — "
+    "the continuous-aggregate shape (at scale: incremental via "
+    "Structured Streaming, stream_tumbling_window).",
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("total"),
+        F.countDistinct("user_id").cast("long").alias("dau"),
+    )

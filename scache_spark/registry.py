@@ -77,8 +77,10 @@ def _ensure_loaded() -> None:
         relational,
         scalar,
         similarity,
+        temporal,
         text,
+        udf,
     )
-    from scache_spark.streaming import windows  # noqa: F401
+    from scache_spark.streaming import stateful, windows  # noqa: F401
 
     _LOADED = True

@@ -81,7 +81,10 @@ def _cell_equal(a, b) -> bool:
     if a is None and b is None:
         return True
     if _is_datelike(a) and _is_datelike(b):
-        return pd.Timestamp(a) == pd.Timestamp(b)
+        pa, pb = pd.Timestamp(a), pd.Timestamp(b)
+        if pd.isna(pa) and pd.isna(pb):  # NaT == NaT is False otherwise
+            return True
+        return pa == pb
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
