@@ -80,8 +80,17 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, sh: array<string>) — distinct 3-word shingles."""
-    aug = augmented_docs(spark, sf_dir)
+    """(doc_id, source, sh: array<string>) — distinct 3-word shingles.
+
+    The scan of a small-file corpus yields few input splits (3 tasks
+    for 6k docs locally) while shingle+minhash is CPU-bound, so fan
+    out to full parallelism first; the text shuffle is trivial next
+    to the md5 work it unlocks.  (At 100 TB the scan already has
+    enough splits and AQE coalesces — the repartition is a no-op cost.)
+    """
+    aug = augmented_docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return aug.select(
         "doc_id", "source", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
     )
