@@ -57,7 +57,7 @@ def block_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH blocks AS ({_BLOCK_VIEW_SQL})
     SELECT shuffle, reduce,
            CAST(count(*) AS BIGINT) AS n_blocks,
-           sum(size) AS total_bytes,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
            avg(size) AS avg_bytes,
            max(size) AS max_bytes,
            CAST(ceil(ln(greatest(sum(size), 1)) / ln(1.1)) AS INT)
@@ -89,7 +89,7 @@ def block_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH blocks AS ({_BLOCK_VIEW_SQL}),
     sized AS (
-      SELECT shuffle, map, reduce, sum(size) AS sz
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
       FROM blocks GROUP BY shuffle, map, reduce
     )
     SELECT * FROM (
@@ -153,7 +153,7 @@ def block_placement_roundrobin(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT shuffle, reduce,
            CAST(count(DISTINCT map) AS BIGINT) AS n_source_maps,
            CAST(count(*) AS BIGINT) AS n_blocks,
-           sum(size) AS fetch_bytes,
+           CAST(sum(size) AS BIGINT) AS fetch_bytes,
            CAST(min(map) AS INT) AS first_map,
            CAST(max(map) AS INT) AS last_map
     FROM blocks GROUP BY shuffle, reduce

@@ -23,7 +23,7 @@ from scache_spark.registry import register
     oracle=f"""
     WITH blocks AS ({_BLOCK_VIEW_SQL}),
     per_block AS (
-      SELECT shuffle, map, reduce, sum(size) AS sz
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
       FROM blocks GROUP BY shuffle, map, reduce
     )
     SELECT shuffle,
@@ -55,7 +55,7 @@ def size_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH blocks AS ({_BLOCK_VIEW_SQL}),
     per_block AS (
-      SELECT shuffle, map, reduce, sum(size) AS sz
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
       FROM blocks GROUP BY shuffle, map, reduce
     ),
     train AS (SELECT * FROM per_block WHERE map < 4),

@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
     from scache_spark.operators import (  # noqa: F401
         blocks,
         dedup,
+        extra,
         multimodal,
         prediction,
         relational,

@@ -51,6 +51,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        # runtime row-level bloom filters: prune fact rows before the
+        # shuffle when joining against a selective side (thresholds are
+        # sized for real clusters; tests lower them to observe injection)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- shuffle sizing ---
         .config(
             "spark.sql.shuffle.partitions",

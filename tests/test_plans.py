@@ -65,3 +65,40 @@ def test_date_filter_prunes_rowgroups(spark, sf_dir):
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     )
     assert "o_orderdate" in plans.pushed_filters(df)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With thresholds lowered to test scale, Catalyst injects a
+    runtime bloom filter from the selective join side into the fact
+    scan (BloomFilterMightContain in the optimized plan)."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # at 100 TB the build side exceeds the broadcast threshold, so
+        # the join shuffles and injection is organic; model that here —
+        # Catalyst (correctly) skips bloom filters for broadcast joins
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from scache_spark.operators.extra import bloom_filter_join_prune
+
+        df = bloom_filter_join_prune(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in optimized.lower() or "might_contain" in optimized.lower(), (
+            optimized[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
