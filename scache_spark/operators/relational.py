@@ -643,3 +643,54 @@ def dedup_pick_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_dups"),
         )
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(count(s_suppkey) AS BIGINT) AS n_supp
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey, n_name
+    """,
+    tags=("B4",),
+    doc="Right outer join preserving nations without suppliers.",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("s_suppkey").cast("long").alias("n_supp"))
+    )
+
+
+@register(
+    "sort_nulls_handling",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null,
+           o_totalprice
+    FROM orders
+    ORDER BY status_or_null ASC NULLS LAST, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    tags=("B9",),
+    doc="Multi-key sort with explicit null placement (fixtures are "
+    "null-free, so the nullable key is derived) under a total order.",
+)
+def sort_nulls_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_or_null").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )

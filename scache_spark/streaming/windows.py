@@ -211,3 +211,37 @@ def stream_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH user_stats AS (
+      SELECT user_id, avg(value) AS user_avg
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.value, u.user_avg,
+           CAST(e.value > u.user_avg AS BOOLEAN) AS above_avg
+    FROM events e JOIN user_stats u ON e.user_id = u.user_id
+    """,
+    tags=("B27", "B4"),
+    doc="Stream-static enrichment join: the static side (per-user "
+    "averages) is recomputed per micro-batch against the stream — "
+    "the standard dimension-enrichment shape; availableNow replay "
+    "makes it equal to the batch join (the oracle).",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    static_stats = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.avg("value").alias("user_avg"))
+    )
+    s = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    joined = s.join(static_stats, "user_id").select(
+        "event_id",
+        "user_id",
+        "value",
+        "user_avg",
+        (F.col("value") > F.col("user_avg")).alias("above_avg"),
+    )
+    return run_stream(joined, "static_join", "append")

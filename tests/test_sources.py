@@ -1,0 +1,84 @@
+"""Source/sink roundtrips (B1) and pyspark.ml MinHashLSH parity with
+the engine's md5 minhash pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scache_spark.catalog import load_table
+from scache_spark.sources import read_csv, read_jsonl, write_parquet
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = read_csv(spark, out, schema)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in n.collect()
+    )
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "region_json")
+    r = load_table(spark, sf_dir, "region")
+    r.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = read_jsonl(spark, out, schema)
+    assert back.count() == r.count()
+    assert set(back.columns) == {"r_regionkey", "r_name"}
+
+
+def test_write_parquet_max_records(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "li_sized")
+    li = load_table(spark, sf_dir, "lineitem").coalesce(1)
+    write_parquet(li, out, max_records_per_file=1000)
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    # 6000 rows / 1000 per file => ≥6 files: file-size control works
+    assert len(files) >= 6
+
+
+def test_ml_minhash_lsh_agrees_with_engine_pipeline(spark, sf_dir):
+    """pyspark.ml MinHashLSH approxSimilarityJoin over the augmented
+    corpus must recover the planted exact duplicates that the engine's
+    md5 minhash pipeline (dedup_minhash_pairs) finds."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from scache_spark.operators.dedup import dedup_minhash_pairs, shingled_docs
+
+    engine_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_pairs(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.99
+    }
+    planted = {p for p in engine_pairs if p[1] == p[0] + 100000}
+    assert planted, "engine pipeline found no planted exact duplicates"
+
+    sh = shingled_docs(spark, sf_dir).filter(F.size("sh") > 0)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    feats = cv.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    sim = model.approxSimilarityJoin(feats, feats, 0.01, distCol="jaccard_dist")
+    ml_pairs = {
+        (r["datasetA"]["doc_id"], r["datasetB"]["doc_id"])
+        for r in sim.collect()
+        if r["datasetA"]["doc_id"] < r["datasetB"]["doc_id"]
+    }
+    missed = planted - ml_pairs
+    assert not missed, f"ml MinHashLSH missed planted dups: {sorted(missed)[:5]}"
