@@ -291,12 +291,18 @@ _SIMHASH_FOLD_SQL = " + ".join(
     f"CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END"
     for b in range(_SIMHASH_BITS)
 )
+# SimHash features are 3-word SHINGLES, not tokens: the fixture docs
+# all draw from a ~40-word vocabulary, so token SETS are nearly
+# identical across unrelated docs and a token-level simhash collapses
+# (measured: 3.1M hamming≤3 pairs from 6k docs).  Shingles are diverse,
+# so hamming distance discriminates — and shingle simhash is the
+# standard near-dup construction anyway.
 _SIMHASH_SQL = f"""
-    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-             FROM aug),
+    {_SHINGLE_SQL},
+    feats AS (SELECT doc_id, unnest(sh) AS tok FROM shingled),
     hashes AS (SELECT doc_id,
                       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
-               FROM toks),
+               FROM feats),
     bits AS (SELECT doc_id, {_SIMHASH_BIT_SQL} FROM hashes GROUP BY doc_id),
     sims AS (SELECT doc_id, {_SIMHASH_FOLD_SQL} AS simhash FROM bits)
 """
@@ -306,13 +312,11 @@ def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash: long) over the augmented corpus."""
     from scache_spark.functions import hash64
 
-    aug = augmented_docs(spark, sf_dir)
-    toks = (
-        aug.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .distinct()
-        .select("doc_id", hash64(F.col("tok")).alias("hv"))
+    sh = shingled_docs(spark, sf_dir)
+    feats = sh.select("doc_id", F.explode("sh").alias("tok")).select(
+        "doc_id", hash64(F.col("tok")).alias("hv")
     )
-    bits = toks.groupBy("doc_id").agg(*_simhash_expr())
+    bits = feats.groupBy("doc_id").agg(*_simhash_expr())
     fold = None
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
@@ -361,7 +365,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming≤3 must agree on ≥1 whole byte), verify bit_count(xor).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = _simhash_docs(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # the band self-join consumes sims on both sides — persist so the
+    # shingle+md5+bit-vote pipeline runs once, not twice
+    sims = _simhash_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sims.select(
         "doc_id",
         "simhash",
