@@ -255,3 +255,88 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length("text").cast("double") / 4.0).cast("int").alias("n_len_est"),
         F.size(F.split(F.col("text"), " ")).cast("int").alias("n_ws"),
     )
+
+
+@register(
+    "text_top_tokens",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM toks GROUP BY tok)
+    SELECT * FROM (
+      SELECT tok, n, df,
+             CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INT) AS rk
+      FROM counts
+    ) WHERE rk <= 20
+    """,
+    tags=("B24", "B10"),
+    doc="Corpus heavy-hitters: top-20 tokens by frequency with document "
+    "frequency — the vocabulary-stats pass of a data pipeline.  "
+    "Explode → count is fully map-side-combined; the top-k is a "
+    "TakeOrdered, not a sort.",
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return counts.select(
+        "tok", "n", "df", F.row_number().over(w).cast("int").alias("rk")
+    ).filter(F.col("rk") <= 20)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM toks GROUP BY tok),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok, n_docs
+    )
+    SELECT * FROM (
+      SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, tok ASC) AS INT) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("B24", "B11"),
+    doc="TF-IDF with top-3 distinctive terms per document.  IDF is a "
+    "broadcast-joined dictionary (vocabulary-sized, never the corpus); "
+    "tie-broken per-doc top-k via window.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # corpus cardinality: one scalar, driver-side
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return scored.select(
+        "doc_id", "tok", "tfidf", F.row_number().over(w).cast("int").alias("rk")
+    ).filter(F.col("rk") <= 3)
