@@ -138,3 +138,57 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 1.10 AS new_price, 'P' AS new_status
+      FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             o_totalprice AS new_price, 'O' AS new_status
+      FROM orders WHERE o_orderkey % 31 = 0
+    ),
+    changes AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+    SELECT coalesce(t.o_orderkey, c.o_orderkey) AS o_orderkey,
+           coalesce(c.new_price, t.o_totalprice) AS o_totalprice,
+           coalesce(c.new_status, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN c.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.o_orderkey
+    """,
+    tags=("B4", "B19"),
+    doc="MERGE INTO (upsert) emulation: target FULL OUTER JOIN changes, "
+    "coalesce per column, action tagging — the Delta/Iceberg MERGE "
+    "shape as one co-partitioned join.  At 100 TB both sides hash on "
+    "the merge key; with a bucketed target the shuffle disappears "
+    "(sources.write_bucketed + test_bucketed_write_eliminates_join_shuffle).",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.10).alias("new_price"),
+        F.lit("P").alias("new_status"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 31 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.col("o_totalprice").alias("new_price"),
+        F.lit("O").alias("new_status"),
+    )
+    changes = updates.unionByName(inserts)
+    t = o.select("o_orderkey", "o_totalprice", "o_orderstatus").alias("t")
+    c = changes.alias("c")
+    return t.join(c, F.col("t.o_orderkey") == F.col("c.o_orderkey"), "full").select(
+        F.coalesce("t.o_orderkey", "c.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.new_price", "t.o_totalprice").alias("o_totalprice"),
+        F.coalesce("c.new_status", "t.o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("c.o_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
