@@ -148,6 +148,27 @@ _EVENTS_READ_SCHEMA = T.StructType(
 )
 
 
+_CONF_PINNED: set[int] = set()
+
+
+def ensure_runtime_conf(spark: SparkSession) -> None:
+    """Pin the confs correctness depends on, on ANY host session.
+
+    The driver (and any embedding application) builds its own
+    SparkSession; these two settings are semantic requirements, not
+    tuning: nanosAsLong makes TIMESTAMP(NANOS) parquet columns
+    readable at all, and a UTC session timezone keeps timestamps
+    aligned with the (UTC) fixtures and the DuckDB oracle.  Both are
+    runtime-settable; idempotent and cheap, keyed per-session.
+    """
+    key = id(spark)
+    if key in _CONF_PINNED:
+        return
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _CONF_PINNED.add(key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
 
@@ -155,6 +176,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     scan's ReadSchema minimal after Catalyst column pruning and avoids
     a footer-read planning step per query on a 100k-file dataset.
     """
+    ensure_runtime_conf(spark)
     if name == "events":
         raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(
             table_path(sf_dir, name)

@@ -1,0 +1,188 @@
+"""Training-data pipeline operators (north-star): document chunking,
+PII scrubbing, and duplicate-cluster assignment (connected components).
+
+Chunking and scrubbing are single narrow projections (the 100 TB cost
+is one scan).  Cluster assignment is the one genuinely *iterative*
+operator in the engine: label propagation over the LSH-verified
+duplicate graph, which Spark executes as a bounded loop of
+self-joins — the DataFrame rendition of what GraphX/Pregel would do —
+and the oracle checks with a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.operators.dedup import (
+    _AUG_SQL,
+    _BAND_SQL,
+    _SHINGLE_SQL,
+    _SIG_SQL,
+    N_BANDS,
+    dedup_minhash_pairs,
+)
+from scache_spark.registry import register
+
+CHUNK = 50  # tokens per chunk
+STRIDE = 40  # tokens between chunk starts (10-token overlap)
+
+
+@register(
+    "text_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                  FROM documents),
+    chunked AS (
+      SELECT doc_id,
+             CAST(s / {STRIDE} AS INT) AS chunk_id,
+             array_to_string(t[s + 1 : s + {CHUNK}], ' ') AS chunk_text,
+             CAST(len(t[s + 1 : s + {CHUNK}]) AS INT) AS n_chunk_tokens
+      FROM toks,
+           unnest(range(0, greatest(len(t) - {CHUNK - STRIDE}, 1), {STRIDE}))
+               AS u(s)
+    )
+    SELECT doc_id, chunk_id, chunk_text, n_chunk_tokens FROM chunked
+    """,
+    tags=("B24", "B17"),
+    doc=f"Sliding-window chunking: {CHUNK}-token chunks, {STRIDE}-token "
+    "stride (overlap keeps context across boundaries) — the "
+    "tokenize-and-chunk pass of a training pipeline.  Pure "
+    "sequence+slice projection: one scan, no shuffle, no UDF.",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    docs = d.select("doc_id", t.alias("t"))
+    # starts: 0, STRIDE, 2*STRIDE, ... < max(len - overlap, 1)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("t") - (CHUNK - STRIDE), F.lit(1)) - 1,
+        F.lit(STRIDE),
+    )
+    chunked = docs.select(
+        "doc_id", F.explode(starts).alias("s"), "t"
+    ).select(
+        "doc_id",
+        (F.col("s") / STRIDE).cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.expr(f"slice(t, s + 1, {CHUNK})")).alias("chunk_text"),
+        F.size(F.expr(f"slice(t, s + 1, {CHUNK})")).cast("int").alias(
+            "n_chunk_tokens"
+        ),
+    )
+    return chunked
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-01' || CAST(doc_id % 100 AS VARCHAR)
+                 AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS no_email,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9][0-9-]+', '<NUM>', 'g') AS scrubbed,
+           CAST(length(raw) AS INT) AS raw_len
+    FROM synth
+    """,
+    tags=("B24", "B14"),
+    doc="PII scrubbing: email/number masking via global regexp_replace "
+    "(fixtures carry no PII, so deterministic synthetic PII is "
+    "injected first).  Single projection; the regex runs in codegen.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-01"),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    synth = d.select("doc_id", raw.alias("raw"))
+    no_email = F.regexp_replace("raw", r"[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, r"[0-9][0-9-]+", "<NUM>")
+    return synth.select(
+        "doc_id",
+        no_email.alias("no_email"),
+        scrubbed.alias("scrubbed"),
+        F.length("raw").cast("int").alias("raw_len"),
+    )
+
+
+_CC_MAX_ITERS = 6  # ≥ graph diameter of dup clusters (stars: 2)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    cc(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+      WHERE cc.label < e.b
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM cc GROUP BY node
+    """,
+    tags=("B24",),
+    doc="Duplicate-cluster assignment: connected components over the "
+    "LSH-verified duplicate graph via min-label propagation — "
+    f"bounded loop of {_CC_MAX_ITERS} self-joins (≥ cluster diameter), "
+    "each iteration one shuffle on node id; oracle is a recursive CTE. "
+    " The iterative-algorithm pattern (GraphX-style Pregel as "
+    "DataFrames).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    ).distinct().persist()
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_CC_MAX_ITERS):
+        propagated = (
+            labels.join(edges, labels.node == edges.a)
+            .select(F.col("b").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # checkpoint the lineage each round: without this the plan
+        # doubles per iteration (the classic iterative-algorithm trap)
+        labels = propagated.localCheckpoint(eager=True)
+    return labels.select("node", "label").withColumnsRenamed(
+        {"node": "doc_id", "label": "cluster_id"}
+    )

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         dedup,
         extra,
         multimodal,
+        pipeline,
         prediction,
         relational,
         scalar,
