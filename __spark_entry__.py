@@ -12,9 +12,17 @@ operator modules under ``scache_spark/operators/`` and
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Resolve the package relative to this file so the driver can import
+# this module from any working directory.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -104,19 +104,21 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction: one pandas frame per batch in,
     one out.  This is the 100 TB pattern for media: partition-parallel,
     vectorized inside the batch, constant memory (batch-bounded)."""
-    import numpy as np
-
     for pdf in batches:
         feats = []
-        for _, row in pdf.iterrows():
-            arr = _fake_decode(row["blob"])
+        # zip over columns, not iterrows: no per-row Series allocation
+        for asset_id, mime, blob in zip(
+            pdf["asset_id"], pdf["mime"], pdf["blob"]
+        ):
+            arr = _fake_decode(blob)
+            n = len(arr)
             feats.append(
                 (
-                    row["asset_id"],
-                    row["mime"],
-                    int(len(arr)),
-                    float(arr.mean()) if len(arr) else 0.0,
-                    float(arr.std()) if len(arr) else 0.0,
+                    asset_id,
+                    mime,
+                    int(n),
+                    float(arr.mean()) if n else 0.0,
+                    float(arr.std()) if n else 0.0,
                     [float(x) for x in arr[:4]],
                 )
             )
