@@ -192,3 +192,67 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(floor(value / 10.0) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM events GROUP BY 1
+    """,
+    tags=("B16", "B7"),
+    doc="Fixed-width histogram via floor bucketing — one map-side-"
+    "combined aggregate; the profile pass before choosing partition "
+    "boundaries (repartitionByRange's sampled equivalent, made exact).",
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 10.0).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+@register(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("B14", "B24"),
+    doc="Fuzzy string matching: Levenshtein edit distance within brand "
+    "blocks.  Blocking is mandatory at scale — edit distance is "
+    "O(len²) per pair, so the pair space must be bounded by an equi "
+    "key first (same LSH principle as dedup).",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(
+            b,
+            (F.col("brand") == F.col("brand_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .select("part_a", "part_b", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 4)
+    )

@@ -102,3 +102,4 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+

@@ -12,7 +12,7 @@ import __spark_entry__ as E
 from scache_spark.session import get_session
 from tests.conftest import assert_frames_match  # same comparator semantics
 
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 spark = get_session("driver-sim")
 
 t0 = time.time()
