@@ -499,7 +499,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 20 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
         )
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # ^ fan out: the embeddings file scans as 1-3 splits, starving the
+    # cosine-heavy label-block join of parallelism (same pattern as
+    # shingled_docs)
     a = aug.select(
         F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
