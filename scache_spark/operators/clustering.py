@@ -1,0 +1,210 @@
+"""IVF vector indexing and k-means (north-star B25/B26 depth).
+
+IVF (inverted-file) indexing is the scale path for ANN beyond LSH:
+partition the corpus by nearest centroid once, then probe only the
+query's cell(s).  Centroid *initialization* is deterministic (the
+vectors with vec_id < K), and the k-means refinement runs a FIXED
+number of rounds — so the DuckDB oracle can replay the exact same
+computation with chained CTEs (the seedable-randomness rule applied
+to clustering).
+
+Scale notes: assignment is a broadcast join (K centroids ship to every
+task; the corpus never shuffles for assignment); the centroid update
+is one explode + groupBy(cell, pos) — a map-side-combined aggregate
+whose output is K×DIM rows regardless of corpus size.  That is the
+whole per-iteration cost at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+K = 16  # IVF cells / k-means k
+DIM = 64
+
+
+def _sql_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_aggregate([(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"for i in range(1, {DIM} + 1)], 'sum')"
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seed centroids: the first K vectors by id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + windowed argmin
+    (dist ties broken by cell id — total order)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        _l2sq(F.col("embedding"), F.col("centroid")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell", "d2")
+    )
+
+
+_SQL_ASSIGN0 = f"""
+    seeds AS (SELECT vec_id AS cell, embedding AS centroid
+              FROM embeddings WHERE vec_id < {K}),
+    scored0 AS (
+      SELECT e.vec_id, e.embedding, s.cell,
+             {_sql_l2sq("e.embedding", "s.centroid")} AS d2
+      FROM embeddings e, seeds s
+    ),
+    assign0 AS (
+      SELECT vec_id, embedding, cell, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2 ASC, cell ASC) AS rk
+        FROM scored0
+      ) WHERE rk = 1
+    )
+"""
+
+
+@register(
+    "ann_ivf_cells",
+    oracle=f"""
+    WITH {_SQL_ASSIGN0}
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           avg(sqrt(d2)) AS mean_dist,
+           min(vec_id) AS min_vec_id
+    FROM assign0 GROUP BY cell
+    """,
+    tags=("B25",),
+    doc=f"IVF index build: every vector assigned to its nearest of {K} "
+    "deterministic seed centroids (broadcast join + windowed argmin). "
+    "The cell id is the partition key an IVF index writes the corpus "
+    "under — each query then scans ~1/K of the data.",
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign(e, _centroids(spark, sf_dir))
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg(F.sqrt("d2")).alias("mean_dist"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH {_SQL_ASSIGN0},
+    q AS (SELECT embedding AS qv, cell AS q_cell FROM assign0 WHERE vec_id = 42),
+    cand AS (
+      SELECT a.vec_id, a.embedding, q.qv
+      FROM assign0 a, q WHERE a.cell = q.q_cell AND a.vec_id <> 42
+    )
+    SELECT vec_id, sqrt({_sql_l2sq("embedding", "qv")}) AS dist
+    FROM cand
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 5
+    """,
+    tags=("B25", "B10"),
+    doc="IVF query: probe only the query vector's cell, exact top-5 by "
+    "L2 within it — the single-probe IVF search path.",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign(e, _centroids(spark, sf_dir))
+    q = assigned.filter(F.col("vec_id") == 42).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("q_cell")
+    )
+    cand = assigned.crossJoin(F.broadcast(q)).filter(
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != 42)
+    )
+    return (
+        cand.select("vec_id", F.sqrt(_l2sq(F.col("embedding"), F.col("qv"))).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "kmeans_two_rounds",
+    oracle=f"""
+    WITH {_SQL_ASSIGN0},
+    exploded AS (
+      SELECT cell, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM assign0, unnest(range(1, {DIM} + 1)) AS t(i)
+    ),
+    centroid1_parts AS (
+      SELECT cell, pos, avg(val) AS mu FROM exploded GROUP BY cell, pos
+    ),
+    centroids1 AS (
+      SELECT cell, list(mu ORDER BY pos) AS centroid
+      FROM centroid1_parts GROUP BY cell
+    ),
+    scored1 AS (
+      SELECT e.vec_id, c.cell,
+             {_sql_l2sq("e.embedding", "c.centroid")} AS d2
+      FROM embeddings e, centroids1 c
+    ),
+    assign1 AS (
+      SELECT vec_id, cell, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2 ASC, cell ASC) AS rk
+        FROM scored1
+      ) WHERE rk = 1
+    )
+    SELECT cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           avg(sqrt(d2)) AS mean_dist
+    FROM assign1 GROUP BY cell
+    """,
+    tags=("B25", "B26"),
+    doc="Two k-means rounds, fully deterministic: seed centroids = "
+    f"first {K} vectors; round 1 assigns (broadcast argmin), centroid "
+    "update = explode to (cell, pos) + avg + ordered rebuild (K×DIM "
+    "rows of state regardless of corpus size); round 2 reassigns.  "
+    "The oracle replays both rounds as chained CTEs — the bounded-"
+    "iteration pattern that makes iterative ML oracle-checkable.",
+)
+def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assign0 = _assign(e, _centroids(spark, sf_dir))
+    exploded = assign0.select(
+        "cell", F.posexplode("embedding").alias("pos0", "val_f")
+    ).select(
+        "cell",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    parts = exploded.groupBy("cell", "pos").agg(F.avg("val").alias("mu"))
+    centroids1 = parts.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mu"))), lambda s: s["mu"]
+        ).alias("centroid")
+    )
+    assign1 = _assign(e, centroids1)
+    return assign1.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg(F.sqrt("d2")).alias("mean_dist"),
+    )

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     # Imported for registration side effects.
     from scache_spark.operators import (  # noqa: F401
         blocks,
+        clustering,
         dedup,
         extra,
         multimodal,
