@@ -36,6 +36,11 @@ HEADLINE = [
     "text_quality_score",
     "block_size_stats",
     "stream_tumbling_window",
+    "asof_join_last_click",
+    "merge_upsert_orders",
+    "kmeans_two_rounds",
+    "text_tfidf_top_terms",
+    "funnel_session_conversion",
 ]
 
 

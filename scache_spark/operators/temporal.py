@@ -132,3 +132,87 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total"),
         F.countDistinct("user_id").cast("long").alias("dau"),
     )
+
+
+@register(
+    "funnel_session_conversion",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(has_click) AS BIGINT) AS n_with_click,
+           CAST(sum(has_click * has_purchase) AS BIGINT) AS n_converted,
+           CAST(sum(has_click * has_purchase) AS DOUBLE)
+             / nullif(sum(has_click), 0) AS conversion_rate
+    FROM per_session
+    """,
+    tags=("temporal", "B11", "B27"),
+    doc="Session-based funnel: sessionize (10-min gap), flag click and "
+    "purchase per session, conversion = P(purchase | click).  One "
+    "shuffle on user_id serves sessionization and flags; the final "
+    "aggregate is a scalar.",
+)
+def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        # unix_micros, not cast('long'): the cast truncates to whole
+        # seconds, which can disagree with the oracle's full-precision
+        # interval comparison at the 10-minute boundary
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                >= 600 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = ordered.withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "has_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_purchase"
+        ),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_click").cast("long").alias("n_with_click"),
+        F.sum(F.col("has_click") * F.col("has_purchase"))
+        .cast("long")
+        .alias("n_converted"),
+        (
+            F.sum(F.col("has_click") * F.col("has_purchase")).cast("double")
+            / F.nullif(F.sum("has_click"), F.lit(0))
+        ).alias("conversion_rate"),
+    )
