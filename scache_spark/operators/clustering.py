@@ -6,7 +6,11 @@ query's cell(s).  Centroid *initialization* is deterministic (the
 vectors with vec_id < K), and the k-means refinement runs a FIXED
 number of rounds — so the DuckDB oracle can replay the exact same
 computation with chained CTEs (the seedable-randomness rule applied
-to clustering).
+to clustering; contrast the reference's unseeded placement shuffle,
+/root/reference src/main/scala/org/scache/MapOutputTracker.scala:202).
+The expected-size-per-bucket accounting parallels the reference's
+``predict_with_sample`` (sim/train.py:34-60): a per-key expectation
+maintained as a tiny aggregate, never the raw data.
 
 Scale notes: assignment is a broadcast join (K centroids ship to every
 task; the corpus never shuffles for assignment); the centroid update

@@ -7,6 +7,14 @@ operator in the engine: label propagation over the LSH-verified
 duplicate graph, which Spark executes as a bounded loop of
 self-joins — the DataFrame rendition of what GraphX/Pregel would do —
 and the oracle checks with a recursive CTE.
+
+Reference grounding: the label-propagation loop is the engine's
+version of the reference's iterative bookkeeping convergence —
+``updateMapBlocksStatus`` counts down per-map blocks until a
+completion condition fires (/root/reference
+src/main/scala/org/scache/MapOutputTracker.scala:282-292); chunking
+and scrubbing generalize its only text processing, the trace-log
+regex parsers (sim/train.py:64-131).
 """
 
 from __future__ import annotations

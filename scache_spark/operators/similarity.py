@@ -5,7 +5,12 @@ hyperplane-LSH bucketed variant is the 100 TB scale path (bucket the
 corpus once, probe only the query's bucket — turns a full scan into a
 ~1/2^p partition read).  All plane weights are closed-form
 (sin-derived), so both engines compute identical buckets with no
-stored model and no RNG (seedable-randomness rule, SURVEY §4).
+stored model and no RNG (seedable-randomness rule, SURVEY §4 — the
+reference's unseeded ``Random.shuffle`` placement,
+/root/reference src/main/scala/org/scache/MapOutputTracker.scala:202,
+is the anti-pattern).  Top-k retention mirrors the reference's
+BoundedPriorityQueue (util/BoundedPriorityQueue.scala:27-60), which
+Spark implements as TakeOrderedAndProject.
 """
 
 from __future__ import annotations
