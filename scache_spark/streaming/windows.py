@@ -245,3 +245,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value") > F.col("user_avg")).alias("above_avg"),
     )
     return run_stream(joined, "static_join", "append")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+    """,
+    tags=("B27", "B4"),
+    doc="Stream-stream inner join: purchases joined to same-user clicks "
+    "within the preceding 10 minutes.  Both sides carry watermarks and "
+    "the join condition bounds event time, so state is provably "
+    "droppable — the only way a stream-stream join survives unbounded "
+    "input.  availableNow replay makes it equal to the batch interval "
+    "join (the oracle).",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts
+            """
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    return run_stream(joined, "ss_join", "append")
