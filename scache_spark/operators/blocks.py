@@ -177,7 +177,7 @@ def block_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_agg",
     oracle="""
     SELECT l_returnflag,
-           sum(l_quantity) AS total_qty,
+           round(sum(l_quantity), 2) AS total_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -196,25 +196,34 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_pn"),
     )
     return salted.groupBy("l_returnflag").agg(
-        F.sum("_pq").alias("total_qty"),
+        F.round(F.sum("_pq"), 2).alias("total_qty"),
         F.sum("_pn").cast("long").alias("n"),
     )
 
 
 @register(
     "partition_stats",
-    oracle=None,  # depends on physical partition layout → rows-only check
+    oracle="""
+    SELECT CAST(l_orderkey % 8 AS INT) AS pid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS bytes_proxy
+    FROM lineitem GROUP BY 1
+    """,
     tags=("B21",),
-    doc="spark_partition_id introspection: per-partition row counts — "
-    "the engine's observable MapStatus (BlockManagerMasterEndpoint "
-    "memoryStatus analog).  Layout-dependent, so no SQL oracle.",
+    doc="Partition-level statistics under a DETERMINISTIC partition "
+    "function — pmod(l_orderkey, 8) is exactly what a "
+    "HashPartitioner(8) computes for the key, but stated as data so "
+    "DuckDB reproduces it (l_orderkey %% 8; keys are positive so "
+    "pmod == %%).  The engine's observable MapStatus "
+    "(BlockManagerMasterEndpoint memoryStatus analog).  The physical "
+    "spark_partition_id() probe lives in tests/test_partition_probe.py "
+    "— physical layout is not oracle-matchable by design.",
 )
 def partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").repartition(8, "l_orderkey")
-    return (
-        li.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum("l_extendedprice").alias("bytes_proxy"),
-        )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.pmod(F.col("l_orderkey"), F.lit(8)).cast("int").alias("pid")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("bytes_proxy"),
     )

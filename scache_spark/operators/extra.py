@@ -46,19 +46,21 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_arrays",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(DISTINCT n_name)) AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
            CAST(len(list(DISTINCT n_name)) AS INT) AS n_nations
     FROM nation GROUP BY n_regionkey
     """,
     tags=("B7", "B17"),
     doc="collect_set + array_sort: deterministic array aggregation "
     "(collect_list order is shuffle-arrival order — always sort "
-    "before exposing).",
+    "before exposing).  The array is serialized with array_join at "
+    "the query boundary — the driver's canonicalizer hashes scalar "
+    "cells only; the array-typed logic stays internal.",
 )
 def collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_set("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
         F.size(F.collect_set("n_name")).cast("int").alias("n_nations"),
     )
 
@@ -85,21 +87,23 @@ def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs_json",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            CAST(len(json_keys(props)) AS INT) AS n_keys
     FROM events
     WHERE event_id % 100 = 0
     """,
     tags=("B18",),
-    doc="JSON → MapType: from_json to map<string,int>, map_keys, size.",
+    doc="JSON → MapType: from_json to map<string,int>, map_keys, size. "
+    "Keys are sorted + ','-joined at the boundary: key *order* is a "
+    "parser implementation detail, and the driver can't hash arrays.",
 )
 def map_funcs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
     m = F.from_json("props", "map<string,int>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").alias("k_val"),
         F.size(F.map_keys(m)).cast("int").alias("n_keys"),
     )
@@ -110,7 +114,7 @@ def map_funcs_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           sum(l_extendedprice) AS revenue
+           round(sum(l_extendedprice), 2) AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                          WHERE o_totalprice > 400000)
@@ -135,7 +139,7 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("l_extendedprice").alias("revenue"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
 

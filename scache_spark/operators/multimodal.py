@@ -84,7 +84,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("feat_mean", T.DoubleType()),
         T.StructField("feat_std", T.DoubleType()),
-        T.StructField("feat_head", T.ArrayType(T.DoubleType())),
+        # serialized at the query boundary: the driver's canonicalizer
+        # cannot hash array cells — internal logic stays array-typed,
+        # the exposed column is a ','-joined string
+        T.StructField("feat_head", T.StringType()),
     ]
 )
 
@@ -117,9 +120,11 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     asset_id,
                     mime,
                     int(n),
-                    float(arr.mean()) if n else 0.0,
-                    float(arr.std()) if n else 0.0,
-                    [float(x) for x in arr[:4]],
+                    # round(6): numpy's pairwise summation vs the
+                    # oracle's sequential list_aggregate differ in ulps
+                    round(float(arr.mean()), 6) if n else 0.0,
+                    round(float(arr.std()), 6) if n else 0.0,
+                    ",".join(str(int(x)) for x in arr[:4]),
                 )
             )
         yield pd.DataFrame(
@@ -137,11 +142,39 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_features",
-    oracle=None,  # pandas pipeline — verified structurally in pytest
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id,
+             [CAST(ascii(substr(text, i, 1)) AS DOUBLE)
+              for i in range(1, length(text) + 1)] AS bv,
+             length(text) AS n
+      FROM documents
+    ),
+    mom AS (
+      SELECT doc_id, n,
+             list_aggregate(bv, 'sum') / n AS mu,
+             list_aggregate([x * x for x in bv], 'sum') / n AS m2,
+             array_to_string([CAST(x AS INT) for x in bv[1:least(n, 4)]], ',')
+                 AS head
+      FROM bytes
+    )
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(n AS BIGINT) AS n_bytes,
+           round(mu, 6) AS feat_mean,
+           round(sqrt(m2 - mu * mu), 6) AS feat_std,
+           head AS feat_head
+    FROM mom
+    """,
     tags=("north-star", "B23"),
     doc="mapInPandas decode+featurize pipeline over binary assets: "
     "Arrow batches in, typed features out.  Decode itself is stubbed "
-    "(no codecs in container) but deterministic.",
+    "(no codecs in container) but deterministic — the fixture text is "
+    "ASCII, so byte == codepoint and the oracle recomputes every "
+    "feature in pure SQL (population std via E[x²]−μ², rounded on "
+    "both sides).",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = binary_assets(spark, sf_dir)
@@ -156,13 +189,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
                   ELSE 'video/mp4' END AS mime,
-             list_aggregate([CAST(ascii(substr(text, i, 1)) AS DOUBLE)
-                             for i in range(1, length(text) + 1)], 'sum')
-                 / length(text) AS feat_mean
+             round(list_aggregate([CAST(ascii(substr(text, i, 1)) AS DOUBLE)
+                                   for i in range(1, length(text) + 1)], 'sum')
+                 / length(text), 6) AS feat_mean
       FROM documents)
     SELECT mime,
            CAST(count(*) AS BIGINT) AS n_assets,
-           avg(feat_mean) AS mime_mean
+           round(avg(feat_mean), 6) AS mime_mean
     FROM decoded GROUP BY mime
     """,
     tags=("north-star",),
@@ -175,5 +208,5 @@ def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal_features(spark, sf_dir)
     return feats.groupBy("mime").agg(
         F.count(F.lit(1)).cast("long").alias("n_assets"),
-        F.avg("feat_mean").alias("mime_mean"),
+        F.round(F.avg("feat_mean"), 6).alias("mime_mean"),
     )

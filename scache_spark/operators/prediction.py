@@ -27,8 +27,8 @@ from scache_spark.registry import register
       FROM blocks GROUP BY shuffle, map, reduce
     )
     SELECT shuffle,
-           regr_slope(sz, reduce) AS slope,
-           regr_intercept(sz, reduce) AS intercept,
+           round(regr_slope(sz, reduce), 4) AS slope,
+           round(regr_intercept(sz, reduce), 4) AS intercept,
            CAST(count(*) AS BIGINT) AS n_obs
     FROM per_block GROUP BY shuffle
     """,
@@ -43,9 +43,10 @@ def size_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shuffle", "map", "reduce")
         .agg(F.sum("size").alias("sz"))
     )
+    # round(4): regression moments accumulate in engine-specific order
     return per_block.groupBy("shuffle").agg(
-        F.regr_slope("sz", "reduce").alias("slope"),
-        F.regr_intercept("sz", "reduce").alias("intercept"),
+        F.round(F.regr_slope("sz", "reduce"), 4).alias("slope"),
+        F.round(F.regr_intercept("sz", "reduce"), 4).alias("intercept"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
 
@@ -67,7 +68,7 @@ def size_regression_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM train GROUP BY shuffle
     )
     SELECT t.shuffle,
-           avg(abs((f.slope * t.reduce + f.intercept) - t.sz) / t.sz)
+           round(avg(abs((f.slope * t.reduce + f.intercept) - t.sz) / t.sz), 6)
                AS avg_norm_error,
            CAST(count(*) AS BIGINT) AS n_test
     FROM test t JOIN fit f ON t.shuffle = f.shuffle
@@ -95,7 +96,9 @@ def size_prediction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.join(F.broadcast(fit), "shuffle")
         .groupBy(test.shuffle)
         .agg(
-            F.avg(F.abs(pred - F.col("sz")) / F.col("sz")).alias("avg_norm_error"),
+            F.round(F.avg(F.abs(pred - F.col("sz")) / F.col("sz")), 6).alias(
+                "avg_norm_error"
+            ),
             F.count(F.lit(1)).cast("long").alias("n_test"),
         )
     )

@@ -31,7 +31,7 @@ from scache_spark.registry import register
     "flagship_revenue_by_region",
     oracle="""
     SELECT r_name, n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -67,9 +67,11 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            # round(2): cross-engine float summation order differs at
+            # ~1e-15 relative; the driver hashes exact values.
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
@@ -84,13 +86,13 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)       AS sum_qty,
-           sum(l_extendedprice)  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)       AS avg_qty,
-           avg(l_extendedprice)  AS avg_price,
-           avg(l_discount)       AS avg_disc,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(sum(l_extendedprice), 2)  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)       AS avg_qty,
+           round(avg(l_extendedprice), 4)  AS avg_price,
+           round(avg(l_discount), 6)       AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -106,14 +108,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # All float sums/avgs rounded on BOTH sides (summation-order ulp noise).
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(disc_price).alias("sum_disc_price"),
-        F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-        F.avg("l_quantity").alias("avg_qty"),
-        F.avg("l_extendedprice").alias("avg_price"),
-        F.avg("l_discount").alias("avg_disc"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).cast("long").alias("count_order"),
     )
 
@@ -169,7 +172,7 @@ def filter_project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name,
            CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-           coalesce(sum(o_totalprice), 0.0) AS total_spent
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
     """,
@@ -188,7 +191,9 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").cast("long").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
         )
     )
 
@@ -282,8 +287,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n_lines,
-           sum(l_quantity) AS total_qty,
-           avg(p_retailprice) AS avg_retail
+           round(sum(l_quantity), 2) AS total_qty,
+           round(avg(p_retailprice), 4) AS avg_retail
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 25
     GROUP BY p_brand
@@ -303,8 +308,8 @@ def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum("l_quantity").alias("total_qty"),
-            F.avg("p_retailprice").alias("avg_retail"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
         )
     )
 
@@ -320,8 +325,8 @@ def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
-           sum(o_totalprice) AS sum_price,
-           avg(o_totalprice) AS avg_price,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderpriority
@@ -339,8 +344,11 @@ def agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("o_custkey").cast("long").alias("n_custs"),
-        F.sum("o_totalprice").alias("sum_price"),
-        F.avg("o_totalprice").alias("avg_price"),
+        # Rounded on BOTH sides: float summation order differs between
+        # engines (ulp noise ~1e-15 relative), and the driver hashes
+        # exact values.  2 decimals for money sums, 4 for averages.
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
@@ -356,7 +364,7 @@ def agg_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(count(*) AS BIGINT) AS n_cust,
-           sum(c_acctbal) AS total_bal,
+           round(sum(c_acctbal), 2) AS total_bal,
            CAST(grouping(r_name) AS INT) AS g_region,
            CAST(grouping(n_name) AS INT) AS g_nation
     FROM customer
@@ -377,7 +385,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_cust"),
-            F.sum("c_acctbal").alias("total_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
         )
@@ -389,7 +397,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS n,
-           sum(o_totalprice) AS total
+           round(sum(o_totalprice), 2) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -404,7 +412,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("o_totalprice").alias("total"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -412,7 +420,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_mixed",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity) AS sum_qty,
+           round(sum(l_quantity), 2) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
@@ -425,7 +433,7 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               sum(l_quantity) AS sum_qty,
+               round(sum(l_quantity), 2) AS sum_qty,
                CAST(count(*) AS BIGINT) AS n
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),

@@ -126,7 +126,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
            CAST(count(*) AS BIGINT) AS n,
-           sum(l_quantity) AS qty
+           round(sum(l_quantity), 2) AS qty
     FROM lineitem GROUP BY 1
     """,
     tags=("B15", "B7"),
@@ -138,7 +138,7 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("l_quantity").alias("qty"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
 
 
@@ -151,7 +151,7 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ln(l_extendedprice) AS ln_price,
+           round(ln(l_extendedprice), 10) AS ln_price,
            CAST(ceil(ln(greatest(l_extendedprice, 1.0)) / ln(1.1)) AS INT)
                AS size_compressed,
            power(l_discount, 2) AS disc_sq,
@@ -171,7 +171,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        # round(10): libm vs JVM ln may differ in the last ulp per row
+        F.round(F.log(F.col("l_extendedprice")), 10).alias("ln_price"),
         F.ceil(
             F.log(F.greatest(F.col("l_extendedprice"), F.lit(1.0))) / F.log(F.lit(1.1))
         )
@@ -197,15 +198,19 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            embedding[1] AS first_comp,
-           embedding[1:4] AS head4,
-           list_aggregate([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-                           for i in range(1, len(embedding) + 1)], 'sum') AS sq_norm,
+           array_to_string([CAST(round(CAST(x AS DOUBLE) * 10000) AS INT)
+                            for x in embedding[1:4]], ',') AS head4,
+           round(list_aggregate([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                           for i in range(1, len(embedding) + 1)], 'sum'), 6)
+               AS sq_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
     FROM embeddings
     """,
     tags=("B17",),
     doc="Array battery over array<float>: size/index/slice/higher-order "
-    "fold (dot product) /filter — all codegen, no UDF.",
+    "fold (dot product) /filter — all codegen, no UDF.  head4 is "
+    "serialized as integer 1e-4 units: float→string formatting is "
+    "engine-specific, fixed-point integers are not.",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.functions import vec_dot
@@ -216,8 +221,14 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(emb).cast("int").alias("dim"),
         F.element_at(emb, 1).alias("first_comp"),
-        F.slice(emb, 1, 4).alias("head4"),
-        vec_dot(emb, emb).alias("sq_norm"),
+        F.array_join(
+            F.transform(
+                F.slice(emb, 1, 4),
+                lambda x: F.round(x.cast("double") * 10000).cast("int"),
+            ),
+            ",",
+        ).alias("head4"),
+        F.round(vec_dot(emb, emb), 6).alias("sq_norm"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
     )
 
@@ -227,7 +238,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_components,
-           avg(comp) AS avg_comp,
+           round(avg(comp), 6) AS avg_comp,
            max(comp) AS max_comp
     FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS comp FROM embeddings)
     GROUP BY label
@@ -243,7 +254,7 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_components"),
-            F.avg("comp").alias("avg_comp"),
+            F.round(F.avg("comp"), 6).alias("avg_comp"),
             F.max("comp").alias("max_comp"),
         )
     )
@@ -341,11 +352,12 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_summary",
     oracle="""
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice) AS qty_price_corr,
-           stddev_samp(l_extendedprice) AS price_std,
-           var_samp(l_extendedprice) AS price_var,
-           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS price_median,
-           covar_pop(l_quantity, l_extendedprice) AS qty_price_cov
+           round(corr(l_quantity, l_extendedprice), 8) AS qty_price_corr,
+           round(stddev_samp(l_extendedprice), 4) AS price_std,
+           round(var_samp(l_extendedprice), 2) AS price_var,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4)
+               AS price_median,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_cov
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("B20", "B7"),
@@ -354,12 +366,16 @@ def conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Moment-based aggregates accumulate in engine-specific order →
+    # rounded on BOTH sides (same rule as plain float sums).
     return li.groupBy("l_returnflag").agg(
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.stddev_samp("l_extendedprice").alias("price_std"),
-        F.var_samp("l_extendedprice").alias("price_var"),
-        F.percentile("l_extendedprice", 0.5).alias("price_median"),
-        F.covar_pop("l_quantity", "l_extendedprice").alias("qty_price_cov"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("price_median"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
     )
 
 

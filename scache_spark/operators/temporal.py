@@ -80,7 +80,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(count(*) AS BIGINT) AS n_shipped_30d,
-           sum(l_quantity) AS qty_30d
+           round(sum(l_quantity), 2) AS qty_30d
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate
       AND l_shipdate < o_orderdate + INTERVAL '30 days'
@@ -103,7 +103,7 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shipped_30d"),
-            F.sum("l_quantity").alias("qty_30d"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_30d"),
         )
     )
 
@@ -114,7 +114,7 @@ def range_join_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value) AS total,
+           round(sum(value), 4) AS total,
            CAST(count(DISTINCT user_id) AS BIGINT) AS dau
     FROM events GROUP BY 1, 2
     """,
@@ -129,7 +129,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("value").alias("total"),
+        F.round(F.sum("value"), 4).alias("total"),
         F.countDistinct("user_id").cast("long").alias("dau"),
     )
 

@@ -42,7 +42,8 @@ def _make_charge_udf():
     "udf_scalar_pandas",
     oracle="""
     SELECT l_returnflag,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS total_charge,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS total_charge,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -60,7 +61,7 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag")
         .agg(
-            F.sum("charge").alias("total_charge"),
+            F.round(F.sum("charge"), 2).alias("total_charge"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
@@ -78,7 +79,9 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mu = pdf["o_totalprice"].mean()
     sd = pdf["o_totalprice"].std(ddof=1)
     out = pdf[["o_orderkey", "o_orderpriority"]].copy()
-    out["z"] = (pdf["o_totalprice"] - mu) / sd
+    # round(6): pandas pairwise summation vs DuckDB's sequential moment
+    # accumulation differ at ~1e-12 relative — both sides round.
+    out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(6)
     return out
 
 
@@ -86,8 +89,8 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "udf_grouped_zscore",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
-           (o_totalprice - avg(o_totalprice) OVER w)
-             / stddev_samp(o_totalprice) OVER w AS z
+           round((o_totalprice - avg(o_totalprice) OVER w)
+             / stddev_samp(o_totalprice) OVER w, 6) AS z
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority)
     """,
@@ -112,7 +115,8 @@ def _merge_ratio(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     """Cogroup shape: both sides of one key as pandas frames."""
     n_orders = len(left)
     n_lines = len(right)
-    total = float(right["l_quantity"].sum()) if n_lines else 0.0
+    # round(2): pandas sums pairwise, DuckDB sequentially — ulp noise
+    total = round(float(right["l_quantity"].sum()), 2) if n_lines else 0.0
     key = (
         left["o_custkey"].iloc[0]
         if n_orders
@@ -144,7 +148,7 @@ def _merge_ratio(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
            coalesce(total_qty, 0.0) AS total_qty
     FROM (SELECT o_custkey, count(*) AS n_orders FROM ol GROUP BY 1) o
     FULL OUTER JOIN (SELECT cust_of_line, count(*) AS n_lines,
-                            sum(l_quantity) AS total_qty
+                            round(sum(l_quantity), 2) AS total_qty
                      FROM li GROUP BY 1) l
       ON o.o_custkey = l.cust_of_line
     """,

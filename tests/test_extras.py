@@ -179,7 +179,7 @@ def test_multimodal_batch_shape(spark, sf_dir):
     b = multimodal_features(spark, sf_dir).orderBy("asset_id").limit(5).collect()
     assert a == b
     r = a[0]
-    assert r["n_bytes"] > 0 and len(r["feat_head"]) == 4
+    assert r["n_bytes"] > 0 and len(r["feat_head"].split(",")) == 4
 
 
 def test_bucketed_write_eliminates_join_shuffle(spark, sf_dir, tmp_path):
