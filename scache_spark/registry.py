@@ -62,9 +62,82 @@ def all_oracles() -> dict[str, str]:
 
 _LOADED = False
 
+# Curated registry order: the round driver grades the FIRST 50 entries,
+# so the first 50 are exactly one-per-family coverage of SURVEY §2 —
+# every B1-B27 component (incl. all streaming, all three UDF shapes,
+# knn/LSH/IVF, text analytics, the scheduling/prediction Part-A
+# algorithms) has at least one entry inside the window.  Everything
+# else stays registered (pytest still oracle-checks all of it) but
+# sits after the window.  tests/test_registry_order.py asserts the
+# coverage invariant.
+PRIORITY: tuple[str, ...] = (
+    # relational core, one per component
+    "flagship_revenue_by_region",  # B1/B3/B4/B5/B7
+    "filter_project_cast",  # B2
+    "agg_battery",  # B7
+    "bloom_filter_join_prune",  # B6/B21
+    "rollup_region_nation",  # B8
+    "sort_nulls_handling",  # B9
+    "topk_per_group",  # B10
+    "window_analytics",  # B11
+    "set_except",  # B12
+    "dedup_pick_min",  # B13
+    "join_left_outer",  # B4 outer / B19
+    "pricing_summary",  # B3/B7 wide agg
+    # scalar function batteries
+    "string_funcs",  # B14
+    "date_funcs",  # B15
+    "math_funcs",  # B16
+    "array_funcs",  # B17
+    "collect_sorted_arrays",  # B17/B7
+    "map_funcs_json",  # B18
+    "conditional_null",  # B19
+    "stats_summary",  # B20
+    # partition control
+    "partition_stats",  # B21
+    # UDF surface
+    "udf_scalar_pandas",  # B23
+    "udf_grouped_zscore",  # B23
+    "udf_cogrouped_stats",  # B23
+    # temporal
+    "asof_join_last_click",
+    "time_bucket_rollup",  # + B15
+    "funnel_session_conversion",
+    # similarity search
+    "knn_brute_cosine",  # B25
+    "ann_lsh_probe",  # B25
+    "ann_ivf_cells",  # B25
+    # dedup / LLM pipeline
+    "dedup_exact_hash",  # B24/B13
+    "dedup_minhash_pairs",  # B24
+    "dedup_simhash_pairs",  # B24
+    "dedup_embedding_cosine",  # B24/B25
+    "dedup_clusters",  # B24 connected components
+    # text analytics
+    "text_tfidf_top_terms",  # B24
+    "text_langid",  # B24
+    "text_quality_score",  # B24
+    # multimodal
+    "multimodal_features",  # north-star/B23
+    # scheduling & prediction (Part A)
+    "lpt_schedule",  # A.2
+    "expected_reduce_size_weighted",  # B26/A.5
+    "event_log_parse",  # B14/B18/A.5
+    # streaming — every registered stream query
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup",
+    "stream_late_data_filter",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stateful_user_totals",
+)
+
 
 def _ensure_loaded() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then
+    rebuild the registry in curated order (PRIORITY first)."""
     global _LOADED
     if _LOADED:
         return
@@ -73,12 +146,14 @@ def _ensure_loaded() -> None:
         blocks,
         clustering,
         dedup,
+        eventlog,
         extra,
         multimodal,
         pipeline,
         prediction,
         relational,
         scalar,
+        scheduling,
         similarity,
         temporal,
         text,
@@ -86,4 +161,11 @@ def _ensure_loaded() -> None:
     )
     from scache_spark.streaming import stateful, windows  # noqa: F401
 
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"PRIORITY names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     _LOADED = True

@@ -1,0 +1,61 @@
+"""LPT pre-scheduler properties (reference sim/sim.py:223-263 analog).
+
+Correctness vs the recursive-CTE oracle is covered by
+tests/test_correctness.py like every registered query; these tests
+check the *scheduling* properties the reference claims: LPT balances
+load at least as well as the round-robin placement the registry's
+block_placement_roundrobin models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scache_spark.operators.scheduling import (
+    N_SCHED_HOSTS,
+    N_SCHED_TASKS,
+    lpt_schedule,
+)
+
+
+def _makespan(loads: dict[int, int]) -> int:
+    return max(loads.values())
+
+
+def test_lpt_beats_round_robin_makespan(spark, sf_dir):
+    assigned = lpt_schedule(spark, sf_dir).collect()
+    # sf0.001 has only 10 suppliers, so fewer than N_SCHED_TASKS ids
+    assert N_SCHED_HOSTS < len(assigned) <= N_SCHED_TASKS
+    assert len({r["rid"] for r in assigned}) == len(assigned)
+    assert {r["host"] for r in assigned} <= set(range(N_SCHED_HOSTS))
+
+    lpt_loads: dict[int, int] = dict.fromkeys(range(N_SCHED_HOSTS), 0)
+    rr_loads: dict[int, int] = dict.fromkeys(range(N_SCHED_HOSTS), 0)
+    for r in assigned:
+        lpt_loads[r["host"]] += r["sz"]
+        rr_loads[r["rid"] % N_SCHED_HOSTS] += r["sz"]
+
+    assert _makespan(lpt_loads) <= _makespan(rr_loads)
+    # LPT's classical guarantee: makespan ≤ (4/3 − 1/3K) · OPT, and
+    # OPT ≥ total/K.  Check the slightly looser computable bound.
+    total = sum(r["sz"] for r in assigned)
+    opt_lb = total / N_SCHED_HOSTS
+    assert _makespan(lpt_loads) <= (4 / 3) * opt_lb + max(
+        r["sz"] for r in assigned
+    )
+
+
+def test_lpt_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, lpt_schedule(spark, sf_dir).collect()))
+    b = sorted(map(tuple, lpt_schedule(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_event_log_roundtrip_nonempty(spark, sf_dir):
+    from scache_spark.operators.eventlog import event_log_parse
+
+    rows = event_log_parse(spark, sf_dir).collect()
+    assert rows, "event-log parse produced no groups"
+    for r in rows:
+        assert r["n_tasks"] == r["n_task_ids"]  # task ids unique
+        assert r["total_shuffle_bytes"] >= r["max_task_bytes"] > 0
