@@ -214,17 +214,18 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same-bucket pairs do.",
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     # The shingle frame feeds three plan branches (candidate self-join
-    # left/right + verification); without persist Catalyst recomputes
-    # the md5 minhash transforms 3× — measured 16.7s → 6s at sf0.1.
-    # MEMORY_AND_DISK = the reference's storage posture (memory-first,
-    # disk fallback, storage/BlockManager.scala:846-921).
+    # left/right + verification); without materializing it Catalyst
+    # recomputes the md5 minhash transforms 3× — measured 16.7s → 6s
+    # at sf0.1.  Eager localCheckpoint instead of persist(): same
+    # memory-first/disk-fallback storage posture as the reference
+    # (storage/BlockManager.scala:846-921), but the blocks are released
+    # by the ContextCleaner when the plan is dropped — a bare persist
+    # with no unpersist accumulates cache across a 90-query run.
     sh = (
         shingled_docs(spark, sf_dir)
         .select("doc_id", "sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     sigs = sh.select("doc_id", *_signature_cols())
     bands = sigs.select("doc_id", *_band_cols())
@@ -365,11 +366,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hamming≤3 must agree on ≥1 whole byte), verify bit_count(xor).",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    # the band self-join consumes sims on both sides — persist so the
-    # shingle+md5+bit-vote pipeline runs once, not twice
-    sims = _simhash_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # the band self-join consumes sims on both sides — materialize so
+    # the shingle+md5+bit-vote pipeline runs once, not twice; eager
+    # localCheckpoint (vs persist) lets the ContextCleaner reclaim the
+    # blocks once the plan is dropped
+    sims = _simhash_docs(spark, sf_dir).localCheckpoint(eager=True)
     banded = sims.select(
         "doc_id",
         "simhash",

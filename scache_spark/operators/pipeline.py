@@ -191,6 +191,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # checkpoint the lineage each round: without this the plan
         # doubles per iteration (the classic iterative-algorithm trap)
         labels = propagated.localCheckpoint(eager=True)
+    # the loop ran eagerly, so the final labels no longer reference
+    # edges — release its cached blocks instead of leaking them into
+    # the session-wide cache for the rest of a multi-query run
+    edges.unpersist()
     return labels.select("node", "label").withColumnsRenamed(
         {"node": "doc_id", "label": "cluster_id"}
     )

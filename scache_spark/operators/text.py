@@ -307,7 +307,7 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              tf.tf * ln(CAST(n_docs.n AS DOUBLE) / df.df) AS tfidf
       FROM tf JOIN df ON tf.tok = df.tok, n_docs
     )
-    SELECT * FROM (
+    SELECT doc_id, tok, round(tfidf, 6) AS tfidf, rk FROM (
       SELECT doc_id, tok, tfidf,
              CAST(row_number() OVER (PARTITION BY doc_id
                   ORDER BY tfidf DESC, tok ASC) AS INT) AS rk
@@ -317,13 +317,17 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B24", "B11"),
     doc="TF-IDF with top-3 distinctive terms per document.  IDF is a "
     "broadcast-joined dictionary (vocabulary-sized, never the corpus); "
-    "tie-broken per-doc top-k via window.",
+    "tie-broken per-doc top-k via window.  The corpus cardinality is a "
+    "broadcast 1-row aggregate inside the SAME job — a driver-side "
+    ".count() would be a second full corpus scan per run.  tfidf is "
+    "rounded on both sides: ln() is not correctly rounded, so engines "
+    "can differ in the last ulp per row.",
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # corpus cardinality: one scalar, driver-side
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -331,12 +335,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("tok").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
     )
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return scored.select(
         "doc_id", "tok", "tfidf", F.row_number().over(w).cast("int").alias("rk")
-    ).filter(F.col("rk") <= 3)
+    ).filter(F.col("rk") <= 3).withColumn("tfidf", F.round("tfidf", 6))

@@ -71,20 +71,34 @@ def shuffle_stats(df: DataFrame) -> list[ExchangeStats]:
 
 class PrefetchHandle:
     """A running early materialization.  ``await_ready`` blocks until
-    the data is cached; ``df`` is the persisted frame to build on."""
+    the data is cached; ``df`` is the persisted frame to build on.
+    A failure inside the background job is captured and re-raised by
+    ``await_ready`` — a 'prefetched' frame must never silently be a
+    cold (or broken) one."""
 
     def __init__(self, df: DataFrame):
         self.df = df
-        self._thread = threading.Thread(target=df.count, daemon=True)
+        self.error: BaseException | None = None
+
+        def _materialize() -> None:
+            try:
+                df.count()
+            except BaseException as exc:  # noqa: BLE001 — stored, re-raised
+                self.error = exc
+
+        self._thread = threading.Thread(target=_materialize, daemon=True)
         self._thread.start()
 
     def await_ready(self, timeout: float | None = None) -> DataFrame:
         self._thread.join(timeout)
+        if self.error is not None:
+            raise self.error
         return self.df
 
     @property
     def ready(self) -> bool:
-        return not self._thread.is_alive()
+        """True only when materialization finished WITHOUT error."""
+        return not self._thread.is_alive() and self.error is None
 
 
 def prefetch(

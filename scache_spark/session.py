@@ -24,10 +24,9 @@ from pyspark.sql import SparkSession
 
 # Partition sizing: at 100 TB with ~128 MB target partitions you want
 # O(800k) input splits and a shuffle partition count sized so a
-# partition fits comfortably in executor memory.  AQE coalesces down
-# from a generous initial number, so we set a high initial partition
-# count and let runtime stats shrink it — the scalable direction
-# (too many → coalesced cheaply; too few → irrecoverable spill).
+# partition fits comfortably in executor memory.  Locally the
+# steady-state count is one per core; AQE's initialPartitionNum
+# (set 4× higher below) is what actually starts shuffles wide.
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -49,6 +48,13 @@ def get_session(
         # pre-scheduling/prediction plane (SURVEY.md §4) ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start shuffles wide (4× the steady-state count) and let AQE
+        # coalesce down from observed sizes — the scalable direction:
+        # too many partitions coalesce cheaply, too few spill
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
         # runtime row-level bloom filters: prune fact rows before the

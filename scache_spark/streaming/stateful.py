@@ -71,7 +71,7 @@ def _update_user_totals(
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           round(sum(value), 4) AS total_value
     FROM events GROUP BY user_id
     """,
     tags=("B27", "B23"),
@@ -81,7 +81,12 @@ def _update_user_totals(
     "micro-batch splits.",
 )
 def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).select("user_id", "value")
+    # user_id >= 0 drops the staged flush row (synthetic user -1)
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "value")
+    )
     updated = s.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,
         outputStructType=_OUT_SCHEMA,
@@ -94,5 +99,5 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # monotone, so max(n_events) identifies the final state
     return emitted.groupBy("user_id").agg(
         F.max("n_events").cast("long").alias("n_events"),
-        F.max_by("total_value", "n_events").alias("total_value"),
+        F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
     )

@@ -16,6 +16,16 @@ The fixture's nanosecond timestamps are unreadable by the streaming
 parquet reader (PARQUET_TYPE_ILLEGAL for TIMESTAMP(NANOS)), so events
 is staged once per sf_dir through a batch rewrite (micros) into
 `.stream_src/` — a fixture-prep detail, not an engine behavior.
+
+Windowed aggregates run in APPEND mode: only watermark-finalized
+windows are emitted and their state is dropped — the posture that
+survives an unbounded stream (complete mode retains every window
+ever created).  The staged corpus carries one synthetic FLUSH row one
+day past the stream head; its arrival advances the watermark beyond
+every real window's end, so all real windows finalize, while the
+flush row's own (still-open) window is never emitted.  Non-windowed
+queries filter the flush row out explicitly or drop it via their join
+or event-type predicates.
 """
 
 from __future__ import annotations
@@ -32,18 +42,34 @@ from scache_spark.registry import register
 _STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".stream_src")
 _SINK_COUNTER = itertools.count()
 
+FLUSH_EVENT_ID = -1  # the synthetic watermark-advancing row
+
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str:
-    """Stage events.parquet as a streamable directory (micros ts).
-    ``copies=2`` writes the rows twice — planted duplicates for the
-    streaming-dedup query."""
+    """Stage events.parquet as a streamable directory (micros ts) plus
+    the flush row.  ``copies=2`` includes every event twice — planted
+    duplicates for the streaming-dedup query.
+
+    All copies and the flush row go out in ONE overwrite write, so
+    ``_SUCCESS`` implies the complete corpus (an interrupted run can
+    never leave an accepted half-staged dir).  The ``_v2`` suffix
+    versions the layout against pre-flush-row stagings."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STAGE_ROOT, f"{key}_x{copies}")
+    out = os.path.join(_STAGE_ROOT, f"{key}_x{copies}_v2")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
-        ev.repartition(4).write.mode("overwrite").parquet(out)
-        for i in range(copies - 1):
-            ev.repartition(4).write.mode("append").parquet(out)
+        flush = ev.agg(F.max("ts").alias("mx")).select(
+            F.lit(FLUSH_EVENT_ID).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        full = ev
+        for _ in range(copies - 1):
+            full = full.unionByName(ev)
+        full.unionByName(flush).repartition(4).write.mode("overwrite").parquet(out)
     return out
 
 
@@ -54,7 +80,9 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
 
 def run_stream(df, name: str, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink; return the sink as a batch DataFrame."""
+    memory sink; return the sink as a batch DataFrame.  Raises if the
+    query is still running at the timeout or terminated with an error
+    — a silently partial sink must never be returned."""
     sink = f"{name}_{next(_SINK_COUNTER)}"
     q = (
         df.writeStream.format("memory")
@@ -63,7 +91,12 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise RuntimeError(f"streaming query {sink} still running after 600s")
+    if q.exception() is not None:
+        raise q.exception()
     return df.sparkSession.table(sink)
 
 
@@ -74,24 +107,28 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
                AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value) AS total_value
+           round(sum(value), 4) AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("B27",),
     doc="Tumbling 5-minute windowed aggregate with a 1-minute "
-    "watermark, replayed via availableNow — result equals the batch "
-    "time-bucket aggregation (the oracle).",
+    "watermark in APPEND mode: a window is emitted once, when the "
+    "watermark passes its end, and its state is dropped — the only "
+    "posture that survives an unbounded stream.  The staged flush row "
+    "finalizes every real window; its own window (event_type='flush') "
+    "stays open and is never emitted, so the oracle is plain batch "
+    "time-bucketing over real events.",
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
     agg = s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("value").alias("total_value"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
     res = agg.select(
         F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
     )
-    return run_stream(res, "tumbling", "complete")
+    return run_stream(res, "tumbling", "append")
 
 
 @register(
@@ -106,7 +143,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(ws AS TIMESTAMP) AS window_start,
            CAST(count(*) AS BIGINT) AS n,
-           sum(value) AS total_value
+           round(sum(value), 4) AS total_value
     FROM b GROUP BY 1
     """,
     tags=("B27",),
@@ -118,10 +155,10 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
     agg = s.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("value").alias("total_value"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
     res = agg.select(F.col("w.start").alias("window_start"), "n", "total_value")
-    return run_stream(res, "sliding", "complete")
+    return run_stream(res, "sliding", "append")
 
 
 @register(
@@ -144,7 +181,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(min(ts) AS TIMESTAMP) AS session_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS total_value
+           round(sum(value), 4) AS total_value
     FROM sess GROUP BY user_id, sid
     """,
     tags=("B27",),
@@ -159,7 +196,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "10 minutes").alias("w"), "user_id"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.round(F.sum("value"), 4).alias("total_value"),
     )
     res = agg.select(
         "user_id",
@@ -167,7 +204,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return run_stream(res, "session", "complete")
+    return run_stream(res, "session", "append")
 
 
 @register(
@@ -181,7 +218,11 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each exactly once — result equals plain events (the oracle).",
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir, copies=2).withWatermark("ts", "1 minute")
+    s = (
+        events_stream(spark, sf_dir, copies=2)
+        .filter(F.col("event_id") != FLUSH_EVENT_ID)
+        .withWatermark("ts", "1 minute")
+    )
     deduped = s.dropDuplicates(["event_id"]).select("event_id", "event_type", "value")
     return run_stream(deduped, "dedup", "append")
 
@@ -217,7 +258,7 @@ def stream_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle="""
     WITH user_stats AS (
-      SELECT user_id, avg(value) AS user_avg
+      SELECT user_id, round(avg(value), 6) AS user_avg
       FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id, e.value, u.user_avg,
@@ -234,7 +275,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     static_stats = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.avg("value").alias("user_avg"))
+        .agg(F.round(F.avg("value"), 6).alias("user_avg"))
     )
     s = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
     joined = s.join(static_stats, "user_id").select(

@@ -25,7 +25,9 @@ def test_foreachbatch_incremental_sink(spark, sf_dir, tmp_path):
         )
 
     q = (
+        # event_id >= 0 drops the staged watermark-flush row
         events_stream(spark, sf_dir)
+        .filter(F.col("event_id") >= 0)
         .writeStream.foreachBatch(sink)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
