@@ -518,3 +518,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.95)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, LSH-bucketed (the production scale path)
+# ---------------------------------------------------------------------------
+
+
+# similarity imports nothing from dedup, so this is an acyclic reuse
+# of the deterministic hyperplane machinery
+from scache_spark.functions import sql_vec_cosine, vec_cosine  # noqa: E402
+from scache_spark.operators.similarity import (  # noqa: E402
+    lsh_bucket,
+    sql_lsh_bucket,
+)
+
+
+@register(
+"dedup_embedding_lsh",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding,
+             CAST({sql_lsh_bucket("embedding")} AS INT) AS bucket
+      FROM aug
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.bucket AS bucket,
+           {sql_vec_cosine("a.embedding", "b.embedding")} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_vec_cosine("a.embedding", "b.embedding")} >= 0.95
+    """,
+    tags=("B24", "B25"),
+    doc="Embedding near-dup with the LSH bucket as the BLOCKING KEY "
+    "— the production path at 100 TB (dedup_embedding_cosine's "
+    "label blocking is the validation baseline).  Hyperplane "
+    "buckets are closed-form deterministic (similarity.lsh_bucket), "
+    "so both engines derive identical candidate sets; cosine ≥ "
+    "0.95 verifies candidates only.  Exact duplicates always "
+    "collide (identical vector → identical bucket); near-dup "
+    "recall is the standard LSH trade-off, measured in pytest "
+    "against the label-blocked baseline.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    aug = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    bucketed = aug.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = bucketed.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = bucketed.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "bucket",
+            vec_cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.95)
+    )
+
+

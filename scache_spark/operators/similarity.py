@@ -136,10 +136,15 @@ def _sql_plane_dot(emb: str, p: int) -> str:
     )
 
 
-_SQL_BUCKET = " + ".join(
-    f"CASE WHEN {_sql_plane_dot('embedding', p)} > 0 THEN {1 << p} ELSE 0 END"
-    for p in range(N_PLANES)
-)
+def sql_lsh_bucket(emb: str) -> str:
+    """DuckDB expression computing the same bucket id as lsh_bucket."""
+    return " + ".join(
+        f"CASE WHEN {_sql_plane_dot(emb, p)} > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(N_PLANES)
+    )
+
+
+_SQL_BUCKET = sql_lsh_bucket("embedding")
 
 
 @register(

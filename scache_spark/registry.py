@@ -111,7 +111,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact_hash",  # B24/B13
     "dedup_minhash_pairs",  # B24
     "dedup_simhash_pairs",  # B24
-    "dedup_embedding_cosine",  # B24/B25
+    "dedup_embedding_lsh",  # B24/B25 — LSH-bucketed scale path
     "dedup_clusters",  # B24 connected components
     # text analytics
     "text_tfidf_top_terms",  # B24

@@ -59,3 +59,24 @@ def test_event_log_roundtrip_nonempty(spark, sf_dir):
     for r in rows:
         assert r["n_tasks"] == r["n_task_ids"]  # task ids unique
         assert r["total_shuffle_bytes"] >= r["max_task_bytes"] > 0
+
+
+def test_embedding_lsh_dedup_recall(spark, sf_dir):
+    """The LSH-bucketed near-dup path must find every planted exact
+    duplicate (identical vector => identical bucket) and a usable
+    fraction of what label blocking finds."""
+    from scache_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    lsh_pairs = {
+        (r["vec_a"], r["vec_b"]) for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    planted = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+        if r["vec_b"] == r["vec_a"] + 100000
+    }
+    assert planted, "no planted duplicates found by the baseline"
+    assert planted <= lsh_pairs, "LSH missed planted exact duplicates"
