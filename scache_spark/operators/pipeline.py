@@ -198,3 +198,96 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", "label").withColumnsRenamed(
         {"node": "doc_id", "label": "cluster_id"}
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup materialization: apply the dedup decision to the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_materialize",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM aug GROUP BY md5(text)
+    )
+    SELECT a.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN a.doc_id = k.keep_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN a.doc_id = k.keep_id THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped
+    FROM aug a JOIN keep k ON md5(a.text) = k.h
+    GROUP BY a.source
+    """,
+    tags=("B24", "B13"),
+    doc="END-TO-END dedup application — the operation a pipeline "
+    "actually runs: decide survivors (min-id per content hash), keep "
+    "them, drop the rest, report per-source retention.  At 100 TB the "
+    "decision table is (hash, keep_id) — 24 bytes/distinct doc — and "
+    "the corpus joins against it on its OWN hash, so text never "
+    "shuffles; in production the same join emits the filtered corpus "
+    "instead of counts.",
+)
+def dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.operators.dedup import augmented_docs
+
+    aug = augmented_docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    keep = aug.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    kept_flag = (F.col("doc_id") == F.col("keep_id")).cast("int")
+    return (
+        aug.join(keep, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept_flag).cast("long").alias("n_kept"),
+            F.sum(1 - kept_flag).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    WITH hashed AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE bucket < 2) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) FILTER (WHERE bucket < 2) AS BIGINT)
+               AS first_sampled_id
+    FROM hashed GROUP BY source
+    """,
+    tags=("B20", "B24"),
+    doc="Stratified deterministic sampling: a fixed ~20%% rate WITHIN "
+    "each source stratum via content-hash bucketing — every engine "
+    "(and every rerun, at any partition count) selects the identical "
+    "rows, unlike rand()-based sample.  The per-stratum guarantee is "
+    "what a training-mix spec needs; downstream the same predicate "
+    "materializes the sampled corpus.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "source",
+        "doc_id",
+        (hash64(F.col("doc_id").cast("string")) % 10).alias("bucket"),
+    )
+    in_sample = F.col("bucket") < 2
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(in_sample.cast("int")).cast("long").alias("n_sampled"),
+        F.min(F.when(in_sample, F.col("doc_id"))).cast("long").alias(
+            "first_sampled_id"
+        ),
+    )
