@@ -702,3 +702,85 @@ def sort_nulls_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS INT)
+               AS day_num,
+           round(sum(o_totalprice) OVER w30, 2) AS trailing_30d_total,
+           CAST(count(*) OVER w30 AS BIGINT) AS trailing_30d_n
+    FROM orders
+    WINDOW w30 AS (PARTITION BY o_custkey
+                   ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("B11", "B15"),
+    doc="RANGE-frame window: per-customer trailing-30-day spend.  The "
+    "frame is VALUE-based (29 day-numbers back), not row-based — "
+    "sparse order histories still get a true calendar window.  Both "
+    "engines order by the same numeric day key, so the frame contents "
+    "are identical by construction.  One shuffle+sort on o_custkey "
+    "serves both window functions.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(
+        F.col("o_orderdate"), F.lit("1990-01-01").cast("date")
+    ).cast("int")
+    with_day = o.select("o_orderkey", "o_custkey", day_num.alias("day_num"),
+                        "o_totalprice")
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return with_day.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_num",
+        F.round(F.sum("o_totalprice").over(w30), 2).alias("trailing_30d_total"),
+        F.count(F.lit(1)).over(w30).cast("long").alias("trailing_30d_n"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cdist,
+           first_value(o_orderkey) OVER wf AS first_ok,
+           last_value(o_orderkey) OVER wf AS last_ok,
+           nth_value(o_orderkey, 2) OVER wf AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice ASC, o_orderkey ASC),
+           wf AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("B11",),
+    doc="Distribution window functions: percent_rank, cume_dist, "
+    "first/last/nth value under an explicit full-partition frame "
+    "(the default frame for value functions is running — engine-"
+    "dependent — so the frame is always declared).  percent_rank = "
+    "(rank-1)/(n-1): a single exact integer division, bit-identical "
+    "across engines.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("o_orderkey").over(wf).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    )
