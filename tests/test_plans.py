@@ -103,3 +103,49 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
         for k, v in saved.items():
             conf.set(k, v)
 
+
+
+def test_kmeans_assignment_is_aggregate_not_window(spark, sf_dir):
+    """The nearest-centroid argmin must compile to a (map-side
+    combinable) aggregate: a Window argmin has no partial aggregation
+    and shuffles K×n scored rows instead of n."""
+    from scache_spark.operators.clustering import ann_ivf_cells
+
+    p = plans.formatted_plan(ann_ivf_cells(spark, sf_dir))
+    assert "Window" not in p, p[:1500]
+    assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_lpt_schedule_single_small_shuffle(spark, sf_dir):
+    """LPT = full-scale partial agg down to R rows, then ONE grouped-map
+    stage.  The corpus must not reach the pandas stage: the plan shows
+    aggregation below FlatMapGroupsInPandas."""
+    from scache_spark.operators.scheduling import lpt_schedule
+
+    p = plans.formatted_plan(lpt_schedule(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p
+    assert "HashAggregate" in p
+
+
+def test_event_log_parse_is_narrow_until_agg(spark, sf_dir):
+    """Render→parse is per-line inside codegen; only the per-task
+    regroup and the final (stage,host) aggregate shuffle."""
+    from scache_spark.operators.eventlog import event_log_parse
+
+    df = event_log_parse(spark, sf_dir)
+    assert plans.exchange_count(df) <= 3, plans.formatted_plan(df)[:1500]
+
+
+def test_tfidf_single_job_no_driver_count(spark, sf_dir):
+    """The corpus count must be part of the plan (broadcast 1-row
+    aggregate), not a separate driver-side .count() job."""
+    from scache_spark.operators.text import text_tfidf_top_terms
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = text_tfidf_top_terms(spark, sf_dir)  # build only — no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "building the tfidf plan ran a Spark job"
+    assert "BroadcastNestedLoopJoin" in plans.formatted_plan(df) or (
+        "BroadcastExchange" in plans.formatted_plan(df)
+    )
