@@ -260,3 +260,89 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", dist.cast("int").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# non-parquet source coverage: CSV and ORC round trips (B1 long tail)
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_SRC_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    ".alt_src",
+)
+
+
+def _staged_alt(spark: SparkSession, sf_dir: str, fmt: str, table: str) -> str:
+    """Stage a fixture table once per (sf, format) as CSV/ORC so the
+    non-parquet readers are exercised against oracle-checkable data.
+    Single overwrite write → _SUCCESS implies completeness."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = _os.path.join(_SRC_ROOT, f"{key}_{table}_{fmt}")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        df = load_table(spark, sf_dir, table)
+        w = df.repartition(2).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(out)
+        else:
+            w.orc(out)
+    return out
+
+
+@register(
+    "csv_source_agg",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal,
+           min(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+    tags=("B1", "B7"),
+    doc="CSV source path: supplier staged as headered CSV once, read "
+    "back with an EXPLICIT schema (inference double-scans 100 TB — "
+    "never), aggregated; the oracle reads the original parquet, so "
+    "the text round trip must be lossless.  Doubles survive because "
+    "the writer emits shortest-round-trip representations.",
+)
+def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.catalog import SCHEMAS
+    from scache_spark.sources import read_csv
+
+    path = _staged_alt(spark, sf_dir, "csv", "supplier")
+    s = read_csv(spark, path, SCHEMAS["supplier"])
+    return s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+@register(
+    "orc_source_join",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("B1", "B4", "B7"),
+    doc="ORC source path: customer staged as ORC once, read back and "
+    "broadcast-joined to the parquet nation dim — mixed-format plans "
+    "are routine in real lakes; ORC is columnar with binary-exact "
+    "round trips, so no value drift is possible.",
+)
+def orc_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_alt(spark, sf_dir, "orc", "customer")
+    c = spark.read.orc(path)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
