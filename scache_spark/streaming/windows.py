@@ -346,3 +346,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
     )
     return run_stream(joined, "ss_join", "append")
+
+
+_SINK_ROOT = os.path.join(os.path.dirname(_STAGE_ROOT), ".stream_sink")
+
+
+@register(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("B27", "B1"),
+    doc="foreachBatch sink: each micro-batch appends its PARTIAL "
+    "per-type aggregate to a parquet directory (the idempotent-sink "
+    "pattern for stores without native streaming writers); the final "
+    "read re-aggregates partials into totals.  Because count/sum are "
+    "associative, the result equals the batch aggregate (the oracle) "
+    "no matter how availableNow splits files into batches.",
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = f"{os.getpid()}_{next(_SINK_COUNTER)}"
+    out = os.path.join(_SINK_ROOT, f"data_{run}")
+    ckpt = os.path.join(_SINK_ROOT, f"ckpt_{run}")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_part"),
+                F.sum("value").alias("t_part"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    src = events_stream(spark, sf_dir).filter(
+        F.col("event_id") != FLUSH_EVENT_ID
+    )
+    q = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise RuntimeError("foreachBatch stream still running after 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_part").cast("long").alias("n"),
+            F.round(F.sum("t_part"), 4).alias("total_value"),
+        )
+    )
