@@ -348,3 +348,113 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "tok", "tfidf", F.row_number().over(w).cast("int").alias("rk")
     ).filter(F.col("rk") <= 3).withColumn("tfidf", F.round("tfidf", 6))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + unigram-LM quality scoring
+# ---------------------------------------------------------------------------
+
+from scache_spark.functions import sql_tokens, sql_word_shingles  # noqa: E402
+
+_CONTAM_N = 5  # shingle width for contamination checks
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({sql_word_shingles("t", _CONTAM_N)}) AS s
+      FROM toks
+    ),
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, s FROM sh),
+    hits AS (
+      SELECT b.bench_id, c.doc_id, b.s
+      FROM bench b JOIN corpus c ON b.s = c.s AND c.doc_id <> b.bench_id
+    )
+    SELECT bench_id,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(count(DISTINCT s) AS BIGINT) AS n_leaked_shingles
+    FROM hits GROUP BY bench_id
+    """,
+    tags=("B24", "B6"),
+    doc=f"Benchmark decontamination: for every held-out 'benchmark' doc "
+    "(doc_id ≡ 0 mod 97), find corpus documents sharing at least one "
+    f"{_CONTAM_N}-gram — the contamination scan every training "
+    "pipeline runs before a data release.  At 100 TB the benchmark "
+    "shingle set is small → broadcast; the corpus side is an exploded "
+    "shingle stream joined on the shingle hash, so the full-text "
+    "corpus never shuffles.",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            word_shingles(F.split(F.lower("text"), " "), _CONTAM_N)
+        ).alias("s"),
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    hits = sh.join(F.broadcast(bench), "s").filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
+        F.countDistinct("s").cast("long").alias("n_leaked_shingles"),
+    )
+
+
+@register(
+    "unigram_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+              FROM toks GROUP BY tok),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    scored AS (
+      SELECT t.doc_id, -ln(v.n_tok * 1.0 / total.n_total) AS surprisal
+      FROM toks t JOIN vocab v ON t.tok = v.tok, total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(surprisal), 6) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("B24", "B16"),
+    doc="Unigram-LM quality score: per-document mean token surprisal "
+    "−ln p(tok) with probabilities from the corpus itself — the "
+    "cheapest 'does this text look like the corpus' signal (gibberish "
+    "and boilerplate both stand out).  The vocabulary is a broadcast "
+    "dictionary and the corpus total a broadcast 1-row aggregate; "
+    "rounded on both sides because ln() differs in the last ulp "
+    "across engines.",
+)
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("n_tok") * 1.0 / F.col("n_total"))).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+    )
