@@ -154,7 +154,7 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 10) AS ln_price,
            CAST(ceil(ln(greatest(l_extendedprice, 1.0)) / ln(1.1)) AS INT)
                AS size_compressed,
-           power(l_discount, 2) AS disc_sq,
+           round(power(l_discount, 2), 10) AS disc_sq,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            round(l_extendedprice, 1) AS price_round,
@@ -178,7 +178,9 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("size_compressed"),
-        F.pow(F.col("l_discount"), 2).alias("disc_sq"),
+        # round(10): pow() is not guaranteed correctly rounded — engines
+        # may differ in the last ulp even for integral exponents
+        F.round(F.pow(F.col("l_discount"), 2), 10).alias("disc_sq"),
         F.ceil("l_quantity").cast("long").alias("qty_ceil"),
         F.floor("l_quantity").cast("long").alias("qty_floor"),
         F.round(F.col("l_extendedprice"), 1).alias("price_round"),
