@@ -346,3 +346,102 @@ def orc_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
+
+
+@register(
+    "unpivot_status_counts",
+    oracle="""
+    WITH p AS (SELECT DISTINCT o_orderpriority FROM orders),
+    s AS (SELECT unnest(['F', 'O', 'P']) AS status),
+    c AS (SELECT o_orderpriority, o_orderstatus AS status,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM orders GROUP BY 1, 2)
+    SELECT p.o_orderpriority, s.status, coalesce(c.n, 0) AS n
+    FROM p CROSS JOIN s
+    LEFT JOIN c ON c.o_orderpriority = p.o_orderpriority
+               AND c.status = s.status
+    """,
+    tags=("B8", "B17"),
+    doc="Unpivot (melt): the pivoted wide frame stacked back to long "
+    "form via stack(), zeros preserved — the round trip proves pivot "
+    "and unpivot are inverses.  stack() is a generator projection: "
+    "no shuffle beyond the pivot's own aggregate.",
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_by_priority(spark, sf_dir)
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'F', n_F, 'O', n_O, 'P', n_P) AS (status, n)"),
+    )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY count(*) DESC, o_orderpriority ASC) AS rk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rk = 1
+    """,
+    tags=("B7", "B10"),
+    doc="Mode (most frequent value) per group with a DETERMINISTIC "
+    "tie-break (highest count, then lexicographically smallest value) "
+    "— built-in mode()/max_by() tie-breaks are engine-defined, so the "
+    "total order is always encoded explicitly.",
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "date_funcs_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start
+    FROM orders
+    WHERE o_orderkey % 25 = 0
+    """,
+    tags=("B15",),
+    doc="Extended calendar battery: add_months (month-end clamping "
+    "agrees across engines), last_day, day-of-week (Spark counts "
+    "1=Sunday, DuckDB 0=Sunday — normalized in the oracle), ISO week, "
+    "quarter, week truncation.",
+)
+def date_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 25 == 0)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+    )
