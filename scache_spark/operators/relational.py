@@ -892,3 +892,227 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("B4", "B5", "B7", "B19"),
+    doc="TPC-H Q14 shape: promo-type revenue share per ship month of "
+    "1996.  The part dim broadcasts, the date filter pushes to the "
+    "lineitem scan, and the conditional sum is a single map-side-"
+    "combinable aggregate — one shuffle of 12 groups regardless of "
+    "fact size.  Ratio rounded to 6dp (sum-order ulp noise scales "
+    "into the quotient).",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p_brand, CAST(p_size AS INT) AS p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> 'PROMO'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("B4", "B6", "B7"),
+    doc="TPC-H Q16 shape: how many distinct suppliers serve each "
+    "(brand, size) bucket, excluding promo parts and low-balance "
+    "suppliers.  part broadcasts; the supplier exclusion is a "
+    "broadcast ANTI join (never a shuffled NOT IN); count-distinct "
+    "shuffles only the (brand, size, suppkey) projection — the "
+    "partial-dedup happens map-side.",
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") != "PROMO")
+    poor = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 500)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(poor),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey AS pk, round(avg(l_quantity), 4) AS avg_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#11'
+      GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pa   ON l_partkey = pk
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity * 5 < avg_qty
+    """,
+    tags=("B4", "B5", "B7"),
+    doc="TPC-H Q17 shape: lost revenue from small-quantity orders of "
+    "one brand, against each part's own average quantity.  The "
+    "correlated scalar subquery becomes a groupBy(partkey) partial "
+    "aggregate re-joined by BROADCAST (the brand filter bounds it), "
+    "so the fact table is scanned once and never self-shuffled.  The "
+    "threshold compares l_quantity*5 (exact in double) against the "
+    "4dp-rounded average so the cut is bit-identical across engines.",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    HAVING sum(l_quantity) > 150
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("B4", "B7", "B10"),
+    doc="TPC-H Q18 shape: customers with large-volume orders.  The "
+    "HAVING pre-aggregates lineitem by orderkey FIRST (map-side "
+    "combine shrinks the shuffle to one row per order), the surviving "
+    "~1%% of orderkeys broadcast into orders/customer, and top-20 is "
+    "TakeOrderedAndProject.  sum(l_quantity) is an integer-valued "
+    "double — exact, no rounding needed.",
+)
+def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_dormant_accounts",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT round(avg(c_acctbal), 4) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+    tags=("B6", "B7", "B19"),
+    doc="TPC-H Q22 shape (adapted: every fixture customer has SOME "
+    "order, so dormancy = no order since 1999): above-average-balance "
+    "customers with no recent purchase, summarized per segment.  The "
+    "global average is a 1-row aggregate cross-joined as a broadcast "
+    "(never a driver collect); the NOT-IN is a broadcast ANTI join on "
+    "the projected, date-filtered orderkey set.  Threshold rounded to "
+    "4dp so the > cut agrees across engines.",
+)
+def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("a")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            F.broadcast(recent),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
