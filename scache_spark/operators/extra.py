@@ -445,3 +445,52 @@ def date_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("int").alias("qtr"),
         F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("B1", "B4", "B21", "B22"),
+    doc="Shuffle-free join via bucketed storage: both sides are "
+    "written bucketed+sorted on the join key (8 buckets), then joined "
+    "as a SortMergeJoin with ZERO Exchange on either side — the "
+    "write-time layout IS the shuffle, paid once and reused by every "
+    "later consumer.  This is the durable analog of the reference's "
+    "pre-scheduled reduce placement (MapOutputTracker.scala:199-213): "
+    "decide the key->location mapping early, let all consumers "
+    "inherit it.  tests/test_plans.py asserts the exchange-free plan.",
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from scache_spark.sources import write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/scache_bucketed/{tag}"
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, li_tbl, ["l_orderkey"], 8, f"{base}/lineitem")
+    write_bucketed(o, o_tbl, ["o_orderkey"], 8, f"{base}/orders")
+    return (
+        spark.table(li_tbl)
+        .join(
+            spark.table(o_tbl),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

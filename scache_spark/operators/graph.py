@@ -1,0 +1,157 @@
+"""Graph analytics over the event stream, Spark-first.
+
+The event log induces a directed, weighted transition graph: nodes are
+event types, an edge (u, v, w) counts how often a user's event of type
+u was immediately followed by one of type v.  PageRank over that graph
+is the canonical "iterative algorithm on a DataFrame engine" shape —
+the reference's iterative simulator loop (``sim/sim.py:223-263``
+re-plans placement round by round) has the same fixed-point structure.
+
+Scale notes (100 TB): the edge list is built with ONE window pass over
+events partitioned by user (the same shuffle a sessionization needs),
+then collapses to at most |types|² rows.  Every PageRank iteration
+thereafter joins against that tiny aggregate — broadcast, no shuffle
+of the fact table ever again.  For a billion-node graph the same loop
+holds with the rank frame hash-partitioned on node and the edge list
+co-partitioned; here the dimension is small enough to broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+_DAMP = 0.85
+_ITERS = 3
+
+# The 3-iteration oracle is the Spark loop unrolled as chained CTEs —
+# DuckDB has no iterative operator, so each p{i} re-states
+# p_next(v) = (1-d)/N + d * Σ_u p(u)·w(u,v)/outw(u), dangling mass
+# dropped identically in both engines.
+_PR_STEP = """
+    p{next} AS (
+      SELECT n.node,
+             (1 - 0.85) / (SELECT cnt FROM nn)
+             + 0.85 * coalesce(sum(p.pr * e.w / o.ow), 0) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN p{cur} p ON p.node = e.src
+      LEFT JOIN outw o ON o.src = e.src
+      GROUP BY n.node)
+"""
+
+_PR_ORACLE = (
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    edges AS (
+      SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    p0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
+    """
+    + ",".join(_PR_STEP.format(cur=i, next=i + 1) for i in range(_ITERS))
+    + f"""
+    SELECT node, round(pr, 6) AS pagerank FROM p{_ITERS}
+    """
+)
+
+
+@register(
+    "pagerank_event_graph",
+    oracle=_PR_ORACLE,
+    tags=("B4", "B7", "B11"),
+    doc="Weighted PageRank (3 fixed iterations, d=0.85) over the "
+    "event-type transition graph.  One windowed pass builds the edge "
+    "list; each iteration is a broadcast join + map-side-combinable "
+    "aggregate over ≤|types|² rows.  Oracle: the loop unrolled as "
+    "chained CTEs.  Rounded 6dp once at the end (the ≤N-term sums "
+    "reorder across engines).",
+)
+def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("dst_t"),
+        F.lag("event_type").over(w).alias("src_t"),
+    )
+    edges = (
+        seq.filter(F.col("src_t").isNotNull())
+        .groupBy("src_t", "dst_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    outw = edges.groupBy("src_t").agg(F.sum("w").alias("ow"))
+    # weight share per edge: w/outw — computed once, reused every round
+    eshare = edges.join(outw, "src_t").select(
+        "src_t", "dst_t", (F.col("w") / F.col("ow")).alias("share")
+    )
+
+    pr = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("cnt")).alias("pr")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            eshare.join(F.broadcast(pr), eshare.src_t == pr.node)
+            .groupBy("dst_t")
+            .agg(F.sum(F.col("pr") * F.col("share")).alias("mass"))
+        )
+        pr = (
+            nodes.join(F.broadcast(contrib), nodes.node == contrib.dst_t, "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                (
+                    (1 - _DAMP) / F.col("cnt")
+                    + _DAMP * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+@register(
+    "approx_distinct_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("B7", "B20"),
+    doc="HyperLogLog++ approximate count-distinct, verified against "
+    "the exact count in the SAME query: the output asserts the sketch "
+    "lands within ±5%% (rsd=0.02), which the oracle states as a "
+    "literal.  At 100 TB the sketch is the only viable path — fixed "
+    "~kB of state per group, mergeable map-side, no shuffle of the "
+    "raw user ids — while exact count-distinct must shuffle every "
+    "distinct (group, user) pair.  HLL is deterministic for a given "
+    "dataset (merge is order-independent), so the row is stable.",
+)
+def approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+    )

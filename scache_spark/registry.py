@@ -148,6 +148,7 @@ def _ensure_loaded() -> None:
         dedup,
         eventlog,
         extra,
+        graph,
         multimodal,
         pipeline,
         prediction,

@@ -149,3 +149,21 @@ def test_tfidf_single_job_no_driver_count(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plans.formatted_plan(df) or (
         "BroadcastExchange" in plans.formatted_plan(df)
     )
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    from scache_spark.operators.extra import bucketed_join_revenue
+
+    df = bucketed_join_revenue(spark, sf_dir)
+    # both sides pre-bucketed on the join key: the join itself is
+    # exchange-free; the only shuffle allowed is the final 5-group agg
+    assert plans.exchange_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_pagerank_edges_built_once(spark, sf_dir):
+    from scache_spark.operators.graph import pagerank_event_graph
+
+    df = pagerank_event_graph(spark, sf_dir)
+    # every iteration joins BROADCAST against the tiny rank frame —
+    # no sort-merge join may appear anywhere in the unrolled loop
+    assert not plans.has_sort_merge_join(df), plans.formatted_plan(df)
