@@ -81,9 +81,9 @@ PRIORITY: tuple[str, ...] = (
     "topk_per_group",  # B10
     "window_analytics",  # B11
     "set_except",  # B12
-    "dedup_pick_min",  # B13
+    "pagerank_event_graph",  # iterative graph fixed point (B4/B7/B11)
     "join_left_outer",  # B4 outer / B19
-    "pricing_summary",  # B3/B7 wide agg
+    "bucketed_join_revenue",  # B22 write-time layout (was pytest-only)
     # scalar function batteries
     "string_funcs",  # B14
     "date_funcs",  # B15

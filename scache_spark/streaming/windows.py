@@ -406,3 +406,32 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("t_part"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_distinct_users_window",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
+               AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("B27", "B13", "B7"),
+    doc="Streaming COUNT DISTINCT per tumbling window via two CHAINED "
+    "stateful operators: dropDuplicates on (user, window) first — "
+    "sketch-free exact dedup whose state is one row per distinct pair "
+    "and watermark-evicted — then an ordinary windowed count in append "
+    "mode.  Distinct aggregation isn't directly expressible in a "
+    "streaming agg; dedup-then-count is the canonical decomposition "
+    "and shuffles only (user, window) pairs, never full events.",
+)
+def stream_distinct_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    pairs = s.select(
+        "user_id", F.window("ts", "15 minutes").alias("w")
+    ).dropDuplicates(["user_id", "w"])
+    agg = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    res = agg.select(F.col("w.start").alias("window_start"), "n_users")
+    return run_stream(res, "distinct_users", "append")

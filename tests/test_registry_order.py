@@ -21,9 +21,7 @@ def test_first_window_covers_every_family():
     tags = set()
     for name in PRIORITY:
         tags.update(REGISTRY[name].tags)
-    # B22 (caching/storage levels) is result-invariant and pytest-only
-    # by design; every other B component must appear in the window.
-    expected = {f"B{i}" for i in range(1, 28)} - {"B22"}
+    expected = {f"B{i}" for i in range(1, 28)}
     assert expected <= tags, f"missing families: {expected - tags}"
     assert {"A.2", "A.5", "temporal", "north-star"} <= tags
 
