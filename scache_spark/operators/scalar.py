@@ -399,3 +399,78 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(F.col("l_orderkey") % 20 == 0).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "percentile_battery",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+           round(CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE), 4) AS p50,
+           round(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS p75,
+           round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+           round(max(l_extendedprice) - min(l_extendedprice), 4) AS rng
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B20", "B7"),
+    doc="Exact multi-quantile battery: linearly-interpolated p25/50/75/"
+    "95 per group (Spark percentile == DuckDB quantile_cont).  Exact "
+    "percentiles need the full sorted group — the 100 TB path is "
+    "approx_percentile (t-digest sketch, mergeable map-side, tested "
+    "within bound in pytest); exact is the oracle-able twin.",
+)
+def percentile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
+        F.round(
+            F.max("l_extendedprice") - F.min("l_extendedprice"), 4
+        ).alias("rng"),
+    )
+
+
+@register(
+    "profile_data_quality",
+    oracle="""
+    SELECT 'orders' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_cust,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_status,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+               AS nonpositive_price,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys
+    FROM orders
+    """,
+    tags=("B7", "B20"),
+    doc="Data-quality profile — the assertion pass a training pipeline "
+    "runs before ingesting a drop: row count, null counts, distinct "
+    "cardinalities, key range, constraint violations (non-positive "
+    "price), duplicate-key count.  ONE pass over the table computes "
+    "every stat (a single aggregate, map-side combined); never one "
+    "scan per metric.",
+)
+def profile_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("long").alias(
+            "null_custkey"
+        ),
+        F.count_distinct("o_custkey").alias("distinct_cust"),
+        F.count_distinct("o_orderstatus").alias("distinct_status"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias(
+            "nonpositive_price"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("dup_keys"),
+    )

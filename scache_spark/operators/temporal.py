@@ -216,3 +216,73 @@ def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("has_click"), F.lit(0))
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "gap_fill_daily_revenue",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                    INTERVAL 1 DAY)) AS day),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT CAST(s.day AS DATE) AS day,
+           coalesce(d.n_orders, 0) AS n_orders,
+           round(coalesce(d.revenue, 0.0), 2) AS revenue,
+           round(coalesce(last_value(d.revenue IGNORE NULLS)
+                 OVER (ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0.0), 2) AS revenue_locf
+    FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day
+    """,
+    tags=("temporal", "B11", "B15", "B19"),
+    doc="Calendar gap-filling: a generated date spine LEFT-joins the "
+    "daily aggregate; missing days zero-fill, and a last-observation-"
+    "carried-forward column fills via last(ignorenulls) over an "
+    "ordered frame.  The spine is sequence()+explode — one row per "
+    "day, broadcast-joinable.  The LOCF window here is a single "
+    "ordered pass over the 91-day spine (the aggregate, not the fact "
+    "table); at 100 TB partition the spine window by month/entity so "
+    "no single ordered partition grows unbounded.",
+)
+def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("revenue", F.lit(0.0)), 2).alias("revenue"),
+            F.round(
+                F.coalesce(F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)),
+                2,
+            ).alias("revenue_locf"),
+        )
+    )
