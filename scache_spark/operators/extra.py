@@ -480,8 +480,14 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     write_bucketed(li, li_tbl, ["l_orderkey"], 8, f"{base}/lineitem")
     write_bucketed(o, o_tbl, ["o_orderkey"], 8, f"{base}/orders")
+    # hint("merge"): at test SFs the orders side fits the broadcast
+    # threshold, which would bypass the bucket layout entirely; at the
+    # target scale BOTH sides are big and SMJ is what the planner picks
+    # anyway — the hint makes the demonstrated plan the at-scale plan
+    # (bucket-aligned SortMergeJoin, zero Exchange on either input).
     return (
         spark.table(li_tbl)
+        .hint("merge")
         .join(
             spark.table(o_tbl),
             F.col("l_orderkey") == F.col("o_orderkey"),

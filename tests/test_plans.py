@@ -155,8 +155,11 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     from scache_spark.operators.extra import bucketed_join_revenue
 
     df = bucketed_join_revenue(spark, sf_dir)
-    # both sides pre-bucketed on the join key: the join itself is
-    # exchange-free; the only shuffle allowed is the final 5-group agg
+    # both sides pre-bucketed on the join key: the join is a bucket-
+    # aligned SortMergeJoin with NO exchange on either input; the only
+    # shuffle allowed is the final 5-group agg
+    assert plans.has_sort_merge_join(df), plans.formatted_plan(df)
+    assert not plans.has_broadcast_join(df), plans.formatted_plan(df)
     assert plans.exchange_count(df) <= 1, plans.formatted_plan(df)
 
 
