@@ -500,3 +500,62 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "string_agg_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("B7", "B14", "B17"),
+    doc="Ordered string aggregation (LISTAGG): collect_list is "
+    "partition-order-dependent, so the contract is sort-then-join "
+    "(array_sort + array_join) — deterministic at any partition count "
+    "and identical to DuckDB's string_agg ORDER BY.",
+)
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "regexp_extract_all_digits",
+    oracle="""
+    SELECT c_custkey,
+           array_to_string(regexp_extract_all(c_name, '[0-9]+'), '|')
+               AS digit_runs,
+           CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT) AS n_runs,
+           CAST(CAST(regexp_extract_all(c_name, '[0-9]+')[1] AS BIGINT)
+                AS BIGINT) AS first_num
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+    tags=("B14", "B17"),
+    doc="regexp_extract_all: every digit run per name (arrays "
+    "serialized at the boundary — pipe-joined string + count + first "
+    "value as BIGINT, which also normalizes leading zeros the two "
+    "engines would otherwise disagree on lexically).",
+)
+def regexp_extract_all_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    runs = F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0)
+    return c.select(
+        "c_custkey",
+        F.array_join(runs, "|").alias("digit_runs"),
+        F.size(runs).cast("int").alias("n_runs"),
+        F.element_at(runs, 1).cast("long").alias("first_num"),
+    )
