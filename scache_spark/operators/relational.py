@@ -1236,3 +1236,85 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@register(
+    "null_safe_join_status",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status
+      FROM orders WHERE o_orderkey % 50 = 0),
+    r AS (
+      SELECT nullif(s, 'P') AS status, rank_no FROM (VALUES
+        ('F', 1), ('O', 2), ('P', 3)) AS t(s, rank_no))
+    SELECT l.o_orderkey, coalesce(l.status, 'NULL') AS status_key,
+           r.rank_no
+    FROM l JOIN r ON l.status IS NOT DISTINCT FROM r.status
+    """,
+    tags=("B4", "B19"),
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of silently dropping — the corner "
+    "where ordinary equi-join loses rows.  Same hash-join machinery "
+    "(null hashes to its own bucket), so the scale profile is "
+    "unchanged; but a hot NULL key is the classic skew cell — at "
+    "100 TB salt it like any other hot key.",
+)
+def null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        )
+    )
+    right = spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], ["s", "rank_no"]
+    ).select(F.nullif(F.col("s"), F.lit("P")).alias("r_status"), "rank_no")
+    return (
+        left.join(
+            F.broadcast(right), F.col("status").eqNullSafe(F.col("r_status"))
+        )
+        .select(
+            "o_orderkey",
+            F.coalesce("status", F.lit("NULL")).alias("status_key"),
+            F.col("rank_no").cast("int").alias("rank_no"),
+        )
+    )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(o_totalprice, -1.0) AS o_totalprice,
+           coalesce(o_orderpriority, 'MISSING') AS o_orderpriority
+    FROM (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 40 = 0
+      UNION ALL BY NAME
+      SELECT o_orderkey, NULL AS o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 40 = 20)
+    """,
+    tags=("B12", "B2", "B19"),
+    doc="Schema-evolution union: two frames with DIFFERENT column sets "
+    "combined by NAME with null back-fill (unionByName "
+    "allowMissingColumns) — the operation every long-lived ingest "
+    "pipeline needs when a field appears mid-stream.  Positional "
+    "UNION would mis-align or reject; by-name is order-proof and "
+    "purely narrow (no shuffle).",
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    new = o.filter(F.col("o_orderkey") % 40 == 20).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey",
+        F.coalesce("o_totalprice", F.lit(-1.0)).alias("o_totalprice"),
+        F.coalesce("o_orderpriority", F.lit("MISSING")).alias("o_orderpriority"),
+    )
