@@ -286,3 +286,72 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_locf"),
         )
     )
+
+
+@register(
+    "scd2_status_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                     THEN 1 ELSE 0 END AS brk
+      FROM h
+    ), grp AS (
+      SELECT *, sum(brk) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS version_no
+      FROM flagged
+    )
+    SELECT o_custkey,
+           o_orderstatus AS status,
+           CAST(version_no AS INT) AS version_no,
+           CAST(min(o_orderdate) AS TIMESTAMP) AS valid_from,
+           CAST(max(o_orderdate) AS TIMESTAMP) AS last_seen,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM grp
+    GROUP BY o_custkey, o_orderstatus, version_no
+    """,
+    tags=("temporal", "B11", "B7"),
+    doc="SCD2 (slowly-changing-dimension type 2) history build: "
+    "per-customer order-status runs collapsed into effective-dated "
+    "version rows via gaps-and-islands (lag → break flag → running "
+    "sum → group).  This is how a warehouse derives dimension "
+    "validity intervals from an event log.  Both windows and the "
+    "final aggregate share ONE hash partitioning on custkey — the "
+    "history never shuffles twice.  Ordering is total "
+    "((o_orderdate, o_orderkey)), so version numbering is "
+    "deterministic across engines and partition counts.",
+)
+def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    grp = flagged.withColumn(
+        "version_no",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("version_no").cast("int").alias("version_no"),
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.max("o_orderdate").alias("last_seen"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )

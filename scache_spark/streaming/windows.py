@@ -435,3 +435,46 @@ def stream_distinct_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = agg.select(F.col("w.start").alias("window_start"), "n_users")
     return run_stream(res, "distinct_users", "append")
+
+
+@register(
+    "stream_window_topk",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS ws,
+             value, event_id
+      FROM events),
+    top AS (
+      SELECT ws, value AS top_value, event_id AS top_event,
+             row_number() OVER (PARTITION BY ws
+                 ORDER BY value DESC, event_id DESC) AS rk
+      FROM b)
+    SELECT CAST(t.ws AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(t.top_value, 2) AS top_value,
+           CAST(t.top_event AS BIGINT) AS top_event
+    FROM b JOIN top t ON b.ws = t.ws AND t.rk = 1
+    GROUP BY t.ws, t.top_value, t.top_event
+    """,
+    tags=("B27", "B10"),
+    doc="Streaming top-1-per-window: the per-window max is carried as "
+    "max(struct(value, event_id)) — a lexicographic struct max that "
+    "is associative/commutative, so it folds map-side into O(1) state "
+    "per window (a streaming-safe aggregate, where rank/row_number is "
+    "not available on a stream).  The struct encodes the tie-break "
+    "(higher value, then higher event_id) that the oracle states as "
+    "ORDER BY value DESC, event_id DESC.",
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    agg = s.groupBy(F.window("ts", "15 minutes").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.struct("value", "event_id")).alias("top"),
+    )
+    res = agg.select(
+        F.col("w.start").alias("window_start"),
+        "n",
+        F.round(F.col("top.value"), 2).alias("top_value"),
+        F.col("top.event_id").cast("long").alias("top_event"),
+    )
+    return run_stream(res, "window_topk", "append")
