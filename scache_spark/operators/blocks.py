@@ -227,3 +227,72 @@ def partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).alias("bytes_proxy"),
     )
+
+
+def _interleave_sql(x: str, y: str, bits: int, shr: str) -> str:
+    """Morton (Z-order) interleave as portable integer arithmetic:
+    x's bit i lands at position 2i, y's at 2i+1.  Terms occupy
+    disjoint bits, so ``+`` equals ``|`` and stays engine-portable
+    (``shr`` is 'shiftright' for Spark SQL, '>>' handled by the
+    caller for DuckDB)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shr}({x}, {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shr}({y}, {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def _interleave_duck(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_Z_ORACLE = f"""
+    WITH dims AS (
+      SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+             CAST(floor(o_totalprice / 2000) AS BIGINT) % 256 AS y
+      FROM orders),
+    z AS (SELECT x, y, {_interleave_duck('x', 'y', 8)} AS zval FROM dims)
+    SELECT CAST(floor(zval / 4096) AS INT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM z GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=_Z_ORACLE,
+    tags=("B16", "B21"),
+    doc="Z-order (Morton-curve) layout: interleave the bits of two "
+    "dimensions into one sort key, bucket by z-range, and report each "
+    "bucket's min/max in BOTH dimensions — the per-file statistics a "
+    "lakehouse uses for multi-dimensional data skipping.  A single-"
+    "column sort bounds only that column; the z-curve bounds every "
+    "interleaved dimension at once, so predicates on either column "
+    "prune buckets.  The interleave is pure per-row arithmetic (no "
+    "shuffle); at 100 TB, repartitionByRange(zval) + sortWithinPartitions "
+    "writes the clustered layout with one range exchange.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dims = o.select(
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.floor(F.col("o_totalprice") / 2000).cast("long") % 256).alias("y"),
+    )
+    zval = F.expr(_interleave_sql("x", "y", 8, "shiftright"))
+    return (
+        dims.select("x", "y", zval.alias("zval"))
+        .groupBy(F.floor(F.col("zval") / 4096).cast("int").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+        )
+    )
