@@ -474,3 +474,40 @@ def profile_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_keys"),
     )
+
+
+@register(
+    "approx_percentile_bound",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4)
+               AS exact_p50,
+           TRUE AS approx_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B20", "B7"),
+    doc="t-digest approximate percentile verified against the exact "
+    "interpolated median IN the query (±2%%), stated as a literal in "
+    "the oracle — same contract as approx_distinct_bound.  At 100 TB "
+    "the sketch is the only path: fixed-size mergeable state per "
+    "group vs a full per-group sort for the exact quantile.",
+)
+def approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+            F.approx_percentile(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("approx_p50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= 0.02 * F.col("exact_p50")
+            ).alias("approx_within_2pct"),
+        )
+    )

@@ -355,3 +355,50 @@ def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_seen"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+@register(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(o_totalprice) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT CAST(day AS DATE) AS day,
+           n_orders,
+           round(rev, 2) AS revenue,
+           round(sum(rev) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+               AS revenue_7d
+    FROM daily
+    """,
+    tags=("temporal", "B11", "B15"),
+    doc="Trailing 7-day rolling revenue via a TIME-based RANGE frame — "
+    "unlike a ROWS frame, missing days don't stretch the horizon.  "
+    "Spark's rangeBetween needs a numeric ordering key, so the frame "
+    "orders by epoch-day (datediff from 1970-01-01) with range "
+    "[-6, 0]: exactly DuckDB's RANGE INTERVAL 6 DAY PRECEDING.  The "
+    "window runs over the pre-aggregated daily frame (one row per "
+    "day), not the fact table; at scale partition it by entity so no "
+    "ordered partition is unbounded.",
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        "n_orders",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("revenue_7d"),
+    )
