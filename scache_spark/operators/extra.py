@@ -559,3 +559,53 @@ def regexp_extract_all_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(runs).cast("int").alias("n_runs"),
         F.element_at(runs, 1).cast("long").alias("first_num"),
     )
+
+
+@register(
+    "multi_format_federation",
+    oracle="""
+    WITH all_sup AS (
+      SELECT s_suppkey, s_nationkey, s_acctbal, 'parquet' AS src FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal, 'csv' AS src FROM supplier
+      UNION ALL
+      SELECT s_suppkey, s_nationkey, s_acctbal, 'orc' AS src FROM supplier)
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_formats,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM all_sup GROUP BY s_nationkey
+    """,
+    tags=("B1", "B12", "B13", "B7"),
+    doc="Multi-format federation: the SAME logical table read from "
+    "parquet, CSV, and ORC in ONE plan, unioned with per-source "
+    "lineage tags, then reconciled (row vs distinct-key counts prove "
+    "the three copies agree).  Every source is a separate FileScan "
+    "feeding one shuffle — the lake reality where history lives in "
+    "one format and new drops in another.  Schema is declared "
+    "explicitly for the text source; nothing is inferred.",
+)
+def multi_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.catalog import SCHEMAS
+    from scache_spark.sources import read_csv
+
+    cols = ["s_suppkey", "s_nationkey", "s_acctbal"]
+    pq = load_table(spark, sf_dir, "supplier").select(*cols)
+    csv = read_csv(
+        spark, _staged_alt(spark, sf_dir, "csv", "supplier"), SCHEMAS["supplier"]
+    ).select(*cols)
+    orc = spark.read.orc(_staged_alt(spark, sf_dir, "orc", "supplier")).select(
+        *cols
+    )
+    unioned = (
+        pq.withColumn("src", F.lit("parquet"))
+        .unionByName(csv.withColumn("src", F.lit("csv")))
+        .unionByName(orc.withColumn("src", F.lit("orc")))
+    )
+    return unioned.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("s_suppkey").alias("n_distinct"),
+        F.count_distinct("src").alias("n_formats"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
