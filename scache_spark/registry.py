@@ -158,6 +158,7 @@ def _ensure_loaded() -> None:
         similarity,
         temporal,
         text,
+        tpch2,
         udf,
     )
     from scache_spark.streaming import stateful, windows  # noqa: F401

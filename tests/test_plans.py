@@ -170,3 +170,43 @@ def test_pagerank_edges_built_once(spark, sf_dir):
     # every iteration joins BROADCAST against the tiny rank frame —
     # no sort-merge join may appear anywhere in the unrolled loop
     assert not plans.has_sort_merge_join(df), plans.formatted_plan(df)
+
+
+def test_q19_disjunction_pushed_and_broadcast(spark, sf_dir):
+    from scache_spark.operators.tpch2 import tpch_q19_disjunctive_revenue
+
+    df = tpch_q19_disjunctive_revenue(spark, sf_dir)
+    # the 3-brand filter bounds part -> broadcast; no shuffle join
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+    # Catalyst extracts the branch-wise quantity ranges and pushes the
+    # OR-of-ranges into the lineitem scan
+    pf = plans.pushed_filters(df)
+    assert "l_quantity" in pf, pf
+    assert plans.exchange_count(df) <= 1, plans.formatted_plan(df)
+
+
+def test_q20_semi_join_single_exchange(spark, sf_dir):
+    from scache_spark.operators.tpch2 import tpch_q20_potential_promotion
+
+    df = tpch_q20_potential_promotion(spark, sf_dir)
+    # supplier never shuffles: the IN(IN(...)) chain is broadcast
+    # joins + a broadcast LEFT SEMI; the only exchange is the
+    # (partkey, suppkey) quantity aggregate
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df)
+    assert plans.exchange_count(df) <= 1, plans.formatted_plan(df)
+    pf = plans.pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+
+
+def test_q21_bounded_shuffles(spark, sf_dir):
+    from scache_spark.operators.tpch2 import tpch_q21_waiting_suppliers
+
+    df = tpch_q21_waiting_suppliers(spark, sf_dir)
+    # the EXISTS/NOT-EXISTS rewrite costs: lineitem⋈orders shuffle,
+    # the two-phase distinct aggregate, and the st rejoin — but never
+    # a correlated double self-join of lineitem
+    assert plans.exchange_count(df) <= 4, plans.formatted_plan(df)
+    # supplier rides a broadcast onto the survivor set
+    assert plans.has_broadcast_join(df)
