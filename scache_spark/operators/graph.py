@@ -155,3 +155,79 @@ def approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_5pct"),
         )
     )
+
+
+@register(
+    "heavy_hitters_cms_bound",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY user_id)
+    SELECT user_id, exact_cnt,
+           TRUE AS cms_overestimates,
+           TRUE AS cms_within_bound
+    FROM cnt
+    ORDER BY exact_cnt DESC, user_id
+    LIMIT 10
+    """,
+    tags=("B7", "B16", "B20"),
+    doc="Count-min sketch (d=4 rows x w=256 buckets, xxhash64 with "
+    "per-row seeds) estimating per-user event frequencies, verified "
+    "in-query against the exact counts for the top-10 heavy hitters: "
+    "the output asserts the CMS guarantees — estimate >= exact "
+    "(always, by construction) and estimate <= exact + 4N/w (the "
+    "epsilon bound) — which the oracle states as literals, the same "
+    "contract as approx_distinct_bound.  At 100 TB the sketch is "
+    "1024 mergeable counters TOTAL regardless of cardinality: the "
+    "(row, bucket) partial sums combine map-side, so the shuffle "
+    "carries at most d*w rows per mapper while the exact counter "
+    "must shuffle every distinct user.  Deterministic: xxhash64 is a "
+    "fixed function of (user_id, seed).",
+)
+def heavy_hitters_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D, W = 4, 256
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.pmod(F.xxhash64("user_id", F.lit(r)), F.lit(W)).alias("b"),
+            )
+            for r in range(D)
+        ]
+    )
+    sketch = (
+        ev.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
+
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = top.select(
+        "user_id", "exact_cnt", F.explode(rows).alias("rb")
+    ).select("user_id", "exact_cnt", "rb.r", "rb.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("counter").alias("cms_est"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("cms_overestimates"),
+            (
+                F.col("cms_est")
+                <= F.col("exact_cnt")
+                + F.ceil(4.0 * F.col("n_total") / W).cast("long")
+            ).alias("cms_within_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+    )

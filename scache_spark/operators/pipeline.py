@@ -291,3 +291,59 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_sampled_id"
         ),
     )
+
+
+@register(
+    "mixture_sampling_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source),
+    target AS (SELECT min(total_tokens) AS tgt FROM per_source)
+    SELECT source, n_docs, total_tokens,
+           round(CAST(tgt AS DOUBLE) / total_tokens, 6) AS sample_rate,
+           CAST(floor(total_tokens
+                      * round(CAST(tgt AS DOUBLE) / total_tokens, 6))
+                AS BIGINT) AS expected_tokens
+    FROM per_source, target
+    """,
+    tags=("B7", "B20"),
+    doc="Training-mixture weighting: per-source token budgets for an "
+    "equal-allocation mixture (every source down-sampled to the "
+    "smallest source's token count — the balancing step before "
+    "temperature mixing).  Token totals reduce map-side to one row "
+    "per source; the global target is a 1-row aggregate broadcast "
+    "back (no second scan of the corpus).  The sampling rate is "
+    "6dp-rounded on both engines BEFORE the expected-token floor, so "
+    "the integer outputs are bit-identical.  At 100 TB this is two "
+    "scans of nothing: the per-source frame is KB-sized regardless "
+    "of corpus size, and the actual sampler (deterministic_sample) "
+    "consumes these rates as a hash threshold.",
+)
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.lower("text"), " ")))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+    )
+    target = per_source.agg(F.min("total_tokens").alias("tgt"))
+    rate = F.round(
+        F.col("tgt").cast("double") / F.col("total_tokens"), 6
+    )
+    return per_source.crossJoin(F.broadcast(target)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        rate.alias("sample_rate"),
+        F.floor(F.col("total_tokens") * rate).cast("long").alias(
+            "expected_tokens"
+        ),
+    )

@@ -402,3 +402,202 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.sum("rev").over(w), 2).alias("revenue_7d"),
     )
+
+
+@register(
+    "range_bucket_join",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(date_part('epoch',
+               max(ts) - TIMESTAMP '2024-01-01') / 14400) AS BIGINT) AS ns
+      FROM events),
+    w AS (
+      SELECT g AS promo_id,
+             TIMESTAMP '2024-01-01' + g * INTERVAL 4 HOUR AS w_start,
+             TIMESTAMP '2024-01-01' + g * INTERVAL 4 HOUR
+               + INTERVAL 3 HOUR AS w_end
+      FROM generate_series(0, 1000) AS t(g), b WHERE g <= ns)
+    SELECT promo_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM w JOIN events ON ts >= w_start AND ts < w_end
+    GROUP BY promo_id
+    """,
+    tags=("B4", "B7", "B15"),
+    doc="Interval (range) join — custom-operator rule (a): a derived "
+    "table of 3-hour promo windows on a 4-hour stride is joined to "
+    "events on `ts BETWEEN w_start AND w_end` with NO equi key.  "
+    "Executed naively that predicate forces a broadcast nested loop "
+    "(O(n·m) comparisons); instead both sides are mapped to 4-hour "
+    "epoch buckets — each window EXPLODES to the bucket range it "
+    "spans via sequence(), each event to exactly one bucket — so the "
+    "range join becomes an equi-join on bucket with the range "
+    "predicate left as a cheap residual filter.  At 100 TB this "
+    "shuffles on a uniformly distributed integer key and never "
+    "materializes the cross product; the bucket width tunes the "
+    "replication factor (windows replicate per bucket spanned, "
+    "events never replicate).",
+)
+def range_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    origin = F.lit("2024-01-01").cast("timestamp")
+    stride = 14400  # 4 h in seconds
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "user_id",
+        "value",
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp(origin)) / stride
+        ).alias("bucket"),
+    )
+    n_strides = ev.agg(
+        F.floor(
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(origin)) / stride
+        ).alias("ns")
+    )
+    w = (
+        n_strides.select(
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("ns"))).alias(
+                "promo_id"
+            )
+        )
+        .select(
+            "promo_id",
+            F.timestamp_seconds(
+                F.unix_timestamp(origin) + F.col("promo_id") * stride
+            ).alias("w_start"),
+            F.timestamp_seconds(
+                F.unix_timestamp(origin) + F.col("promo_id") * stride + 10800
+            ).alias("w_end"),
+        )
+        # generic bucket expansion: one row per 4h bucket the window
+        # touches (here exactly one, but the code handles spans)
+        .select(
+            "promo_id",
+            "w_start",
+            "w_end",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.unix_timestamp("w_start") - F.unix_timestamp(origin))
+                        / stride
+                    ),
+                    F.floor(
+                        (
+                            F.unix_timestamp("w_end")
+                            - 1
+                            - F.unix_timestamp(origin)
+                        )
+                        / stride
+                    ),
+                )
+            ).alias("bucket"),
+        )
+    )
+    return (
+        ev.join(w, "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_wk AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort,
+                            CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                  AS INT) AS wk_offset
+      FROM events e JOIN first_wk f ON e.user_id = f.user_id)
+    SELECT cohort, wk_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort, wk_offset
+    """,
+    tags=("B4", "B7", "B15"),
+    doc="Cohort retention matrix: users grouped by first-activity "
+    "week, counted in each later week they return.  Two aggregations "
+    "share ONE shuffle key (user_id): the first-week frame groups on "
+    "it and the activity join re-uses the same partitioning, so AQE "
+    "plans a single exchange of the fact table; the final "
+    "(cohort, offset) grid is tiny.  Week offsets are computed as "
+    "day-difference/7 between week-truncated DATES — exact integer "
+    "arithmetic, identical across engines (both truncate weeks to "
+    "Monday).",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (
+        ev.join(first_wk, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("wk_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort", "wk_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n_trans,
+           round(n_trans / CAST(sum(n_trans) OVER
+                 (PARTITION BY from_type) AS DOUBLE), 6) AS p_trans
+    FROM pairs
+    """,
+    tags=("B7", "B11"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the sequence-statistics pass of a behavioral/training "
+    "pipeline).  lead() over (user, time) forms consecutive pairs "
+    "with ONE shuffle on user_id; the pair counts and the row-"
+    "normalizing window both operate on the tiny |types|^2 matrix.  "
+    "The sort key includes event_id so same-timestamp ties order "
+    "identically in both engines.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    norm = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(norm).cast("double"), 6
+        ).alias("p_trans"),
+    )

@@ -458,3 +458,114 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, source,
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, len(t) - 1)] AS g3
+      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+            FROM documents))
+    SELECT doc_id, source,
+           CAST(len(g3) AS INT) AS n_grams,
+           CAST(len(list_distinct(g3)) AS INT) AS n_unique,
+           CASE WHEN len(g3) > 0
+                THEN round(1.0 - len(list_distinct(g3))
+                           / CAST(len(g3) AS DOUBLE), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM g
+    """,
+    tags=("B14", "B17"),
+    doc="Repetition-ratio quality filter (the Gopher/C4-style "
+    "duplicate-n-gram test): per document, the fraction of word "
+    "3-grams that are repeats of an earlier 3-gram in the SAME "
+    "document.  Built entirely with higher-order array functions "
+    "(sequence→transform→slice, array_distinct) — the n-grams are "
+    "never exploded, so this is a single narrow projection with ZERO "
+    "shuffles: at 100 TB it is exactly one scan, and the per-row "
+    "state is bounded by document length, not corpus size.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.split(F.lower("text"), " ")
+    g3 = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", g3.alias("g3")
+    )
+    n_grams = F.size("g3")
+    n_unique = F.size(F.array_distinct("g3"))
+    return d.select(
+        "doc_id",
+        "source",
+        n_grams.cast("int").alias("n_grams"),
+        n_unique.cast("int").alias("n_unique"),
+        F.when(
+            n_grams > 0,
+            F.round(1.0 - n_unique / n_grams.cast("double"), 6),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '')
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM pairs
+    GROUP BY tok
+    HAVING count(*) >= 2
+    """,
+    tags=("B7", "B14", "B17"),
+    doc="Inverted-index build: token -> (document frequency, sorted "
+    "posting list).  The full text NEVER shuffles — documents are "
+    "tokenized and deduplicated to (token, doc_id) pairs map-side, so "
+    "the exchange carries two integers-worth per pair; the posting "
+    "list is sort_array(collect_set(...)) serialized to a string at "
+    "the boundary (array outputs are forbidden cross-engine).  "
+    "Singleton tokens are dropped (df >= 2).  At 100 TB the known "
+    "hazard is posting-list skew on stopword-grade tokens; the "
+    "production mitigation is a df cap / slice() on the sorted list, "
+    "which composes directly with this plan.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+    )
