@@ -296,3 +296,72 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("long").alias("max_y"),
         )
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0
+                  ELSE l_orderkey END AS jkey,
+             l_quantity, l_extendedprice
+      FROM lineitem),
+    dim AS (
+      SELECT CASE WHEN o_orderkey % 4 = 0 THEN 0
+                  ELSE o_orderkey END AS jkey,
+             o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 4 <> 0 OR o_orderkey = 4)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM fact JOIN dim USING (jkey)
+    GROUP BY o_orderpriority
+    """,
+    tags=("B4", "B21"),
+    doc="Salted join under engineered key skew: ~25%% of fact rows "
+    "collapse onto hot key 0 (one dim row keeps it unique, so the "
+    "join result is well-defined).  A plain shuffle join would send "
+    "every hot-key row to ONE reducer; instead the fact side gets a "
+    "deterministic salt pmod(hash(linenumber, partkey), 8) appended "
+    "to the key, the dim side EXPLODES each row to all 8 salts, and "
+    "the join runs on (key, salt) — the hot key's rows spread across "
+    "8 reducers at the cost of replicating only the small side 8x.  "
+    "This is the manual form of what AQE skew-split does adaptively, "
+    "and the join-side companion to skew_salted_agg; identical "
+    "result to the plain join the oracle runs.",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("jkey"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(SALTS)).alias(
+            "_salt"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 4 != 0) | (F.col("o_orderkey") == 4)
+    )
+    dim = o.select(
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(0))
+        .otherwise(F.col("o_orderkey"))
+        .alias("jkey"),
+        "o_orderpriority",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(SALTS - 1).cast("long"))
+        ).alias("_salt"),
+    )
+    # hint away the broadcast so the salted SHUFFLE path is what runs
+    # (at 100 TB neither side broadcasts; at test SF Spark would)
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["jkey", "_salt"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )

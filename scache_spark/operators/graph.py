@@ -231,3 +231,39 @@ def heavy_hitters_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
     )
+
+
+@register(
+    "user_activity_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id)
+    SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(n) AS BIGINT) AS min_events,
+           CAST(max(n) AS BIGINT) AS max_events
+    FROM c GROUP BY 1
+    """,
+    tags=("B7", "B16"),
+    doc="Log2-binned per-user activity histogram (the power-law "
+    "degree sketch used to pick skew mitigations before a join on "
+    "user_id).  The bucket is floor(log2 n) computed EXACTLY as "
+    "length(bin(n))-1 — pure integer/string arithmetic, immune to "
+    "the libm log() ulp drift a float log2 would risk at power-of-"
+    "two boundaries.  Two map-side-combinable aggregations; the "
+    "histogram itself is ~32 rows no matter the corpus.",
+)
+def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return c.groupBy(
+        (F.length(F.bin("n")) - 1).cast("int").alias("bucket_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.min("n").alias("min_events"),
+        F.max("n").alias("max_events"),
+    )

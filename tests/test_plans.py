@@ -210,3 +210,12 @@ def test_q21_bounded_shuffles(spark, sf_dir):
     assert plans.exchange_count(df) <= 4, plans.formatted_plan(df)
     # supplier rides a broadcast onto the survivor set
     assert plans.has_broadcast_join(df)
+
+
+def test_salted_join_shuffles_not_broadcasts(spark, sf_dir):
+    from scache_spark.operators.blocks import salted_skew_join
+
+    df = salted_skew_join(spark, sf_dir)
+    # the whole point is the shuffle path: broadcast would hide the
+    # salt spreading (and is impossible at 100 TB)
+    assert not plans.has_broadcast_join(df), plans.formatted_plan(df)
