@@ -609,3 +609,57 @@ def multi_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("src").alias("n_formats"),
         F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
     )
+
+
+def _staged_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events ONCE per sf as hive-partitioned parquet
+    (event_type directories) so partition pruning is exercisable as a
+    registered query.  Single overwrite write → _SUCCESS implies
+    completeness."""
+    from scache_spark.sources import write_parquet
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = _os.path.join(_SRC_ROOT, f"{key}_events_parts")
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        write_parquet(
+            load_table(spark, sf_dir, "events"),
+            out,
+            partition_by=["event_type"],
+        )
+    return out
+
+
+@register(
+    "partition_pruned_read",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, day
+    """,
+    tags=("B1", "B3", "B7", "B21"),
+    doc="Hive-partitioned sink + partition-pruned scan: events are "
+    "written ONCE per sf partitioned by event_type, then read back "
+    "with an IN-filter on the partition column — the filter resolves "
+    "against directory metadata, so the non-matching partitions are "
+    "never opened (PartitionFilters in the plan; asserted in "
+    "tests/test_plans.py).  This is the 100 TB table-layout "
+    "contract: partition on the high-selectivity predicate column "
+    "and a scan touches only the data it needs.  The oracle runs the "
+    "same filter over the original un-partitioned parquet, proving "
+    "the layout round-trip is lossless.",
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -219,3 +219,15 @@ def test_salted_join_shuffles_not_broadcasts(spark, sf_dir):
     # the whole point is the shuffle path: broadcast would hide the
     # salt spreading (and is impossible at 100 TB)
     assert not plans.has_broadcast_join(df), plans.formatted_plan(df)
+
+
+def test_partition_pruning_reaches_directory_level(spark, sf_dir):
+    from scache_spark.operators.extra import partition_pruned_read
+
+    df = partition_pruned_read(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # the IN-filter must resolve as a PartitionFilter (directory
+    # pruning), not a data Filter over every partition's rows
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
