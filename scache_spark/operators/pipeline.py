@@ -347,3 +347,59 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_tokens"
         ),
     )
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source),
+    powed AS (
+      SELECT source, total_tokens,
+             round(pow(CAST(total_tokens AS DOUBLE), 0.7), 4) AS w
+      FROM per_source),
+    norm AS (SELECT round(sum(w), 4) AS z FROM powed)
+    SELECT source, total_tokens,
+           round(w / z, 6) AS mix_weight,
+           round((w / z) * 100000, 2) AS tokens_per_100k
+    FROM powed, norm
+    """,
+    tags=("B7", "B16", "B20"),
+    doc="Temperature-scaled mixture weights (tau=0.7, the multilingual-"
+    "corpus rebalancing rule: raise per-source mass to tau and "
+    "renormalize, up-weighting small sources without letting any "
+    "source dominate).  Same two-aggregate shape as "
+    "mixture_sampling_weights: per-source token totals reduce map-"
+    "side, the normalizer is a 1-row broadcast — zero extra scans.  "
+    "pow and the division are 4dp/6dp-rounded in a fixed order on "
+    "both engines so the weights are bit-identical.",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_source = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.lower("text"), " ")))
+            .cast("long")
+            .alias("total_tokens")
+        )
+    )
+    powed = per_source.select(
+        "source",
+        "total_tokens",
+        F.round(F.pow(F.col("total_tokens").cast("double"), 0.7), 4).alias(
+            "w"
+        ),
+    )
+    norm = powed.agg(F.round(F.sum("w"), 4).alias("z"))
+    return powed.crossJoin(F.broadcast(norm)).select(
+        "source",
+        "total_tokens",
+        F.round(F.col("w") / F.col("z"), 6).alias("mix_weight"),
+        F.round((F.col("w") / F.col("z")) * 100000, 2).alias(
+            "tokens_per_100k"
+        ),
+    )
