@@ -511,3 +511,42 @@ def approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_within_2pct"),
         )
     )
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT source, doc_id, n_chars FROM ranked WHERE rn <= 5
+    """,
+    tags=("B10", "B20"),
+    doc="Fixed-quota sampling: exactly k=5 documents per source, "
+    "chosen by ranking on a content-independent hash — the "
+    "deterministic, partition-layout-independent stand-in for a "
+    "per-group reservoir sample (rand()-based sampling can never "
+    "hash-match an oracle).  One shuffle on the group key; the hash "
+    "order is md5 of the key rendered as text, identical in both "
+    "engines, with doc_id as total-order tie-break.  At 100 TB the "
+    "window sorts each group once — for pathological group sizes the "
+    "mitigation is the same two-phase local-top-k that "
+    "topk_per_group documents, and AQE skew-split applies.",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
