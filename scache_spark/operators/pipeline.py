@@ -403,3 +403,99 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_100k"
         ),
     )
+
+
+@register(
+    "document_quality_gate",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+               1.0 - len(list_distinct(
+                       [array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)]))
+                     / CAST(len(t) - 2 AS DOUBLE)
+             ELSE 0.0 END AS rep,
+             CASE WHEN length(text) > 0 THEN
+               len(regexp_extract_all(text, '[^a-z ]'))
+                 / CAST(length(text) AS DOUBLE)
+             ELSE 1.0 END AS nonalpha
+      FROM (SELECT doc_id, source, text,
+                   string_split(lower(text), ' ') AS t FROM documents)),
+    gated AS (
+      SELECT doc_id, source, n_tok,
+             round(rep, 6) AS rep_ratio,
+             round(nonalpha, 6) AS nonalpha_ratio,
+             (n_tok < 5)           AS fail_short,
+             (n_tok > 2000)        AS fail_long,
+             (round(rep, 6) > 0.3) AS fail_repetitive,
+             (round(nonalpha, 6) > 0.3) AS fail_symbols
+      FROM sig)
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           rep_ratio, nonalpha_ratio,
+           (NOT (fail_short OR fail_long OR fail_repetitive
+                 OR fail_symbols)) AS keep,
+           concat_ws(',',
+             CASE WHEN fail_short THEN 'short' END,
+             CASE WHEN fail_long THEN 'long' END,
+             CASE WHEN fail_repetitive THEN 'repetitive' END,
+             CASE WHEN fail_symbols THEN 'symbols' END) AS drop_reasons
+    FROM gated
+    """,
+    tags=("B14", "B17", "B19"),
+    doc="C4/Gopher-style document quality GATE: the individual "
+    "signals (token count, duplicate-3-gram repetition ratio, "
+    "non-alpha symbol ratio) fused into one keep/drop verdict with "
+    "machine-readable drop reasons — the decision pass an LLM "
+    "ingestion pipeline runs before tokenization.  Every rule "
+    "threshold compares against the 6dp-rounded signal on both "
+    "engines, so the verdict bit is cross-engine exact.  Still one "
+    "narrow projection: zero shuffles, one scan at 100 TB, and the "
+    "reason string costs nothing downstream (filter pushdown on "
+    "`keep` prunes at the parquet reader when this gate is "
+    "materialized).",
+)
+def document_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.split(F.lower("text"), " ")
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    n_tok = F.size(t)
+    rep = F.when(
+        n_tok >= 3,
+        1.0
+        - F.size(F.array_distinct(g3)) / (n_tok - 2).cast("double"),
+    ).otherwise(0.0)
+    nonalpha = F.when(
+        F.length("text") > 0,
+        F.size(F.regexp_extract_all("text", F.lit("[^a-z ]"), F.lit(0)))
+        / F.length("text").cast("double"),
+    ).otherwise(1.0)
+    sig = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        n_tok.cast("int").alias("n_tok"),
+        F.round(rep, 6).alias("rep_ratio"),
+        F.round(nonalpha, 6).alias("nonalpha_ratio"),
+    )
+    fail_short = F.col("n_tok") < 5
+    fail_long = F.col("n_tok") > 2000
+    fail_rep = F.col("rep_ratio") > 0.3
+    fail_sym = F.col("nonalpha_ratio") > 0.3
+    return sig.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "rep_ratio",
+        "nonalpha_ratio",
+        (~(fail_short | fail_long | fail_rep | fail_sym)).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(fail_short, "short"),
+            F.when(fail_long, "long"),
+            F.when(fail_rep, "repetitive"),
+            F.when(fail_sym, "symbols"),
+        ).alias("drop_reasons"),
+    )
