@@ -89,17 +89,25 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_t", "dst_t")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    # node count rides ON the node frame as an unpartitioned window
+    # over the ~|event_types| distinct rows — a separate nodes.agg()
+    # scalar would re-run the distinct-over-events subtree at every
+    # one of its uses in the unrolled loop
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .withColumn(
+            "cnt",
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("double"),
+        )
+    )
     outw = edges.groupBy("src_t").agg(F.sum("w").alias("ow"))
     # weight share per edge: w/outw — computed once, reused every round
     eshare = edges.join(outw, "src_t").select(
         "src_t", "dst_t", (F.col("w") / F.col("ow")).alias("share")
     )
 
-    pr = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("cnt")).alias("pr")
-    )
+    pr = nodes.select("node", (F.lit(1.0) / F.col("cnt")).alias("pr"))
     for _ in range(_ITERS):
         contrib = (
             eshare.join(F.broadcast(pr), eshare.src_t == pr.node)
@@ -108,7 +116,6 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = (
             nodes.join(F.broadcast(contrib), nodes.node == contrib.dst_t, "left")
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
                 (
@@ -208,17 +215,28 @@ def heavy_hitters_cms_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(10)
 
-    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    # N falls out of the sketch itself: every stream element lands in
+    # exactly one bucket of hash row 0, so summing row 0's counters IS
+    # the stream length — an unpartitioned window over the 1024-row
+    # sketch, not a third scan of events
+    from pyspark.sql.window import Window
+
+    sketch = sketch.withColumn(
+        "n_total",
+        F.sum(F.when(F.col("r") == 0, F.col("counter")).otherwise(0)).over(
+            Window.partitionBy()
+        ),
+    )
     probes = top.select(
         "user_id", "exact_cnt", F.explode(rows).alias("rb")
     ).select("user_id", "exact_cnt", "rb.r", "rb.b")
     est = (
         probes.join(F.broadcast(sketch), ["r", "b"])
-        .groupBy("user_id", "exact_cnt")
+        .groupBy("user_id", "exact_cnt", "n_total")
         .agg(F.min("counter").alias("cms_est"))
     )
     return (
-        est.crossJoin(F.broadcast(total))
+        est
         .select(
             "user_id",
             "exact_cnt",

@@ -315,8 +315,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equal-allocation mixture (every source down-sampled to the "
     "smallest source's token count — the balancing step before "
     "temperature mixing).  Token totals reduce map-side to one row "
-    "per source; the global target is a 1-row aggregate broadcast "
-    "back (no second scan of the corpus).  The sampling rate is "
+    "per source; the global target is an unpartitioned window min "
+    "over that per-source frame, so the corpus is scanned exactly "
+    "once.  The sampling rate is "
     "6dp-rounded on both engines BEFORE the expected-token floor, so "
     "the integer outputs are bit-identical.  At 100 TB this is two "
     "scans of nothing: the per-source frame is KB-sized regardless "
@@ -334,11 +335,14 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_tokens"),
         )
     )
-    target = per_source.agg(F.min("total_tokens").alias("tgt"))
-    rate = F.round(
-        F.col("tgt").cast("double") / F.col("total_tokens"), 6
-    )
-    return per_source.crossJoin(F.broadcast(target)).select(
+    from pyspark.sql.window import Window
+
+    # scalar target via an unpartitioned window over the tiny
+    # per-source frame: documents is scanned ONCE (a crossJoin of
+    # per_source.agg would re-run the corpus aggregation)
+    tgt = F.min("total_tokens").over(Window.partitionBy())
+    rate = F.round(tgt.cast("double") / F.col("total_tokens"), 6)
+    return per_source.select(
         "source",
         "n_docs",
         "total_tokens",
@@ -373,7 +377,8 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "renormalize, up-weighting small sources without letting any "
     "source dominate).  Same two-aggregate shape as "
     "mixture_sampling_weights: per-source token totals reduce map-"
-    "side, the normalizer is a 1-row broadcast — zero extra scans.  "
+    "side, the normalizer is a window sum over the per-source frame "
+    "— zero extra corpus scans.  "
     "pow and the division are 4dp/6dp-rounded in a fixed order on "
     "both engines so the weights are bit-identical.",
 )
@@ -394,8 +399,11 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     )
-    norm = powed.agg(F.round(F.sum("w"), 4).alias("z"))
-    return powed.crossJoin(F.broadcast(norm)).select(
+    from pyspark.sql.window import Window
+
+    z = F.round(F.sum("w").over(Window.partitionBy()), 4)
+    powed = powed.withColumn("z", z)
+    return powed.select(
         "source",
         "total_tokens",
         F.round(F.col("w") / F.col("z"), 6).alias("mix_weight"),

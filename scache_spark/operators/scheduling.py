@@ -144,25 +144,34 @@ def lpt_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     "K_maps×R cells regardless of corpus size.",
 )
 def expected_reduce_size_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     b = block_view(spark, sf_dir)
-    fw = (
-        b.filter(F.col("map") < 4)
-        .groupBy("map", "reduce")
-        .agg(F.sum("size").alias("mr"))
-    )
+    # ONE aggregation squeezes the fact table to K_maps x R cells;
+    # first-wave stats AND the global byte total both derive from
+    # that small frame (total as an unpartitioned window), so the
+    # 100 TB input is scanned exactly once
+    cells = b.groupBy("map", "reduce").agg(
+        F.sum("size").alias("mr")
+    ).withColumn("all_bytes", F.sum("mr").over(Window.partitionBy()))
+    fw = cells.filter(F.col("map") < 4)
     fw_tot = fw.groupBy("map").agg(F.sum("mr").alias("mt"))
-    grid = fw.select("map").distinct().crossJoin(b.select("reduce").distinct())
+    grid = fw.select("map").distinct().crossJoin(
+        cells.select("reduce", "all_bytes").distinct()
+    )
     probs = (
-        grid.join(fw, ["map", "reduce"], "left")
+        grid.join(fw.select("map", "reduce", "mr"), ["map", "reduce"], "left")
         .join(fw_tot, "map")
         .select(
             "reduce",
+            "all_bytes",
             (F.coalesce(F.col("mr"), F.lit(0)) * 1.0 / F.col("mt")).alias("p"),
         )
     )
-    phat = probs.groupBy("reduce").agg(F.avg("p").alias("ph"))
-    total = b.agg(F.sum("size").alias("all_bytes"))
-    return phat.crossJoin(F.broadcast(total)).select(
+    phat = probs.groupBy("reduce").agg(
+        F.avg("p").alias("ph"), F.max("all_bytes").alias("all_bytes")
+    )
+    return phat.select(
         "reduce",
         F.round(F.col("ph"), 8).alias("p_hat"),
         F.round(F.col("ph") * F.col("all_bytes"), 2).alias("expected_size"),

@@ -345,9 +345,13 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q11 shape: parts whose inventory value from a nation "
     "group exceeds a global-fraction threshold.  The scalar subquery "
     "becomes a 1-row aggregate CROSS-broadcast against the per-part "
-    "values — one pass builds v, a second tiny jobless reduction "
-    "builds the threshold; the fact table is scanned once.  Both the "
-    "per-part value and the threshold are 2dp-rounded on both "
+    "values — computed as an UNPARTITIONED window sum over the "
+    "already-aggregated per-part frame, so the fact table is scanned "
+    "exactly once (a crossJoin-of-aggregate would re-execute the "
+    "whole aggregation subtree: two 100 TB scans for one scalar).  "
+    "The single-partition window is safe because it runs on the "
+    "per-part frame, whose size is |parts|, not |lineitem|.  Both "
+    "the per-part value and the threshold are 2dp-rounded on both "
     "engines before the strict > compare, so the cut is identical.",
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,9 +377,11 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val")
         )
     )
-    thr = v.agg(F.round(F.sum("val") * 0.001, 2).alias("thr"))
+    from pyspark.sql.window import Window
+
+    thr = F.round(F.sum("val").over(Window.partitionBy()) * 0.001, 2)
     return (
-        v.crossJoin(F.broadcast(thr))
+        v.withColumn("thr", thr)
         .filter(F.col("val") > F.col("thr"))
         .select("l_partkey", "val")
     )
@@ -492,8 +498,10 @@ def tpch_q13_customer_distribution(
     tags=("B4", "B5", "B7", "B10"),
     doc="TPC-H Q15 shape: the supplier(s) with maximum Q1-1996 "
     "revenue.  The view + scalar MAX subquery becomes: one revenue "
-    "aggregate (2dp-rounded), a 1-row max cross-broadcast back, and "
-    "an equality filter — ties all survive, exactly like the SQL.  "
+    "aggregate (2dp-rounded), an unpartitioned window max over that "
+    "tiny per-supplier frame (NOT a crossJoin-of-aggregate, which "
+    "would scan lineitem twice), and an equality filter — ties all "
+    "survive, exactly like the SQL.  "
     "Comparing 2dp-rounded doubles for equality is safe because both "
     "engines round the same per-group sums; supplier broadcasts onto "
     "the tiny winner set.",
@@ -512,9 +520,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    from pyspark.sql.window import Window
+
+    mx = F.max("total_revenue").over(Window.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("max_rev", mx)
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
             F.broadcast(
