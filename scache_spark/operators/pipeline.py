@@ -507,3 +507,94 @@ def document_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fail_sym, "symbols"),
         ).alias("drop_reasons"),
     )
+
+
+@register(
+    "training_corpus_e2e",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, source,
+             md5(lower(text)) AS h,
+             len(t) AS n_tok,
+             (len(t) >= 5 AND len(t) <= 2000
+              AND (CASE WHEN len(t) >= 3 THEN
+                     1.0 - len(list_distinct(
+                             [array_to_string(t[i:i+2], ' ')
+                              for i in range(1, len(t) - 1)]))
+                          / CAST(len(t) - 2 AS DOUBLE)
+                   ELSE 0.0 END) <= 0.3) AS keep
+      FROM (SELECT doc_id, source, text,
+                   string_split(lower(text), ' ') AS t FROM documents)),
+    survivors AS (
+      SELECT h, min(doc_id) AS keep_id
+      FROM sig WHERE keep GROUP BY h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(sum(CASE WHEN s.keep_id = sig.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unique,
+           CAST(sum(n_tok) AS BIGINT) AS tok_raw,
+           CAST(sum(CASE WHEN s.keep_id = sig.doc_id THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tok_final,
+           round(sum(CASE WHEN s.keep_id = sig.doc_id THEN n_tok
+                          ELSE 0 END)
+                 / CAST(sum(n_tok) AS DOUBLE), 6) AS retention
+    FROM sig LEFT JOIN survivors s ON sig.h = s.h AND sig.keep
+    GROUP BY source
+    """,
+    tags=("B3", "B7", "B13", "B14", "B17"),
+    doc="The END-TO-END ingestion funnel a training pipeline actually "
+    "runs, as ONE plan: quality gate (token-count bounds + duplicate-"
+    "3-gram repetition filter) -> exact content dedup among the "
+    "gate's survivors (min-id per hash) -> per-source retention "
+    "report in documents and tokens.  The gate signals and the "
+    "content hash are computed in a single narrow projection (one "
+    "corpus scan); the dedup decision table is (hash, keep_id) so "
+    "text never shuffles; the funnel counts are one aggregation.  "
+    "This is the composition proof for the operator suite: gate, "
+    "dedup, and reporting are the SAME queries registered "
+    "individually (document_quality_gate, dedup_materialize, "
+    "mixture_sampling_weights feed on its output in production).",
+)
+def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.split(F.lower("text"), " ")
+    n_tok = F.size(t)
+    g3 = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+    )
+    rep = F.when(
+        n_tok >= 3,
+        1.0 - F.size(F.array_distinct(g3)) / (n_tok - 2).cast("double"),
+    ).otherwise(0.0)
+    sig = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.lower("text")).alias("h"),
+        n_tok.cast("long").alias("n_tok"),
+        ((n_tok >= 5) & (n_tok <= 2000) & (rep <= 0.3)).alias("keep"),
+    )
+    survivors = (
+        sig.filter("keep").groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    )
+    joined = sig.join(
+        survivors,
+        (sig.h == survivors.h) & sig.keep,
+        "left",
+    ).drop(survivors.h)
+    is_surv = F.when(F.col("keep_id") == F.col("doc_id"), 1).otherwise(0)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias(
+            "n_quality"
+        ),
+        F.sum(is_surv).cast("long").alias("n_unique"),
+        F.sum("n_tok").cast("long").alias("tok_raw"),
+        F.sum(is_surv * F.col("n_tok")).cast("long").alias("tok_final"),
+        F.round(
+            F.sum(is_surv * F.col("n_tok"))
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("retention"),
+    )
