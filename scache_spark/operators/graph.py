@@ -285,3 +285,60 @@ def user_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_events"),
         F.max("n").alias("max_events"),
     )
+
+
+@register(
+    "triangle_count_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    edges AS (
+      SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM seq WHERE b IS NOT NULL AND a <> b),
+    tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("B4", "B7", "B12"),
+    doc="Triangle counting on the undirected event-type transition "
+    "graph: canonical-orient every edge (least, greatest) so each "
+    "triangle is enumerated exactly once by the ordered two-hop "
+    "self-join x<y<z — the standard distributed triangle algorithm.  "
+    "On this graph the edge list is tiny; on a real 100 TB graph the "
+    "SAME plan holds with the canonical orientation switched to "
+    "degree order (low-degree vertex first), which bounds each "
+    "join's fan-out by the arboricity instead of the max degree.",
+)
+def triangle_count_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    edges = (
+        seq.filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_edges.crossJoin(tri)

@@ -550,3 +550,43 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "equi_depth_binning",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice AS price,
+             ntile(8) OVER (ORDER BY l_extendedprice,
+                            l_orderkey, l_linenumber) AS bin
+      FROM lineitem)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(price), 4) AS lo,
+           round(max(price), 4) AS hi
+    FROM ranked GROUP BY bin
+    """,
+    tags=("B11", "B20"),
+    doc="Equi-depth (equal-frequency) binning: 8 buckets with equal "
+    "row counts via ntile over a TOTAL order — (price, orderkey, "
+    "linenumber) — so tie placement at bucket boundaries is "
+    "identical in both engines.  This is the feature-bucketizer / "
+    "histogram-equalization primitive.  The global sort is the cost "
+    "at 100 TB; the production path computes boundaries from "
+    "approx_percentile (t-digest, tested in approx_percentile_bound) "
+    "and assigns buckets with a scan — this exact variant is its "
+    "oracle-able twin, same contract as percentile_battery.",
+)
+def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price"),
+        F.ntile(8).over(w).alias("bin"),
+    )
+    return ranked.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.min("price"), 4).alias("lo"),
+        F.round(F.max("price"), 4).alias("hi"),
+    )
