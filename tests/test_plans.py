@@ -231,3 +231,36 @@ def test_partition_pruning_reaches_directory_level(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0], plan
+
+
+def test_e2e_funnel_two_exchanges(spark, sf_dir):
+    from scache_spark.operators.pipeline import training_corpus_e2e
+
+    df = training_corpus_e2e(spark, sf_dir)
+    # gate signals + hash are one narrow projection; the only
+    # shuffles are the survivor aggregate and the per-source funnel —
+    # the corpus text itself never exchanges
+    assert plans.exchange_count(df) <= 2, plans.formatted_plan(df)
+    assert "Cartesian" not in plans.formatted_plan(df)
+
+
+def test_q2_no_cartesian_and_bounded(spark, sf_dir):
+    from scache_spark.operators.tpch2 import tpch_q2_min_cost_supplier
+
+    df = tpch_q2_min_cost_supplier(spark, sf_dir)
+    # the correlated-min rejoin must stay an equi-join on
+    # (part, rounded cost) — never a cartesian/BNLJ
+    plan = plans.formatted_plan(df)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plans.has_broadcast_join(df)
+    assert plans.exchange_count(df) <= 5, plan
+
+
+def test_sessionization_single_user_shuffle(spark, sf_dir):
+    from scache_spark.operators.temporal import session_path_mining
+
+    df = session_path_mining(spark, sf_dir)
+    # one shuffle on user_id serves sessionization AND path assembly;
+    # the second is the tiny (path, count) aggregate + top-k
+    assert plans.exchange_count(df) <= 2, plans.formatted_plan(df)
+    assert not plans.has_sort_merge_join(df)
