@@ -590,3 +590,81 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("price"), 4).alias("lo"),
         F.round(F.max("price"), 4).alias("hi"),
     )
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_distinct(string_split(lower(p_name), ' ')) AS a,
+             list_distinct(string_split(lower(p_type), ' ')) AS b
+      FROM part)
+    SELECT p_partkey,
+           coalesce(array_to_string(
+             list_sort(list_filter(a, x -> NOT list_contains(b, x))), ','),
+             '') AS only_name,
+           coalesce(array_to_string(
+             list_sort(list_filter(a, x -> list_contains(b, x))), ','), '')
+             AS common,
+           coalesce(array_to_string(list_sort(list_distinct(a || b)), ','),
+                    '') AS all_words,
+           CAST(len(list_filter(a, x -> list_contains(b, x))) AS INT)
+             AS n_common
+    FROM t
+    """,
+    tags=("B12", "B17"),
+    doc="Array SET operations (except / intersect / union) — the "
+    "B12 set semantics applied inside a row.  Spark's array_except/"
+    "array_intersect preserve first-argument order, but DuckDB's "
+    "list_distinct does NOT — so every serialized set is explicitly "
+    "sorted on both engines; never rely on a set op's element order "
+    "cross-engine.  All higher-order "
+    "codegen — no explode, no shuffle, one scan.",
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = F.array_distinct(F.split(F.lower("p_name"), " "))
+    b = F.array_distinct(F.split(F.lower("p_type"), " "))
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_except(a, b)), ",").alias(
+            "only_name"
+        ),
+        F.array_join(F.array_sort(F.array_intersect(a, b)), ",").alias(
+            "common"
+        ),
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias(
+            "all_words"
+        ),
+        F.size(F.array_intersect(a, b)).cast("int").alias("n_common"),
+    )
+
+
+@register(
+    "explode_outer_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey,
+             list_filter(list_distinct(string_split(lower(p_name), ' ')),
+                         x -> list_contains(
+                           list_distinct(string_split(lower(p_type), ' ')),
+                           x)) AS c
+      FROM part)
+    SELECT p_partkey,
+           unnest(CASE WHEN len(c) = 0 THEN [NULL] ELSE c END) AS word
+    FROM t
+    """,
+    tags=("B17", "B19"),
+    doc="explode_outer null semantics: rows whose array is EMPTY "
+    "survive as a single null row instead of vanishing — the corner "
+    "that silently loses data when a pipeline uses plain explode on "
+    "sparse arrays (every part whose name shares no word with its "
+    "type would disappear from a per-part report).  The oracle "
+    "emulates it with unnest over a [NULL] substitution.",
+)
+def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = F.array_distinct(F.split(F.lower("p_name"), " "))
+    b = F.array_distinct(F.split(F.lower("p_type"), " "))
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.explode_outer(F.array_intersect(a, b)).alias("word")
+    )
