@@ -210,3 +210,63 @@ def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_assets"),
         F.round(F.avg("feat_mean"), 6).alias("mime_mean"),
     )
+
+
+_FRAME_SCHEMA = (
+    "asset_id long, frame_no int, first_byte int, frame_sig string"
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched frame sampling: for each video blob, emit one row
+    per sampled 64-byte 'frame' (stride sampling, capped at 8) — a
+    CARDINALITY-CHANGING mapInPandas, the shape a real video decoder
+    (absent from this container; see _fake_decode's contract) plugs
+    into unchanged: same batch iteration, same fan-out schema."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for aid, blob in zip(pdf["asset_id"], pdf["blob"]):
+            b = bytes(blob)
+            for g in range(min(len(b) // 64, 8)):
+                seg = b[g * 64 : (g + 1) * 64]
+                rows.append(
+                    (int(aid), g, seg[0], hashlib.md5(seg).hexdigest())
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["asset_id", "frame_no", "first_byte", "frame_sig"],
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(g AS INT) AS frame_no,
+           CAST(ascii(substr(text, g * 64 + 1, 1)) AS INT) AS first_byte,
+           md5(substr(text, g * 64 + 1, 64)) AS frame_sig
+    FROM documents, generate_series(0, 7) t(g)
+    WHERE doc_id % 3 = 2
+      AND g < least(octet_length(encode(text)) // 64, 8)
+    """,
+    tags=("north-star", "B23"),
+    doc="Video frame sampling over opaque binary assets: mapInPandas "
+    "fans each video blob out to up to 8 sampled frames (frame rows "
+    "per input row — the cardinality-changing UDF shape a real "
+    "decoder needs), with per-frame signatures computed from the "
+    "bytes.  The decode itself is the documented deterministic fake "
+    "(64-byte strides of the payload; media codecs are absent from "
+    "the container) but every piece of Spark plumbing — binary "
+    "column through Arrow, batch iteration, fan-out schema, "
+    "downstream aggregability — is real.  The oracle reproduces the "
+    "stride arithmetic in pure SQL over the ASCII fixture.  At "
+    "100 TB this is one scan, no shuffle, and the frame stream "
+    "partitions exactly like its source assets.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = binary_assets(spark, sf_dir).filter(
+        F.col("mime") == "video/mp4"
+    ).select("asset_id", "blob")
+    return assets.mapInPandas(sample_frames, _FRAME_SCHEMA)
