@@ -663,3 +663,47 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("B7", "B12", "B15"),
+    doc="Incremental view maintenance: the history partition "
+    "(ts < 2024-01-25) is reduced to per-group partials (count, sum) "
+    "exactly once, the fresh partition separately, and the view is "
+    "the RE-AGGREGATION of the unioned partials — count and sum are "
+    "decomposable, avg derives from them at the end (never averaged "
+    "across partials).  The oracle recomputes from raw data, proving "
+    "partial-merge == full recompute.  This is the 100 TB "
+    "continuous-aggregate contract: each refresh touches only the "
+    "new partition, history is carried as a few rows per group — "
+    "the batch twin of the streaming foreachBatch partial sink.",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("pn"),
+            F.sum("value").alias("pt"),
+        )
+
+    hist = partials(ev.filter(F.col("ts") < cutoff))
+    fresh = partials(ev.filter(F.col("ts") >= cutoff))
+    return (
+        hist.unionByName(fresh)
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").cast("long").alias("n"),
+            F.round(F.sum("pt"), 2).alias("total"),
+            F.round(F.sum("pt") / F.sum("pn"), 4).alias("avg_value"),
+        )
+    )
