@@ -668,3 +668,89 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "part").select(
         "p_partkey", F.explode_outer(F.array_intersect(a, b)).alias("word")
     )
+
+
+@register(
+    "higher_order_funcs",
+    oracle="""
+    SELECT vec_id,
+           (len(list_filter(embedding, x -> NOT (abs(x) <= 1.0))) = 0)
+             AS all_unit,
+           (len(list_filter(embedding, x -> x > 0.5)) > 0) AS any_big,
+           round(list_aggregate(
+             [CASE WHEN CAST(x AS DOUBLE) > 0
+                   THEN CAST(x AS DOUBLE) ELSE 0.0 END
+              for x in embedding], 'sum'), 6) AS relu_sum,
+           CAST(len(list_filter([i for i in range(1, len(embedding) + 1)],
+                                i -> i % 2 = 1
+                                AND embedding[i] > 0)) AS INT)
+             AS n_pos_odd
+    FROM embeddings
+    """,
+    tags=("B17",),
+    doc="Higher-order predicate battery: forall (every |x| <= 1), "
+    "exists (any component > 0.5), a ReLU fold, and a position-aware "
+    "filter (positive components at odd indices) — transform/filter/"
+    "aggregate/forall/exists all inside whole-stage codegen, zero "
+    "UDFs, zero shuffles.  The oracle states forall/exists as "
+    "list_filter cardinality tests, the portable form.",
+)
+def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("embedding")
+    relu = F.aggregate(
+        emb,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.greatest(x.cast("double"), F.lit(0.0)),
+    )
+    pos_odd = F.filter(
+        F.sequence(F.lit(1), F.size(emb)),
+        lambda i: (i % 2 == 1) & (F.element_at(emb, i) > 0),
+    )
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+        F.exists(emb, lambda x: x > 0.5).alias("any_big"),
+        F.round(relu, 6).alias("relu_sum"),
+        F.size(pos_odd).cast("int").alias("n_pos_odd"),
+    )
+
+
+@register(
+    "weekday_bitmask_engagement",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(1 << dayofweek(ts)) AS BIGINT) AS day_mask,
+           CAST(bit_count(CAST(bit_or(1 << dayofweek(ts)) AS BIGINT))
+                AS INT) AS n_active_days,
+           (bit_or(1 << dayofweek(ts)) & 65)
+             = bit_or(1 << dayofweek(ts)) AS weekend_only
+    FROM events GROUP BY user_id
+    """,
+    tags=("B7", "B16"),
+    doc="Weekday-engagement bitmask: one 7-bit integer per user "
+    "(bit d set iff the user was active on weekday d; Spark's "
+    "dayofweek-1 equals DuckDB's dayofweek, Sunday=0), built with "
+    "the bit_or AGGREGATE — a set-union that costs 8 bytes of "
+    "mergeable state per user, the idiom behind retention bitmaps "
+    "and roaring-bitmap segmentation.  bit_count and the "
+    "weekend-mask test (bits 0 and 6 = 65) are pure integer ops, "
+    "bit-identical across engines.",
+)
+def weekday_bitmask_engagement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        # shiftleft needs a literal count in the Python API; the SQL
+        # form takes a column
+        F.expr("shiftleft(CAST(1 AS BIGINT), dayofweek(ts) - 1)").alias(
+            "day_bit"
+        ),
+    )
+    mask = F.bit_or("day_bit")
+    return ev.groupBy("user_id").agg(
+        mask.alias("day_mask"),
+        F.bit_count(mask).cast("int").alias("n_active_days"),
+        (mask.bitwiseAND(F.lit(65)) == mask).alias("weekend_only"),
+    )
