@@ -602,3 +602,73 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# cross-document exact substring-window dedup
+# ---------------------------------------------------------------------------
+
+WINDOW_K = 8  # tokens per duplicated-span window
+MAX_WINDOW_DOCS = 16  # boilerplate cutoff: drop windows shared too widely
+
+
+@register(
+    "dedup_substring_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+    wins AS (
+      SELECT doc_id,
+             list_distinct([md5(array_to_string(t[i:i+{WINDOW_K - 1}], ' '))
+                            for i in range(1, len(t) - {WINDOW_K - 2})]) AS ws
+      FROM toks
+    ),
+    melted AS (SELECT doc_id, unnest(ws) AS w FROM wins),
+    rare AS (
+      SELECT w FROM melted GROUP BY w
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND {MAX_WINDOW_DOCS}
+    ),
+    hits AS (SELECT m.doc_id, m.w FROM melted m JOIN rare USING (w))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM hits a JOIN hits b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+    tags=("B24",),
+    doc="Cross-document exact substring dedup: doc pairs sharing >=2 "
+    "identical 8-token windows (the duplicated-span detection behind "
+    "'train-set substring dedup', done at the document-pair grain).  "
+    "At 100 TB: the text never shuffles — only (16-byte window md5, "
+    "doc_id) pairs do; the BETWEEN-2-AND-16 frequency cutoff bounds "
+    "per-window fan-out the same way LSH band hashing bounds bucket "
+    "size, so the self-join is per-bucket, never O(n^2); n_shared>=2 "
+    "suppresses single-window chance collisions.",
+)
+def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    wins = aug.select(
+        "doc_id",
+        F.transform(word_shingles(toks, WINDOW_K), lambda s: F.md5(s)).alias("ws"),
+    )
+    melted = wins.select("doc_id", F.explode("ws").alias("w"))
+    rare = (
+        melted.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= MAX_WINDOW_DOCS))
+        .select("w")
+    )
+    # Candidate windows are a small fraction of all windows; joining
+    # melted against them first keeps the pair self-join input tiny.
+    hits = melted.join(rare, "w")
+    a = hits.select("w", F.col("doc_id").alias("doc_a"))
+    b = hits.select(F.col("w").alias("wb"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, (F.col("w") == F.col("wb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

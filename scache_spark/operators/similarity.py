@@ -207,3 +207,78 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (vector compression for the 100 TB corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ),
+    rng AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM vals GROUP BY dim),
+    q AS (
+      SELECT v.dim, v.val, r.mn, r.mx,
+             CAST(round((v.val - r.mn) * 255.0 / (r.mx - r.mn), 0) AS BIGINT)
+               AS code
+      FROM vals v JOIN rng r ON v.dim = r.dim
+    ),
+    deq AS (
+      SELECT dim, val, mn, mx, code,
+             mn + code * (mx - mn) / 255.0 AS approx
+      FROM q
+    )
+    SELECT dim,
+           round(min(mn), 7) AS lo,
+           round(max(mx), 7) AS hi,
+           CAST(count(DISTINCT code) AS BIGINT) AS codes_used,
+           round(avg(code), 6) AS avg_code,
+           round(max(abs(val - approx)), 9) AS max_abs_err,
+           round(avg((val - approx) * (val - approx)), 9) AS mse
+    FROM deq GROUP BY dim
+    """,
+    tags=("B17", "B25"),
+    doc="Per-dimension int8 scalar quantization of the embedding "
+    "corpus with reconstruction-error audit: min/max range per "
+    "dimension, 0..255 code assignment, dequantized max-abs and mean "
+    "squared error.  This is the 4x fp32->int8 compression pass a "
+    "100 TB vector corpus gets before ANN serving: pass 1 (range) and "
+    "pass 2 (encode+audit) are both map-side-combinable aggregates, "
+    "and the 64-row range table is broadcast so the corpus never "
+    "shuffles.  All error stats are order-independent (max) or "
+    "integer-exact (codes) up to a final rounded division.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("dim0", "valf")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("valf").cast("double").alias("val")
+    )
+    rng = vals.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    q = (
+        vals.join(F.broadcast(rng), "dim")
+        .withColumn(
+            "code",
+            F.round(
+                (F.col("val") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")), 0
+            ).cast("long"),
+        )
+        .withColumn(
+            "approx",
+            F.col("mn") + F.col("code") * (F.col("mx") - F.col("mn")) / F.lit(255.0),
+        )
+    )
+    err = F.col("val") - F.col("approx")
+    return q.groupBy("dim").agg(
+        F.round(F.min("mn"), 7).alias("lo"),
+        F.round(F.max("mx"), 7).alias("hi"),
+        F.countDistinct("code").cast("long").alias("codes_used"),
+        F.round(F.avg("code"), 6).alias("avg_code"),
+        F.round(F.max(F.abs(err)), 9).alias("max_abs_err"),
+        F.round(F.avg(err * err), 9).alias("mse"),
+    )
