@@ -78,25 +78,42 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     return spark.readStream.schema(SCHEMAS["events"]).parquet(path)
 
 
+# Stateful streaming operators create one state-store instance per
+# shuffle partition, and that count is fixed at the first checkpoint —
+# AQE never coalesces it.  So unlike batch (where 32 partitions match
+# the 32 cores), state partitioning should track STATE SIZE: for the
+# fixture-scale replay, 8 stores cut per-query wall time ~40% vs 32
+# (store init/commit dominates, not state volume).  On a 1000-executor
+# cluster against a real firehose this constant is the knob you raise
+# before first deploy — it cannot be changed without a state rebuild.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_stream(df, name: str, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink as a batch DataFrame.  Raises if the
     query is still running at the timeout or terminated with an error
     — a silently partial sink must never be returned."""
     sink = f"{name}_{next(_SINK_COUNTER)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(600)
-    if not finished:
-        q.stop()
-        raise RuntimeError(f"streaming query {sink} still running after 600s")
-    if q.exception() is not None:
-        raise q.exception()
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise RuntimeError(f"streaming query {sink} still running after 600s")
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(sink)
 
 
