@@ -707,3 +707,148 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pt") / F.sum("pn"), 4).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit Bloom-bitmap build/probe with false-positive audit
+# ---------------------------------------------------------------------------
+
+# 512 words x 62 usable bits (DuckDB's BIGINT << traps on shifts >= 63,
+# so the sign bit is left unused) = 31,744-bit filter; k=2 md5-derived
+# hash functions.  ~3k build keys at sf0.01 => theoretical FP ~3%.
+_BLOOM_WORDS = 512
+_BLOOM_BITS_PER_WORD = 62
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BITS_PER_WORD
+
+
+def _bloom_bit(col: F.Column, salt: int) -> F.Column:
+    """60-bit md5 hash of ``salt:key`` reduced to a filter bit index."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_M
+
+
+def _bloom_bit_sql(col: str, salt: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}:' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {_BLOOM_M})"
+    )
+
+
+@register(
+    "bloom_bitmap_membership",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      SELECT {_bloom_bit_sql('k', 0)} AS bit FROM build
+      UNION ALL
+      SELECT {_bloom_bit_sql('k', 1)} AS bit FROM build
+    ),
+    words AS (
+      SELECT bit // {_BLOOM_BITS_PER_WORD} AS word,
+             bit_or(1::BIGINT << CAST(bit % {_BLOOM_BITS_PER_WORD} AS INT)) AS bits
+      FROM bits GROUP BY 1
+    ),
+    pr AS (
+      SELECT k, {_bloom_bit_sql('k', 0)} AS b0, {_bloom_bit_sql('k', 1)} AS b1
+      FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem)
+    ),
+    checked AS (
+      SELECT pr.k,
+             ((coalesce(w0.bits, 0) & (1::BIGINT << CAST(b0 % {_BLOOM_BITS_PER_WORD} AS INT)))
+                = (1::BIGINT << CAST(b0 % {_BLOOM_BITS_PER_WORD} AS INT)))
+             AND
+             ((coalesce(w1.bits, 0) & (1::BIGINT << CAST(b1 % {_BLOOM_BITS_PER_WORD} AS INT)))
+                = (1::BIGINT << CAST(b1 % {_BLOOM_BITS_PER_WORD} AS INT))) AS claimed,
+             EXISTS (SELECT 1 FROM build b WHERE b.k = pr.k) AS actual
+      FROM pr
+      LEFT JOIN words w0 ON w0.word = b0 // {_BLOOM_BITS_PER_WORD}
+      LEFT JOIN words w1 ON w1.word = b1 // {_BLOOM_BITS_PER_WORD}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+           CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_pos,
+           round(CAST(sum(CASE WHEN claimed AND NOT actual THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(count(*) - sum(CASE WHEN actual THEN 1 ELSE 0 END), 1), 6)
+               AS fp_rate
+    FROM checked
+    """,
+    tags=("B6", "B16", "A.2"),
+    doc="Explicit Bloom-filter build + probe with an exact "
+    "false-positive audit: 31,744-bit / k=2 filter over urgent-order "
+    "keys (16 md5 bits -> word + mask, bit_or aggregate), probed by "
+    "every distinct lineitem orderkey, reporting claimed vs true "
+    "membership and the realized FP rate.  This is the primitive "
+    "behind bloom_filter_join_prune made first-class: at 100 TB the "
+    "4 KB word table is BROADCAST to prune a shuffle join's fact side "
+    "map-side — the same 'ship a tiny summary instead of the key set' "
+    "move as the reference's MapStatus 1-byte size vector "
+    "(scheduler/MapStatus.scala:45-82).  Build and probe are both "
+    "map-side-combinable; every output is integer-exact.",
+)
+def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _BLOOM_BITS_PER_WORD
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = build.select(_bloom_bit(F.col("k"), 0).alias("bit")).unionAll(
+        build.select(_bloom_bit(F.col("k"), 1).alias("bit"))
+    )
+    words = bits.groupBy(F.expr(f"bit DIV {w}").alias("word")).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {w} AS INT))")
+        ).alias("bits")
+    )
+    pr = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .select(
+            "k",
+            _bloom_bit(F.col("k"), 0).alias("b0"),
+            _bloom_bit(F.col("k"), 1).alias("b1"),
+        )
+    )
+    w0 = words.select(F.col("word").alias("word0"), F.col("bits").alias("bits0"))
+    w1 = words.select(F.col("word").alias("word1"), F.col("bits").alias("bits1"))
+    mask0 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b0 % {w} AS INT))")
+    mask1 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(b1 % {w} AS INT))")
+    checked = (
+        pr.join(F.broadcast(w0), F.expr(f"b0 DIV {w}") == F.col("word0"), "left")
+        .join(F.broadcast(w1), F.expr(f"b1 DIV {w}") == F.col("word1"), "left")
+        .join(
+            F.broadcast(build.withColumn("actual", F.lit(True))), "k", "left"
+        )
+        .select(
+            (
+                (F.coalesce(F.col("bits0"), F.lit(0)).bitwiseAND(mask0) == mask0)
+                & (F.coalesce(F.col("bits1"), F.lit(0)).bitwiseAND(mask1) == mask1)
+            ).alias("claimed"),
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )
+    claimed_i = F.when(F.col("claimed"), 1).otherwise(0)
+    actual_i = F.when(F.col("actual"), 1).otherwise(0)
+    fp_i = F.when(F.col("claimed") & ~F.col("actual"), 1).otherwise(0)
+    return checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(claimed_i).cast("long").alias("n_claimed"),
+        F.sum(actual_i).cast("long").alias("n_true"),
+        F.sum(fp_i).cast("long").alias("n_false_pos"),
+        F.round(
+            F.sum(fp_i).cast("double")
+            / F.greatest(F.count(F.lit(1)) - F.sum(actual_i), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
