@@ -754,3 +754,101 @@ def weekday_bitmask_engagement(
         F.bit_count(mask).cast("int").alias("n_active_days"),
         (mask.bitwiseAND(F.lit(65)) == mask).alias("weekend_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted priority sampling (Horvitz-Thompson-audited)
+# ---------------------------------------------------------------------------
+
+_PS_K = 100  # sample size
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "weighted_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+             CAST(n_chars AS DOUBLE)
+               / ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                  / {_TWO60}) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, w, q,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rk
+      FROM pri
+    ),
+    tau AS (SELECT q AS t FROM ranked WHERE rk = {_PS_K} + 1),
+    est AS (
+      SELECT sum(CASE WHEN r.w > tau.t THEN r.w ELSE tau.t END) AS est_total
+      FROM ranked r CROSS JOIN tau WHERE r.rk <= {_PS_K}
+    )
+    SELECT CAST({_PS_K} AS BIGINT) AS k,
+           round((SELECT t FROM tau), 4) AS tau,
+           round((SELECT est_total FROM est), 2) AS est_total_chars,
+           CAST((SELECT sum(n_chars) FROM documents) AS BIGINT)
+               AS true_total_chars,
+           round(((SELECT est_total FROM est)
+                  - (SELECT sum(n_chars) FROM documents))
+                 / (SELECT sum(n_chars) FROM documents), 6) AS rel_err
+    """,
+    tags=("B20", "B16"),
+    doc="Deterministic weighted priority sampling (Duffield-Lund-"
+    "Thorup): priority q_i = w_i/u_i with u_i a seeded md5-uniform in "
+    "(0,1], keep the top 100 priorities, and audit the sample by the "
+    "Horvitz-Thompson total estimate sum(max(w_i, tau)) against the "
+    "exact corpus total.  This is the weighted analog of the "
+    "reference's first-map-wave sampling (sim/train.py:237-243): a "
+    "fixed-size sample whose inclusion probabilities adapt to item "
+    "weight, with an unbiased total estimator.  At 100 TB the top-k "
+    "by priority is TakeOrderedAndProject (per-partition heaps, no "
+    "full sort) and the audit aggregates are map-side combined.",
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(_TWO60)
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        (F.col("n_chars").cast("double") / u).alias("q"),
+    )
+    from pyspark.sql.window import Window
+
+    # Top-(K+1) via orderBy+limit => TakeOrderedAndProject (per-
+    # partition heaps, no global sort/window over the corpus); the
+    # ranking window then runs over 101 rows only.
+    topk = pri.orderBy(F.col("q").desc(), F.col("doc_id")).limit(_PS_K + 1)
+    ranked = topk.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("q").desc(), F.col("doc_id")))
+    )
+    tau = ranked.filter(F.col("rk") == _PS_K + 1).select(F.col("q").alias("t"))
+    est = (
+        ranked.filter(F.col("rk") <= _PS_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.sum(
+                F.when(F.col("w") > F.col("t"), F.col("w")).otherwise(F.col("t"))
+            ).alias("est_total")
+        )
+    )
+    totals = docs.agg(F.sum("n_chars").cast("long").alias("true_total_chars"))
+    return (
+        est.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.lit(_PS_K).cast("long").alias("k"),
+            F.round(F.col("t"), 4).alias("tau"),
+            F.round(F.col("est_total"), 2).alias("est_total_chars"),
+            F.col("true_total_chars"),
+            F.round(
+                (F.col("est_total") - F.col("true_total_chars"))
+                / F.col("true_total_chars"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
