@@ -598,3 +598,92 @@ def training_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (fixed token budget per sequence)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 128  # token budget per packed training sequence
+
+
+def _nfd_pack(pdf):
+    """Next-fit-decreasing within one source shard: docs sorted by
+    (tokens desc, doc_id asc); a sequence is closed when the next doc
+    would overflow the budget.  Mirrors the oracle's recursive CTE
+    state machine exactly (single linear pass, same tie-breaks)."""
+    import pandas as pd
+
+    rows = pdf.sort_values(["tok", "doc_id"], ascending=[False, True])
+    out = []
+    bin_id, fill = 0, 0
+    for doc_id, tok in zip(rows["doc_id"], rows["tok"]):
+        if fill > 0 and fill + tok > _PACK_CAP:
+            bin_id += 1
+            fill = 0
+        fill += int(tok)
+        out.append((pdf["source"].iloc[0], int(doc_id), int(tok), bin_id))
+    return pd.DataFrame(out, columns=["source", "doc_id", "tok", "bin"])
+
+
+@register(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    ),
+    ordered AS (
+      SELECT source, doc_id, tok,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY tok DESC, doc_id ASC) AS INT) AS rn
+      FROM toks
+    ),
+    pack AS (
+      SELECT source, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+             CAST(NULL AS BIGINT) AS tok, 0 AS bin, CAST(0 AS BIGINT) AS fill
+      FROM (SELECT DISTINCT source FROM ordered)
+      UNION ALL
+      SELECT o.source, o.rn, o.doc_id, o.tok,
+             CASE WHEN p.fill > 0 AND p.fill + o.tok > {_PACK_CAP}
+                  THEN p.bin + 1 ELSE p.bin END AS bin,
+             CASE WHEN p.fill > 0 AND p.fill + o.tok > {_PACK_CAP}
+                  THEN o.tok ELSE p.fill + o.tok END AS fill
+      FROM pack p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(tok) AS DOUBLE) / {_PACK_CAP}, 4) AS fill_ratio
+    FROM pack WHERE rn > 0
+    GROUP BY source, bin
+    """,
+    tags=("B23", "B24"),
+    doc="Training-sequence packing: pack each source shard's documents "
+    f"into {_PACK_CAP}-token sequences with next-fit-decreasing (docs "
+    "sorted by token count desc, sequence closed when the next doc "
+    "would overflow), reporting per-sequence doc count, token total "
+    "and fill ratio.  The sample-efficiency pass every LLM training "
+    "pipeline runs before batching.  Same architecture as "
+    "lpt_schedule: packing state is tiny and shard-local, so the "
+    "grouped-map pandas stage runs one linear pass per source shard "
+    "in parallel — at 100 TB sources become (source, shard) salts "
+    "and each shard packs independently; the corpus text itself "
+    "never moves, only (doc_id, token_count) pairs.  Oracle replays "
+    "the identical state machine as a recursive CTE.",
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+    )
+    packed = docs.groupBy("source").applyInPandas(
+        _nfd_pack, "source string, doc_id long, tok long, bin int"
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.round(F.sum("tok").cast("double") / _PACK_CAP, 4).alias("fill_ratio"),
+    )

@@ -28,6 +28,13 @@ COMMENT = {
     "tpch_q21_waiting_suppliers": "The EXISTS / NOT-EXISTS pair is an exact rewrite to one per-order aggregate (distinct suppliers vs distinct LATE suppliers) re-joined on orderkey — two shuffles of (orderkey, suppkey, late) triples instead of two correlated self-joins of the fact table.",
     "inverted_index_postings": "Documents tokenize and dedup to (token, doc_id) pairs inside the map stage (partial_count + distinct combine): the text column never reaches an exchange; the posting-list sort+serialize happens per token group after one shuffle of integer pairs.",
     "training_corpus_e2e": "The whole ingestion funnel in one plan: gate signals + content hash in a single narrow projection (one corpus scan), survivor decision as a (hash, keep_id) aggregate, funnel counts as one more aggregate — two exchanges total and the text never shuffles.",
+    "dedup_substring_pairs": "Exact duplicated-span detection: windows md5'd in-projection so only (16-byte hash, doc_id) pairs reach the exchange; the BETWEEN-2-AND-16 frequency cutoff bounds per-window fan-out before the pair self-join — the candidate space is per-bucket, never O(n²).",
+    "setjoin_prefix_filter": "EXACT set-similarity join: the rank dictionary is a vocab-sized build; per-doc prefixes (rarest shingle ranks) are the zero-false-negative candidate filter, and the quadratic verify touches candidates only — int-rank arrays, no probability of a miss.",
+    "bloom_bitmap_membership": "The 512-word filter is built by a bit_or aggregate (map-side combined) and BROADCAST for the probe: a 4 KB summary prunes the fact side in-map, the same ship-a-summary move as the reference's 1-byte MapStatus size vectors.",
+    "embedding_int8_quantize": "Two map-side-combinable passes: a 64-row range table (broadcast back) then encode+audit in one aggregate — the vector corpus is scanned twice and shuffled never.",
+    "join_size_histogram_estimate": "Predicts a shuffle join's output size WITHOUT running the join: per-key counts collapse map-side, the 16-row histograms are the only cross-side state — the SQL analog of pre-execution reduce-size prediction.",
+    "sequence_packing_bins": "Shard-local next-fit-decreasing packing: one grouped-map pandas pass per source shard over (doc_id, token_count) pairs only; packing state never leaves the shard and the text never moves.",
+    "weighted_priority_sample": "Weight-adaptive fixed-size sampling: top-(k+1) priorities via TakeOrderedAndProject per-partition heaps (no global sort), Horvitz-Thompson audit aggregates map-side combined.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
