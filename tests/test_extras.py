@@ -224,3 +224,82 @@ def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
     # partition pruning: filter on the partition column reads a subset
     pruned = back.filter(F.col("yr") == 1995)
     assert pruned.count() == orders.filter(F.year("o_orderdate") == 1995).count()
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: completeness / invariant properties
+# ---------------------------------------------------------------------------
+
+
+def test_setjoin_prefix_filter_is_complete(spark, sf_dir):
+    """Prefix filtering must be a ZERO-false-negative candidate
+    filter: every doc pair with shingle-Jaccard >= t found by the
+    brute-force all-pairs join (small corpus) must be in the output."""
+    from scache_spark.operators.dedup import (
+        setjoin_prefix_filter,
+        shingled_docs,
+        _PF_T,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in setjoin_prefix_filter(spark, sf_dir).collect()
+    }
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "sh")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= _PF_T)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert brute == got
+
+
+def test_bloom_bitmap_has_no_false_negatives(spark, sf_dir):
+    """A Bloom filter may over-claim, never under-claim: every true
+    member must be claimed, so n_claimed >= n_true and n_false_pos
+    is exactly n_claimed - n_true."""
+    from scache_spark.operators.extra import bloom_bitmap_membership
+
+    row = bloom_bitmap_membership(spark, sf_dir).first()
+    assert row["n_claimed"] >= row["n_true"]
+    assert row["n_false_pos"] == row["n_claimed"] - row["n_true"]
+    assert row["n_true"] > 0  # probe set genuinely overlaps the build set
+    assert row["fp_rate"] < 0.25  # 31744 bits / k=2 at this load factor
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """No packed sequence exceeds the token budget unless it holds a
+    single oversized doc, and bins are numbered contiguously from 0
+    within each source."""
+    from scache_spark.operators.pipeline import (
+        sequence_packing_bins,
+        _PACK_CAP,
+    )
+
+    rows = sequence_packing_bins(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        assert r["total_tokens"] <= _PACK_CAP or r["n_docs"] == 1
+        by_source.setdefault(r["source"], []).append(r["bin"])
+    for src, bins in by_source.items():
+        assert sorted(bins) == list(range(len(bins))), src
+
+
+def test_int8_quantize_bounds(spark, sf_dir):
+    """Quantization error is bounded by half a step: max_abs_err
+    <= (hi - lo) / 255 / 2 (+ float slack) for every dimension, and
+    all 256 codes are available (codes_used <= 256)."""
+    from scache_spark.operators.similarity import embedding_int8_quantize
+
+    for r in embedding_int8_quantize(spark, sf_dir).collect():
+        step = (r["hi"] - r["lo"]) / 255.0
+        assert r["max_abs_err"] <= step / 2 + 1e-9
+        assert 1 <= r["codes_used"] <= 256
