@@ -282,3 +282,58 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(err)), 9).alias("max_abs_err"),
         F.round(F.avg(err * err), 9).alias("mse"),
     )
+
+
+_H1_SET = ", ".join(str(v) for v in [0] + [1 << p for p in range(N_PLANES)])
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS INT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS q_bucket FROM bucketed WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(CASE WHEN bucket = q_bucket THEN 0 ELSE 1 END AS INT) AS probe_ring,
+           {sql_vec_cosine("embedding", "qv")} AS cosine
+    FROM bucketed, q
+    WHERE xor(bucket, q_bucket) IN ({_H1_SET}) AND vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("B25",),
+    doc="Multi-probe LSH: scan the query's bucket AND its 8 Hamming-1 "
+    "neighbor buckets (the sign bits most likely to flip for a true "
+    "neighbor near a hyperplane), i.e. 9/256 of the corpus instead of "
+    "1/256, for recall close to brute force.  Membership is a single "
+    "xor-in-set predicate on the bucket key — with the corpus "
+    "bucket-partitioned this is 9 partition reads, no explode, no "
+    "extra shuffle.  probe_ring reports which ring produced each hit; "
+    "recall vs single-probe is asserted in pytest.",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("q_bucket")
+    )
+    xor = F.col("bucket").bitwiseXOR(F.col("q_bucket"))
+    h1 = [0] + [1 << p for p in range(N_PLANES)]
+    return (
+        bucketed.crossJoin(F.broadcast(q))
+        .filter(xor.isin(h1) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.when(F.col("bucket") == F.col("q_bucket"), 0)
+            .otherwise(1)
+            .cast("int")
+            .alias("probe_ring"),
+            vec_cosine(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

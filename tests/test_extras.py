@@ -303,3 +303,20 @@ def test_int8_quantize_bounds(spark, sf_dir):
         step = (r["hi"] - r["lo"]) / 255.0
         assert r["max_abs_err"] <= step / 2 + 1e-9
         assert 1 <= r["codes_used"] <= 256
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe LSH probes a strict superset of buckets, so its
+    candidate set contains single-probe's, and its top-10 overlap
+    with brute-force cosine top-10 is >= single-probe's."""
+    from scache_spark.operators.similarity import (
+        ann_lsh_multiprobe,
+        ann_lsh_probe,
+        knn_brute_cosine,
+    )
+
+    multi = {r["vec_id"] for r in ann_lsh_multiprobe(spark, sf_dir).collect()}
+    single = {r["vec_id"] for r in ann_lsh_probe(spark, sf_dir).collect()}
+    brute = {r["vec_id"] for r in knn_brute_cosine(spark, sf_dir).collect()}
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi) >= len(single)
