@@ -687,3 +687,166 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").cast("long").alias("total_tokens"),
         F.round(F.sum("tok").cast("double") / _PACK_CAP, 4).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    hashed AS (SELECT doc_id, md5(text) AS h FROM aug),
+    clusters AS (SELECT h, min(doc_id) AS rep FROM hashed GROUP BY h),
+    assign AS (
+      SELECT d.doc_id, c.rep,
+             CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed d JOIN clusters c ON d.h = c.h,
+      LATERAL (SELECT (('0x' || substr(md5(CAST(c.rep AS VARCHAR)), 1, 15))::BIGINT
+                       % 10) AS m)
+    ),
+    leaky AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters
+      FROM (SELECT rep FROM assign GROUP BY rep
+            HAVING count(DISTINCT split) > 1)
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           (SELECT n_leaky_clusters FROM leaky) AS n_leaky_clusters
+    FROM assign GROUP BY split
+    """,
+    tags=("B24", "B13"),
+    doc="Leakage-safe dataset splitting: duplicate clusters (exact "
+    "content hash) are assigned to train/val/test AS A UNIT — the "
+    "split key is a seeded hash of the cluster REPRESENTATIVE, not "
+    "the document — so a duplicated document can never sit in train "
+    "while its copy sits in test.  n_leaky_clusters (clusters "
+    "spanning >1 split) is computed in-query and must be 0.  The "
+    "contamination guard every eval pipeline needs; at 100 TB it is "
+    "one hash aggregate + one broadcast-size cluster map, and the "
+    "same shape extends to near-dup clusters (dedup_clusters) as the "
+    "cluster key.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.operators.dedup import augmented_docs
+
+    hashed = augmented_docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    clusters = hashed.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    m = (
+        F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 10
+    )
+    assign = (
+        hashed.join(clusters, "h")
+        .select(
+            "doc_id",
+            "rep",
+            F.when(m < 8, "train").when(m == 8, "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+    )
+    leaky = (
+        assign.groupBy("rep")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaky_clusters"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("rep").cast("long").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+_NEG_K = 4  # negatives drawn per query document
+
+
+@register(
+    "contrastive_negative_sample",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    bound AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    queries AS (SELECT doc_id AS query_id, h AS qh FROM hashed
+                WHERE doc_id % 50 = 0),
+    cand AS (
+      SELECT q.query_id, q.qh, j.j,
+             (('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':' ||
+                                  CAST(j.j AS VARCHAR)), 1, 15))::BIGINT
+              % (SELECT n FROM bound)) AS neg_id
+      FROM queries q CROSS JOIN
+           (SELECT unnest(range(1, {_NEG_K} + 1)) AS j) j
+    )
+    SELECT c.query_id, CAST(c.j AS INT) AS j, c.neg_id
+    FROM cand c JOIN hashed d ON d.doc_id = c.neg_id
+    WHERE c.neg_id <> c.query_id AND d.h <> c.qh
+    """,
+    tags=("B24", "B20"),
+    doc="Deterministic negative sampling for contrastive training: "
+    f"each query doc draws {_NEG_K} pseudo-random candidate ids from "
+    "a seeded md5 stream, keeping those that exist, aren't the query "
+    "itself, and aren't an exact-content duplicate of it (the "
+    "false-negative guard).  Fully reproducible across runs and "
+    "engines — the property unseeded rand-based samplers can't give "
+    "(reference anti-pattern: MapOutputTracker.scala:202's unseeded "
+    "shuffle).  At 100 TB the candidate join is on the (tiny) query "
+    "sample side and the id-existence probe is an equi-join on the "
+    "corpus key.",
+)
+def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    bound = docs.agg((F.max("doc_id") + 1).alias("n"))
+    queries = hashed.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("h").alias("qh")
+    )
+    js = F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j")
+    cand = (
+        queries.crossJoin(F.broadcast(bound))
+        .select("query_id", "qh", "n", js)
+        .select(
+            "query_id",
+            "qh",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("query_id").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        cand.join(
+            hashed.select(F.col("doc_id").alias("neg_id"), F.col("h").alias("nh")),
+            "neg_id",
+        )
+        .filter((F.col("neg_id") != F.col("query_id")) & (F.col("nh") != F.col("qh")))
+        .select("query_id", F.col("j").cast("int").alias("j"), "neg_id")
+    )
