@@ -174,3 +174,68 @@ def udf_cogrouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey long, n_orders long, n_lines long, total_qty double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function) — the one-row-to-many UDF shape
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 25  # tokens per chunk
+_CHUNK_STRIDE = 20  # tokens between chunk starts (5-token overlap)
+
+
+@register(
+    "udtf_chunk_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, n,
+             unnest(range(0, CASE WHEN n <= {_CHUNK_LEN} THEN 1
+                     ELSE 1 + CAST(ceil((n - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0)
+                                   AS INT) END)) AS chunk_idx
+      FROM toks
+    )
+    SELECT s.doc_id, CAST(s.chunk_idx AS INT) AS chunk_idx,
+           CAST(least({_CHUNK_LEN}, s.n - {_CHUNK_STRIDE} * s.chunk_idx) AS INT)
+               AS n_tokens,
+           t.t[{_CHUNK_STRIDE} * s.chunk_idx + 1] AS first_token
+    FROM spans s JOIN toks t ON s.doc_id = t.doc_id
+    """,
+    tags=("B23", "B24"),
+    doc="Python UDTF (Spark 4 table function): LATERAL-expands each "
+    f"document into overlapping {_CHUNK_LEN}-token chunk spans with "
+    f"stride {_CHUNK_STRIDE} — the one-row-to-many UDF shape that "
+    "completes the B23 surface (scalar pandas / grouped / cogrouped / "
+    "mapInPandas / applyInPandasWithState / UDTF).  The UDTF runs "
+    "row-parallel inside the scan stage (no shuffle); the oracle "
+    "replays the identical span arithmetic with a range() expansion.  "
+    "The RAG/embedding chunking pass, as an engine primitive.",
+)
+def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, first_token string")
+    class ChunkSpans:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            n = len(toks)
+            s = 0
+            idx = 0
+            while True:
+                span = toks[s : s + _CHUNK_LEN]
+                yield (idx, len(span), span[0])
+                if s + _CHUNK_LEN >= n:
+                    break
+                s += _CHUNK_STRIDE
+                idx += 1
+
+    spark.udtf.register("chunk_spans", ChunkSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.first_token "
+        "FROM _udtf_docs d, LATERAL chunk_spans(d.text) c"
+    )
