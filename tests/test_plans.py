@@ -264,3 +264,49 @@ def test_sessionization_single_user_shuffle(spark, sf_dir):
     # the second is the tiny (path, count) aggregate + top-k
     assert plans.exchange_count(df) <= 2, plans.formatted_plan(df)
     assert not plans.has_sort_merge_join(df)
+
+
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    """B9 Terasort shape: a global orderBy must sample split points and
+    range-partition (parallel sort), never collapse to one partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.orderBy("l_extendedprice", "l_orderkey")
+    assert "rangepartitioning" in plans.formatted_plan(df).lower()
+
+
+def test_priority_sample_is_take_ordered(spark, sf_dir):
+    """Top-(k+1) priorities must run as TakeOrderedAndProject
+    (per-partition heaps), not a global sort or corpus-wide window."""
+    from scache_spark.operators.scalar import weighted_priority_sample
+
+    p = plans.formatted_plan(weighted_priority_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bloom_bitmap_probe_is_broadcast_only(spark, sf_dir):
+    """The 512-word filter and the build-key set must reach the probe
+    as broadcasts — the probe side shuffles only for its distinct."""
+    from scache_spark.operators.extra import bloom_bitmap_membership
+
+    df = bloom_bitmap_membership(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df), plans.formatted_plan(df)
+
+
+def test_int8_quantize_corpus_never_shuffles_rows(spark, sf_dir):
+    """Range table joins back via broadcast; the only exchanges carry
+    64-row per-dim aggregates, never the exploded corpus."""
+    from scache_spark.operators.similarity import embedding_int8_quantize
+
+    df = embedding_int8_quantize(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert plans.exchange_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_substring_dedup_exchanges_are_bounded(spark, sf_dir):
+    """Window hashing happens in-projection; the plan's exchanges are
+    on (hash, doc_id) pairs and pair aggregation only."""
+    from scache_spark.operators.dedup import dedup_substring_pairs
+
+    df = dedup_substring_pairs(spark, sf_dir)
+    assert plans.exchange_count(df) <= 6, plans.formatted_plan(df)

@@ -82,3 +82,61 @@ def test_ml_minhash_lsh_agrees_with_engine_pipeline(spark, sf_dir):
     }
     missed = planted - ml_pairs
     assert not missed, f"ml MinHashLSH missed planted dups: {sorted(missed)[:5]}"
+
+
+def test_dynamic_partition_overwrite_is_idempotent_backfill(spark, sf_dir, tmp_path):
+    """Idempotent backfill (B1 sink): with dynamic partitionOverwriteMode,
+    rewriting ONE partition's data replaces exactly that partition and
+    leaves every other partition untouched — the write pattern a daily
+    pipeline needs to re-run a failed day safely."""
+    out = str(tmp_path / "part_tbl")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    before = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # backfill ONE priority class with half its rows
+        one = orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderkey") % 2 == 0)
+        )
+        one.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = {
+        r["o_orderpriority"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(after) == set(before)
+    for k in before:
+        if k == "1-URGENT":
+            assert after[k] < before[k]
+        else:
+            assert after[k] == before[k]
+
+
+def test_compression_codecs_roundtrip(spark, sf_dir, tmp_path):
+    """A.4 serialization plane parity: the reference ships lz4 (default)
+    / lzf / snappy codecs (io/CompressionCodec.scala:47-150); Spark's
+    parquet sink covers the same space.  Every codec must roundtrip
+    bit-identical row content."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    expected = sorted(map(tuple, li.collect()))
+    for codec in ("lz4", "snappy", "zstd", "gzip"):
+        out = str(tmp_path / f"c_{codec}")
+        li.write.option("compression", codec).parquet(out)
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        assert got == expected, codec
