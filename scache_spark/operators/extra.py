@@ -852,3 +852,86 @@ def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (change-set extraction between two table versions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_totalprice AS price FROM orders),
+    b AS (
+      SELECT o_orderkey,
+             o_totalprice * CASE WHEN o_orderkey % 11 = 0 THEN 1.05
+                                 ELSE 1.0 END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           round(a.price, 2) AS old_price,
+           round(b.price, 2) AS new_price
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+          OR a.price <> b.price
+    """,
+    tags=("B4", "B19"),
+    doc="CDC change-set extraction: full-outer join of two snapshots "
+    "on the primary key classifies every row as insert / delete / "
+    "update (value drift) and drops unchanged rows — the inverse of "
+    "merge_upsert_orders (which APPLIES a change set).  Snapshot B is "
+    "derived in-query with planted mutations so the diff is "
+    "deterministic.  At 100 TB both snapshots shuffle once on the "
+    "key (or zero times if both are bucketed on it — see "
+    "bucketed_join_revenue); the unchanged majority is discarded "
+    "before any further movement.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    b = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            (
+                F.col("o_totalprice")
+                * F.when(F.col("o_orderkey") % 11 == 0, 1.05).otherwise(1.0)
+            ).alias("price"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                F.col("o_totalprice").alias("price"),
+            )
+        )
+    )
+    aj = a.select(
+        F.col("o_orderkey").alias("ka"), F.col("price").alias("price_a")
+    )
+    bj = b.select(
+        F.col("o_orderkey").alias("kb"), F.col("price").alias("price_b")
+    )
+    return (
+        aj.join(bj, F.col("ka") == F.col("kb"), "full")
+        .filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | (F.col("price_a") != F.col("price_b"))
+        )
+        .select(
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            F.when(F.col("ka").isNull(), "insert")
+            .when(F.col("kb").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.round("price_a", 2).alias("old_price"),
+            F.round("price_b", 2).alias("new_price"),
+        )
+    )

@@ -569,3 +569,96 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source token-distribution divergence (corpus drift diagnostic)
+# ---------------------------------------------------------------------------
+
+_KL_VOCAB = 200  # restricted comparison vocabulary (global top tokens)
+
+
+@register(
+    "source_token_kl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    top AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c_all
+      FROM toks GROUP BY t
+      ORDER BY count(*) DESC, t ASC LIMIT {_KL_VOCAB}
+    ),
+    tot_all AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all FROM top),
+    src_counts AS (
+      SELECT source, toks.t, CAST(count(*) AS BIGINT) AS c
+      FROM toks JOIN top ON toks.t = top.t GROUP BY source, toks.t
+    ),
+    grid AS (
+      SELECT s.source, top.t, top.c_all, coalesce(sc.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM toks) s
+      CROSS JOIN top
+      LEFT JOIN src_counts sc ON sc.source = s.source AND sc.t = top.t
+    ),
+    src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+                FROM grid GROUP BY source)
+    SELECT g.source,
+           st.n_src AS n_tokens_top,
+           round(sum(
+             ((g.c + 1.0) / (st.n_src + {_KL_VOCAB}.0))
+             * ln(((g.c + 1.0) / (st.n_src + {_KL_VOCAB}.0))
+                  / ((g.c_all + 1.0) / (ta.n_all + {_KL_VOCAB}.0)))
+           ), 6) AS kl
+    FROM grid g
+    JOIN src_tot st ON g.source = st.source
+    CROSS JOIN tot_all ta
+    GROUP BY g.source, st.n_src
+    """,
+    tags=("B24", "B16"),
+    doc="Distribution-shift diagnostic: add-1-smoothed KL divergence "
+    f"of each source's token distribution from the corpus-wide one, "
+    f"over the global top-{_KL_VOCAB} vocabulary — the drift check a "
+    "corpus-mixing pipeline runs before reweighting sources.  At "
+    "100 TB: token counting is a map-side-combined aggregate, the "
+    f"top-{_KL_VOCAB} vocabulary is TakeOrdered + broadcast, and the "
+    f"per-source grid is |sources|x{_KL_VOCAB} rows of state.  The "
+    "absent-token cells are completed with a cross join so smoothing "
+    "sees true zeros.",
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+        .orderBy(F.col("c_all").desc(), F.col("t").asc())
+        .limit(_KL_VOCAB)
+    )
+    tot_all = top.agg(F.sum("c_all").cast("long").alias("n_all"))
+    src_counts = (
+        toks.join(F.broadcast(top.select("t")), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        toks.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(top))
+        .join(src_counts, ["source", "t"], "left")
+        .select(
+            "source", "t", "c_all", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    src_tot = grid.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
+    v = float(_KL_VOCAB)
+    p_src = (F.col("c") + 1.0) / (F.col("n_src") + v)
+    p_all = (F.col("c_all") + 1.0) / (F.col("n_all") + v)
+    return (
+        grid.join(src_tot, "source")
+        .crossJoin(F.broadcast(tot_all))
+        .groupBy("source", F.col("n_src").alias("n_tokens_top"))
+        .agg(F.round(F.sum(p_src * F.log(p_src / p_all)), 6).alias("kl"))
+    )
