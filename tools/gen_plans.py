@@ -35,6 +35,11 @@ COMMENT = {
     "join_size_histogram_estimate": "Predicts a shuffle join's output size WITHOUT running the join: per-key counts collapse map-side, the 16-row histograms are the only cross-side state — the SQL analog of pre-execution reduce-size prediction.",
     "sequence_packing_bins": "Shard-local next-fit-decreasing packing: one grouped-map pandas pass per source shard over (doc_id, token_count) pairs only; packing state never leaves the shard and the text never moves.",
     "weighted_priority_sample": "Weight-adaptive fixed-size sampling: top-(k+1) priorities via TakeOrderedAndProject per-partition heaps (no global sort), Horvitz-Thompson audit aggregates map-side combined.",
+    "ann_lsh_multiprobe": "The query bucket plus its 8 Hamming-1 neighbors selected by one xor-in-set predicate against a 1-row broadcast — on a bucket-partitioned corpus this is 9 partition reads; no explode, no added shuffle over single-probe.",
+    "leakage_safe_split": "Split key is a hash of the duplicate-cluster representative, so clusters move between splits as a unit; the leak counter is computed in the same plan and must be zero — one hash aggregate plus a broadcast-size cluster map.",
+    "source_token_kl": "Token counting collapses map-side; the top-200 vocabulary is TakeOrdered then broadcast into both the per-source count join and the zero-completing grid — per-source state is |sources|×200 rows regardless of corpus size.",
+    "cdc_snapshot_diff": "Two snapshots meet in ONE full-outer key join; unchanged rows are dropped inside the join's filter before any further movement — with both sides bucketed on the key the join itself needs no exchange.",
+    "udtf_chunk_spans": "The Python table function expands rows inside the scan stage (BatchEvalPythonUDTF directly over the file scan) — one-to-many with zero shuffle.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
