@@ -57,3 +57,51 @@ def test_lpt_input_order_invariant(szs, rnd):
         _lpt_pack(pdf).sort_values("rid").reset_index(drop=True)
     )
     assert base.equals(shuffled)
+
+
+# ---------------------------------------------------------------------------
+# round-2 pure cores: NFD sequence packing
+# ---------------------------------------------------------------------------
+
+from scache_spark.operators.pipeline import _PACK_CAP, _nfd_pack  # noqa: E402
+
+tok_counts = st.lists(
+    st.integers(min_value=1, max_value=2 * _PACK_CAP), min_size=1, max_size=300
+)
+
+
+def _pack_docs(toks: list[int]) -> pd.DataFrame:
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": range(len(toks)), "tok": toks}
+    )
+    return _nfd_pack(pdf)
+
+
+@settings(max_examples=200, deadline=None)
+@given(tok_counts)
+def test_nfd_every_doc_packed_once(toks):
+    out = _pack_docs(toks)
+    assert sorted(out["doc_id"]) == list(range(len(toks)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(tok_counts)
+def test_nfd_bins_respect_budget_and_are_contiguous(toks):
+    out = _pack_docs(toks)
+    fills = out.groupby("bin").agg(total=("tok", "sum"), n=("doc_id", "count"))
+    # a bin exceeds the budget only when a single oversized doc owns it
+    over = fills[fills["total"] > _PACK_CAP]
+    assert (over["n"] == 1).all()
+    assert sorted(fills.index) == list(range(len(fills)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(tok_counts)
+def test_nfd_is_decreasing_within_bins(toks):
+    """NFD invariant: walking bins in order, doc sizes never increase
+    (the sort survives packing) — guards accidental reorder bugs."""
+    out = _pack_docs(toks)
+    seq = list(zip(out["bin"], out["tok"]))
+    for (b1, t1), (b2, t2) in zip(seq, seq[1:]):
+        if b1 == b2:
+            assert t1 >= t2
