@@ -876,8 +876,8 @@ def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN a.o_orderkey IS NULL THEN 'insert'
                 WHEN b.o_orderkey IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
-           round(a.price, 2) AS old_price,
-           round(b.price, 2) AS new_price
+           a.price AS old_price,
+           b.price AS new_price
     FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
     WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
           OR a.price <> b.price
@@ -931,7 +931,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("kb").isNull(), "delete")
             .otherwise("update")
             .alias("op"),
-            F.round("price_a", 2).alias("old_price"),
-            F.round("price_b", 2).alias("new_price"),
+            # NO rounding: per-row x*1.05 is bit-identical across
+            # engines, while round(x, 2) at the .005 boundary is NOT
+            # (HALF_UP on differing binary expansions) — rounding here
+            # INTRODUCED cent-level divergence
+            F.col("price_a").alias("old_price"),
+            F.col("price_b").alias("new_price"),
         )
     )

@@ -520,9 +520,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dense_rank() OVER w AS INT) AS drnk,
            lag(o_totalprice, 1) OVER w AS prev_price,
            lead(o_totalprice, 1) OVER w AS next_price,
-           sum(o_totalprice) OVER (PARTITION BY o_custkey
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total,
            CAST(ntile(4) OVER w AS INT) AS quartile
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
@@ -544,7 +545,10 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("int").alias("drnk"),
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
-        F.sum("o_totalprice").over(wf).alias("running_total"),
+        # round(2): windowed-sum accumulation grouping differs across
+        # engines (running vs segment-tree) at ~1e-9; the exact value
+        # is a 2-decimal rational, so the 2dp grid is never ambiguous
+        F.round(F.sum("o_totalprice").over(wf), 2).alias("running_total"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
 

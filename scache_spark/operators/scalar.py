@@ -151,7 +151,7 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(ln(l_extendedprice), 10) AS ln_price,
+           round(ln(l_extendedprice), 6) AS ln_price,
            CAST(ceil(ln(greatest(l_extendedprice, 1.0)) / ln(1.1)) AS INT)
                AS size_compressed,
            round(power(l_discount, 2), 10) AS disc_sq,
@@ -171,8 +171,10 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        # round(10): libm vs JVM ln may differ in the last ulp per row
-        F.round(F.log(F.col("l_extendedprice")), 10).alias("ln_price"),
+        # round(6): libm vs JVM ln differ in the last ulp per row, and
+        # at 10dp an ulp can straddle the rounding boundary (seen at
+        # sf0.01); 6dp puts the boundary ~9 orders beyond ulp noise
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
         F.ceil(
             F.log(F.greatest(F.col("l_extendedprice"), F.lit(1.0))) / F.log(F.lit(1.1))
         )

@@ -275,7 +275,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_type_profit",
     oracle="""
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(year(o_orderdate) AS INT) AS o_year,
@@ -323,7 +323,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 4).alias("sum_profit"))
     )
 
 
