@@ -257,7 +257,9 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vals = emb.select(F.posexplode("embedding").alias("dim0", "valf")).select(
-        (F.col("dim0") + 1).alias("dim"), F.col("valf").cast("double").alias("val")
+        # long: DuckDB generate_subscripts is BIGINT — keep dtypes equal
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("valf").cast("double").alias("val"),
     )
     rng = vals.groupBy("dim").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
     q = (
