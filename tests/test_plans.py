@@ -310,3 +310,47 @@ def test_substring_dedup_exchanges_are_bounded(spark, sf_dir):
 
     df = dedup_substring_pairs(spark, sf_dir)
     assert plans.exchange_count(df) <= 6, plans.formatted_plan(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """The 100 TB skew story, proven live: with one hot key dominating
+    a shuffle join, AQE re-plans the join to read the skewed partition
+    in slices (SortMergeJoin(skew=true) + 'AQEShuffleRead ... skewed').
+    Thresholds are lowered so fixture-scale data exhibits it; the
+    executed plan must come from the SAME query execution that ran
+    (a fresh .count() would replan from scratch without AQE state).
+    Note: a downstream aggregate keyed on the join key suppresses the
+    split (it would break the reusable partitioning) — that is why
+    salting (salted_skew_join) stays in the toolbox."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hot = spark.range(500000).select(
+            F.lit(7).alias("k"), (F.col("id") * 37 % 1000003).alias("v")
+        )
+        cold = spark.range(5000).select(
+            (F.col("id") % 50 + 100).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(200).select(
+            (F.col("id") % 200).alias("k"), F.lit(1).alias("w")
+        )
+        j = hot.unionAll(cold).join(right, "k")
+        assert len(j.collect()) == 505000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
