@@ -789,3 +789,82 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _PF_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash sketch mergeability (the incremental/sharded-dedup law)
+# ---------------------------------------------------------------------------
+
+_MM_PERMS = 4  # permutations checked for the merge law
+_MM_SENTINEL = "zzzz"  # > any md5 hex digest
+
+
+@register(
+    "minhash_merge_property",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    split AS (
+      SELECT doc_id, sh,
+             [s for s in sh
+              if ('0x' || substr(md5(s), 1, 15))::BIGINT % 2 = 0] AS sh_even,
+             [s for s in sh
+              if ('0x' || substr(md5(s), 1, 15))::BIGINT % 2 = 1] AS sh_odd
+      FROM shingled
+    )
+    SELECT doc_id,
+           CAST(len(sh_even) AS INT) AS n_even,
+           CAST(len(sh_odd) AS INT) AS n_odd,
+           CAST({" + ".join(
+             f"CASE WHEN least("
+             f"coalesce(list_aggregate([md5('{i}:' || s) for s in sh_even], 'min'), '{_MM_SENTINEL}'), "
+             f"coalesce(list_aggregate([md5('{i}:' || s) for s in sh_odd], 'min'), '{_MM_SENTINEL}')) "
+             f"= list_aggregate([md5('{i}:' || s) for s in sh], 'min') "
+             f"THEN 1 ELSE 0 END"
+             for i in range(_MM_PERMS)
+           )} AS INT) AS n_match
+    FROM split WHERE len(sh) > 0
+    """,
+    tags=("B24", "B17"),
+    doc="The law that makes 100 TB dedup incremental: a MinHash "
+    "signature is an element-wise MIN, so signatures computed over "
+    "ANY partition of a document's shingle set merge exactly (min of "
+    "mins) into the whole-set signature.  Each doc's shingles are "
+    "split by hash parity, per-part signatures computed and merged, "
+    f"and n_match counts agreement with the direct signature over "
+    f"{_MM_PERMS} permutations — {_MM_PERMS} for every doc.  This is "
+    "why new corpus shards can be signed independently and unioned "
+    "with zero recomputation, the same mergeability MapStatus relies "
+    "on when size vectors combine per-map (scheduler/MapStatus.scala).",
+)
+def minhash_merge_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import hash64
+
+    sh = shingled_docs(spark, sf_dir).select("doc_id", "sh").filter(
+        F.size("sh") > 0
+    )
+    split = sh.select(
+        "doc_id",
+        "sh",
+        F.filter("sh", lambda s: hash64(s) % 2 == 0).alias("sh_even"),
+        F.filter("sh", lambda s: hash64(s) % 2 == 1).alias("sh_odd"),
+    )
+
+    def _sig(col: str, i: int):
+        return F.array_min(
+            F.transform(F.col(col), lambda s: salted_md5(s, i))
+        )
+
+    match = None
+    for i in range(_MM_PERMS):
+        merged = F.least(
+            F.coalesce(_sig("sh_even", i), F.lit(_MM_SENTINEL)),
+            F.coalesce(_sig("sh_odd", i), F.lit(_MM_SENTINEL)),
+        )
+        eq = F.when(merged == _sig("sh", i), 1).otherwise(0)
+        match = eq if match is None else match + eq
+    return split.select(
+        "doc_id",
+        F.size("sh_even").alias("n_even"),
+        F.size("sh_odd").alias("n_odd"),
+        match.cast("int").alias("n_match"),
+    )
