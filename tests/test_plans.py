@@ -354,3 +354,21 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    """The engine's join-strategy surface: broadcast / merge /
+    shuffle_hash hints must each produce their physical join node —
+    the manual override lane when AQE's choice is wrong for a known
+    workload."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cases = (
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    )
+    for hint, node in cases:
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        plan = plans.formatted_plan(df)
+        assert node in plan, f"hint {hint}: {plan[:800]}"
