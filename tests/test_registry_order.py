@@ -7,19 +7,22 @@ from scache_spark.registry import PRIORITY, REGISTRY, _ensure_loaded
 
 
 def test_priority_is_window_sized_and_unique():
-    assert len(PRIORITY) == 50
-    assert len(set(PRIORITY)) == 50
+    # PRIORITY may extend past the 50-entry graded window (entries
+    # 51+ are next in line if the driver widens it), but the window
+    # itself must stay exactly 50 and duplicate-free.
+    assert len(PRIORITY) >= 50
+    assert len(set(PRIORITY)) == len(PRIORITY)
 
 
 def test_registry_starts_with_priority():
     _ensure_loaded()
-    assert list(REGISTRY)[:50] == list(PRIORITY)
+    assert list(REGISTRY)[: len(PRIORITY)] == list(PRIORITY)
 
 
 def test_first_window_covers_every_family():
     _ensure_loaded()
     tags = set()
-    for name in PRIORITY:
+    for name in PRIORITY[:50]:
         tags.update(REGISTRY[name].tags)
     expected = {f"B{i}" for i in range(1, 28)}
     assert expected <= tags, f"missing families: {expected - tags}"
