@@ -365,3 +365,87 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnosis (choose salting / AQE before the join runs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_diagnosis_report",
+    oracle="""
+    WITH sides AS (
+      SELECT 'orders.o_custkey' AS side, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'events.user_id' AS side, user_id AS k FROM events
+    ),
+    per_key AS (
+      SELECT side, k, CAST(count(*) AS BIGINT) AS c
+      FROM sides GROUP BY side, k
+    ),
+    stats AS (
+      SELECT side,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(c) AS BIGINT) AS max_cnt
+      FROM per_key GROUP BY side
+    )
+    SELECT s.side, s.n_rows, s.n_keys, s.max_cnt,
+           round(CAST(s.n_rows AS DOUBLE) / s.n_keys, 6) AS avg_cnt,
+           round(CAST(s.max_cnt AS DOUBLE) * s.n_keys / s.n_rows, 4)
+               AS imbalance,
+           (SELECT min(k) FROM per_key p
+            WHERE p.side = s.side AND p.c = s.max_cnt) AS top_key
+    FROM stats s
+    """,
+    tags=("B21", "B7", "A.5"),
+    doc="Join-key skew diagnosis: per-key count stats for each side of "
+    "a prospective join — row/key counts, the heaviest key (smallest "
+    "id among ties), and the imbalance factor max/avg that decides "
+    "between plain shuffle, AQE skew split (imbalance moderate, few "
+    "hot partitions) and salting (imbalance extreme, one pathological "
+    "key — see salted_skew_join and the AQE skew plan test).  The "
+    "per-reducer size vector the reference's MapStatus ships "
+    "(scheduler/MapStatus.scala:45-82) is exactly this report at "
+    "block granularity.  Map-side combinable; state is one row per "
+    "key per side, integer-exact.",
+)
+def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("side"), F.col("o_custkey").alias("k")
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.lit("events.user_id").alias("side"), F.col("user_id").alias("k")
+    )
+    per_key = (
+        o.unionByName(e)
+        .groupBy("side", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = per_key.groupBy("side").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_cnt"),
+    )
+    top = (
+        per_key.join(
+            stats.select("side", F.col("max_cnt").alias("mc")), "side"
+        )
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("side")
+        .agg(F.min("k").alias("top_key"))
+    )
+    return stats.join(top, "side").select(
+        "side",
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6).alias(
+            "avg_cnt"
+        ),
+        F.round(
+            F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows"), 4
+        ).alias("imbalance"),
+        "top_key",
+    )
