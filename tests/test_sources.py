@@ -140,3 +140,22 @@ def test_compression_codecs_roundtrip(spark, sf_dir, tmp_path):
         li.write.option("compression", codec).parquet(out)
         got = sorted(map(tuple, spark.read.parquet(out).collect()))
         assert got == expected, codec
+
+
+def test_scan_exposes_file_provenance(spark, sf_dir, tmp_path):
+    """B1: every scanned row can carry its physical file provenance
+    (input_file_name) — the hook audit/debug pipelines use to trace a
+    bad record back to the object-store file that produced it."""
+    out = str(tmp_path / "prov")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.partitionBy("o_orderpriority").parquet(out)
+    rows = (
+        spark.read.parquet(out)
+        .select("o_orderpriority", F.input_file_name().alias("f"))
+        .limit(500)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert f"o_orderpriority={r['o_orderpriority']}" in r["f"].replace("%20", " ")
