@@ -1322,3 +1322,36 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_totalprice", F.lit(-1.0)).alias("o_totalprice"),
         F.coalesce("o_orderpriority", F.lit("MISSING")).alias("o_orderpriority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL passthrough: one ANSI string, two engines
+# ---------------------------------------------------------------------------
+
+_PASSTHROUGH_SQL = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS total_price,
+           CAST(min(o.o_orderkey) AS BIGINT) AS first_order
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey % 5 = 0 AND l.l_quantity > 10
+    GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "sql_passthrough_identical_text",
+    oracle=_PASSTHROUGH_SQL,
+    tags=("B1", "B4", "B7"),
+    doc="The SQL front-end, demonstrated at its strongest: the EXACT "
+    "same ANSI string (one shared constant) is executed by spark.sql "
+    "over temp views AND by DuckDB as its own oracle — zero "
+    "translation layer, per SURVEY §2's 'full SQL parser comes free'. "
+    "Catalyst still plans it like the DataFrame twin: filter pushed "
+    "to both scans, partial aggregation, one exchange on the group "
+    "key.",
+)
+def sql_passthrough_identical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PASSTHROUGH_SQL)
