@@ -74,3 +74,60 @@ def test_checkpoint_no_reprocessing_on_restart(spark, sf_dir, tmp_path):
     seen.clear()
     run_once()  # same checkpoint, unchanged source
     assert sum(seen) == 0, f"reprocessed {sum(seen)} rows after restart"
+
+
+def test_foreachbatch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once sink discipline: foreachBatch may RE-DELIVER a
+    batch after a failure (same batch_id).  A sink that partitions by
+    batch_id and writes with dynamic partition-overwrite makes the
+    retry overwrite its own partition — totals identical whether a
+    batch arrives once or twice.  (The append-mode sink in
+    stream_foreachbatch_sink would double-count; this is the
+    production-hardened variant.)"""
+    out = str(tmp_path / "eo_sink")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+
+        def sink(batch_df, batch_id: int):
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_part"),
+                    F.round(F.sum("value"), 4).alias("t_part"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.partitionBy("batch_id")
+                .mode("overwrite")
+                .parquet(out)
+            )
+
+        ev = load_table(spark, sf_dir, "events")
+        half1 = ev.filter(F.col("event_id") % 2 == 0)
+        half2 = ev.filter(F.col("event_id") % 2 == 1)
+        sink(half1, 0)
+        sink(half2, 1)
+        once = {
+            r["event_type"]: (r["n"], r["t"])
+            for r in spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_part").cast("long").alias("n"),
+                F.round(F.sum("t_part"), 4).alias("t"),
+            )
+            .collect()
+        }
+        sink(half2, 1)  # failure-recovery re-delivery of the last batch
+        twice = {
+            r["event_type"]: (r["n"], r["t"])
+            for r in spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_part").cast("long").alias("n"),
+                F.round(F.sum("t_part"), 4).alias("t"),
+            )
+            .collect()
+        }
+        assert once == twice and len(once) > 0
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
