@@ -680,3 +680,61 @@ def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "asof_join_next_click",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 'click' AS side FROM events
+      WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 'purchase' AS side FROM events
+      WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, side,
+             min(CASE WHEN side = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_click_ts
+      FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(ts AS TIMESTAMP) AS purchase_ts,
+           CAST(next_click_ts AS TIMESTAMP) AS next_click_ts
+    FROM carried WHERE side = 'purchase'
+    """,
+    tags=("temporal", "B11"),
+    doc="FORWARD as-of join: for each purchase, the user's earliest "
+    "strictly later click (did the buyer come back?) — the mirror of "
+    "asof_join_last_click with a FOLLOWING frame carrying min "
+    "backwards.  Same scale shape: one shuffle on user_id, one window "
+    "sort, no inequality join.  'purchase' > 'click' in the side "
+    "tie-break, so a click at the exact purchase timestamp counts as "
+    "earlier, not later — consistent in both directions.",
+)
+def asof_join_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit("click").alias("side")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit("purchase").alias("side")
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn(
+        "next_click_ts",
+        F.min(F.when(F.col("side") == "click", F.col("ts"))).over(w),
+    )
+    return carried.filter(F.col("side") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_click_ts",
+    )
