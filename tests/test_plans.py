@@ -372,3 +372,36 @@ def test_join_strategy_hints_are_respected(spark, sf_dir):
         df = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
         plan = plans.formatted_plan(df)
         assert node in plan, f"hint {hint}: {plan[:800]}"
+
+
+def test_bucket_pruning_reads_one_bucket(spark, sf_dir, tmp_path):
+    """Point lookups on a bucketed table must prune to the key's
+    bucket file (SelectedBucketsCount: 1 out of N) — the durable
+    analog of the reference's getBlock key-match read path
+    (deploy/Daemon.scala:65-82): the key tells you which block to
+    read, so you read one.  autoBucketedScan is disabled because
+    Spark otherwise drops the bucketed layout for scans with no
+    join/agg to co-locate — pruning is the benefit here."""
+    from scache_spark.sources import write_bucketed
+
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        spark.sql("DROP TABLE IF EXISTS bucket_prune_t")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        write_bucketed(
+            o, "bucket_prune_t", ["o_orderkey"], 8, str(tmp_path / "bp")
+        )
+        df = spark.table("bucket_prune_t").filter(F.col("o_orderkey") == 42)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:1200]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bucket_prune_t")
