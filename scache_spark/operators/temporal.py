@@ -738,3 +738,48 @@ def asof_join_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "next_click_ts",
     )
+
+
+@register(
+    "time_decayed_engagement",
+    oracle="""
+    WITH ref AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS t_ref FROM events
+    ),
+    scored AS (
+      SELECT user_id,
+             exp(-CAST(ref.t_ref - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE)
+                 / 604800.0) * value AS w
+      FROM events, ref
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(w), 6) AS decayed_score
+    FROM scored GROUP BY user_id
+    """,
+    tags=("temporal", "B15", "B16"),
+    doc="Recency-weighted engagement: each event's value decays "
+    "exponentially with its age from the stream head (tau = 7 days), "
+    "summed per user — the closed-form, order-independent alternative "
+    "to a recursive EMA, so it is a plain map-side-combinable "
+    "aggregate at any scale.  Ages are computed as INTEGER second "
+    "deltas (identical in both engines) before the one exp() per "
+    "row; the sum is rounded per the float-exactness rules.",
+)
+def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.unix_timestamp(F.max("ts")).alias("t_ref"))
+    scored = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (
+            F.exp(
+                -(F.col("t_ref") - F.unix_timestamp("ts")).cast("double")
+                / F.lit(604800.0)
+            )
+            * F.col("value")
+        ).alias("w"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("w"), 6).alias("decayed_score"),
+    )
