@@ -850,3 +850,87 @@ def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("neg_id") != F.col("query_id")) & (F.col("nh") != F.col("qh")))
         .select("query_id", F.col("j").cast("int").alias("j"), "neg_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (insertion-robust dedup chunk boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 16  # expected chunk length in tokens
+
+
+@register(
+    "content_defined_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM toks
+    ),
+    chunked AS (
+      SELECT doc_id, tok, pos,
+             sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+      FROM marked
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash
+    FROM chunked GROUP BY doc_id, chunk_id
+    """,
+    tags=("B24", "B11", "B14"),
+    doc="Content-defined chunking: chunk boundaries fall where a "
+    "token's hash ≡ 0 (mod 16), so boundaries are a function of "
+    "CONTENT, not position — inserting a sentence shifts only the "
+    "chunks it touches, while fixed-stride chunking (text_chunking, "
+    "udtf_chunk_spans) shifts every downstream chunk.  The rsync/"
+    "dedup-storage trick applied to corpus dedup: chunk hashes of "
+    "edited documents still mostly collide with the original's.  One "
+    "shuffle on doc_id for the windowed boundary count, one grouped "
+    "ordered-hash per chunk; at 100 TB both are plain keyed "
+    "aggregates.",
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.functions import hash64
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    marked = toks.withColumn(
+        "boundary",
+        F.when(hash64(F.col("tok")) % _CDC_MOD == 0, 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = marked.withColumn("chunk_id", F.sum("boundary").over(w))
+    return (
+        chunked.groupBy("doc_id", F.col("chunk_id").cast("int").alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "tok"))
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
