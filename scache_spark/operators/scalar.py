@@ -854,3 +854,63 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_report",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("B20", "B16"),
+    doc="Robust outlier report: per event type, the median/MAD scale "
+    "estimate and the count of values beyond 3 robust sigmas "
+    "(1.4826*MAD) — the data-quality screen that, unlike mean/stddev "
+    "z-scores, is not dragged by the outliers it hunts.  Two grouped "
+    "exact medians + one broadcast-size join per pass; the outlier "
+    "verdict is an integer count, immune to float drift.  The "
+    "screening pass a value column gets before training-feature "
+    "extraction.",
+)
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
