@@ -1355,3 +1355,47 @@ def sql_passthrough_identical_text(spark: SparkSession, sf_dir: str) -> DataFram
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_PASSTHROUGH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (Pareto front) via one window pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_front_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, o_orderdate,
+             max(o_orderdate) OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_date_so_far
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM ranked
+    WHERE best_date_so_far IS NULL OR o_orderdate > best_date_so_far
+    """,
+    tags=("B11", "B9"),
+    doc="2D skyline / Pareto front per priority class: orders not "
+    "dominated on (cheaper, more recent) — walk the group sorted by "
+    "price and keep rows beating the running best date.  The classic "
+    "quadratic NOT-EXISTS dominance query collapsed into ONE window "
+    "pass: one shuffle on the group key, one sort, zero self-joins — "
+    "the O(n log n) shape that survives any group size.  Total order "
+    "(price, orderkey) makes ties deterministic.",
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = o.withColumn("best_date_so_far", F.max("o_orderdate").over(w))
+    return ranked.filter(
+        F.col("best_date_so_far").isNull()
+        | (F.col("o_orderdate") > F.col("best_date_so_far"))
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")

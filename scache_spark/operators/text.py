@@ -662,3 +662,67 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("n_src").alias("n_tokens_top"))
         .agg(F.round(F.sum(p_src * F.log(p_src / p_all)), 6).alias("kl"))
     )
+
+
+@register(
+    "source_lang_chisq",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY source, lang
+    ),
+    margins AS (
+      SELECT c.source, c.lang, c.obs,
+             rs.row_tot, cs.col_tot, t.n
+      FROM cells c
+      JOIN (SELECT source, CAST(sum(obs) AS BIGINT) AS row_tot
+            FROM cells GROUP BY source) rs ON c.source = rs.source
+      JOIN (SELECT lang, CAST(sum(obs) AS BIGINT) AS col_tot
+            FROM cells GROUP BY lang) cs ON c.lang = cs.lang
+      CROSS JOIN (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells) t
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+                AS BIGINT) AS dof,
+           round(sum(
+             (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+             / (CAST(row_tot AS DOUBLE) * col_tot / n)
+           ), 4) AS chi2
+    FROM margins
+    """,
+    tags=("B20", "B7", "B16"),
+    doc="Chi-square independence test between document source and "
+    "language over the observed contingency table — the screen for "
+    "'is language mix drifting by source?' before corpus mixing.  "
+    "Expected cell counts derive from integer margins, so the "
+    "statistic is deterministic up to one rounded summation; at "
+    "100 TB the contingency table is |sources|x|langs| rows from one "
+    "map-side-combined count.",
+)
+def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    rs = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("row_tot"))
+    cs = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("col_tot"))
+    t = cells.agg(F.sum("obs").cast("long").alias("n"))
+    m = (
+        cells.join(F.broadcast(rs), "source")
+        .join(F.broadcast(cs), "lang")
+        .crossJoin(F.broadcast(t))
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        ((F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(
+            F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 4
+        ).alias("chi2"),
+    )
