@@ -783,3 +783,60 @@ def time_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("w"), 6).alias("decayed_score"),
     )
+
+
+@register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT)
+               AS n_view_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'cp')) AS INT) AS n_direct_click_buy,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS INT) AS n_error_bursts
+    FROM seqs
+    """,
+    tags=("temporal", "B11", "B14"),
+    doc="MATCH_RECOGNIZE-lite: each user's event history collapses to "
+    "an ordered initial-letter string (one grouped ordered-agg), and "
+    "behavioral patterns become regexes over it — view-sessions "
+    "ending in purchase, click-then-buy, repeated-error bursts.  "
+    "Counting uses leftmost non-overlapping matching, identical in "
+    "both engines.  At 100 TB: one shuffle on user_id, per-user "
+    "state is one short string, and the regex scan is codegen — the "
+    "sequence-mining shape without a stateful engine.",
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["i"]
+                ),
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.regexp_count("seq", F.lit(r"v[^p]*p")).cast("int").alias(
+            "n_view_to_purchase"
+        ),
+        F.regexp_count("seq", F.lit("cp")).cast("int").alias("n_direct_click_buy"),
+        F.regexp_count("seq", F.lit("ee+")).cast("int").alias("n_error_bursts"),
+    )
