@@ -939,3 +939,48 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price_b").alias("new_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch mergeability (re-aggregatable distinct counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hll_sketch_union_bound",
+    oracle="""
+    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events
+    """,
+    tags=("B7", "B20"),
+    doc="Distinct-count sketch MERGEABILITY: one Datasketches-HLL "
+    "sketch per event type (hll_sketch_agg), unioned (hll_union_agg) "
+    "into a corpus-wide estimate, asserted in-query to be within 5% "
+    "of the exact distinct-user count — the output carries the exact "
+    "values plus the boolean verdict, so it is engine-exact while "
+    "the probabilistic estimate stays internal.  This is how 100 TB "
+    "distinct counting actually ships: per-partition/per-day sketch "
+    "tables that re-aggregate to any rollup without touching raw "
+    "data — the same merge law minhash_merge_property verifies for "
+    "signatures.",
+)
+def hll_sketch_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    unioned = sketches.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketches"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    return unioned.crossJoin(F.broadcast(exact)).select(
+        "n_sketches",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("union_within_5pct"),
+    )
