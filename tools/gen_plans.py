@@ -40,6 +40,13 @@ COMMENT = {
     "source_token_kl": "Token counting collapses map-side; the top-200 vocabulary is TakeOrdered then broadcast into both the per-source count join and the zero-completing grid — per-source state is |sources|×200 rows regardless of corpus size.",
     "cdc_snapshot_diff": "Two snapshots meet in ONE full-outer key join; unchanged rows are dropped inside the join's filter before any further movement — with both sides bucketed on the key the join itself needs no exchange.",
     "udtf_chunk_spans": "The Python table function expands rows inside the scan stage (BatchEvalPythonUDTF directly over the file scan) — one-to-many with zero shuffle.",
+    "pareto_front_orders": "The quadratic NOT-EXISTS dominance query as ONE window pass: sort each group by price, keep rows beating the running best date — O(n log n) at any group size, no self-join anywhere.",
+    "sequence_pattern_match": "Event history collapses to a per-user string in one grouped ordered-agg; behavioral patterns are regex counts in codegen — sequence mining with one shuffle and constant per-user state.",
+    "content_defined_chunks": "Boundaries are a function of content (token hash ≡ 0 mod 16), so edits shift only the chunks they touch; one windowed boundary-cumsum plus one grouped ordered-hash.",
+    "skew_diagnosis_report": "The pre-join skew report: per-key counts collapse map-side, per-side stats are a handful of rows — the MapStatus size vector at key granularity, deciding shuffle vs AQE-split vs salting.",
+    "hll_sketch_union_bound": "Per-type HLL sketches union into a corpus estimate without touching raw data — the re-aggregatable sketch-table pattern; the bound verdict keeps the output engine-exact.",
+    "time_decayed_engagement": "Closed-form exponential recency weighting: integer second ages, one exp per row, one map-side-combinable aggregate — the order-independent alternative to a recursive EMA.",
+    "minhash_merge_property": "Per-part signatures merge by element-wise min into the whole-set signature — verified per doc; the law that lets new corpus shards be signed independently and unioned.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
