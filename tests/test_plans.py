@@ -405,3 +405,33 @@ def test_bucket_pruning_reads_one_bucket(spark, sf_dir, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql("DROP TABLE IF EXISTS bucket_prune_t")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
+    """Statistics plane (the MapStatus analog at table grain): ANALYZE
+    TABLE COMPUTE STATISTICS must surface rowCount/sizeInBytes to the
+    optimizer, so the cost-based planner sees real cardinalities
+    instead of file-size guesses."""
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+    load_table(spark, sf_dir, "nation").write.saveAsTable("stats_t")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS")
+        n = spark.table("stats_t").count()
+        detail = spark.sql("DESCRIBE TABLE EXTENDED stats_t").collect()
+        stats_row = [r for r in detail if r["col_name"] == "Statistics"]
+        assert stats_row, detail
+        assert f"{n} rows" in stats_row[0]["data_type"], stats_row
+        # rowCount reaches plan-level Statistics only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        plan_stats = (
+            spark.table("stats_t")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert f"rowCount={n}" in plan_stats, plan_stats
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS stats_t")
