@@ -840,3 +840,80 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit("cp")).cast("int").alias("n_direct_click_buy"),
         F.regexp_count("seq", F.lit("ee+")).cast("int").alias("n_error_bursts"),
     )
+
+
+@register(
+    "pit_dimension_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_custkey AS uid, o_orderdate AS ts, 0 AS side,
+             CAST(-1 AS BIGINT) AS event_id,
+             lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 20, '0')
+               || ':' || o_orderpriority AS dim_key
+      FROM orders
+      UNION ALL
+      SELECT user_id AS uid, ts, 1 AS side, event_id,
+             CAST(NULL AS VARCHAR) AS dim_key
+      FROM events
+    ),
+    carried AS (
+      SELECT uid, ts, side, event_id,
+             max(dim_key) OVER (PARTITION BY uid ORDER BY ts, side, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_dim
+      FROM tagged
+    )
+    SELECT event_id, uid AS user_id, CAST(ts AS TIMESTAMP) AS ts,
+           split_part(last_dim, ':', 2) AS prio_at_event
+    FROM carried WHERE side = 1
+    """,
+    tags=("temporal", "B11", "B4"),
+    doc="Point-in-time dimension join (the feature-store correctness "
+    "op): each event is enriched with the customer's order priority "
+    "AS OF the event timestamp — never a later value, so features "
+    "computed from it cannot leak the future.  Same union+window "
+    "shape as the as-of joins: dimension-change rows and fact rows "
+    "interleave in one (ts, side, id)-ordered window per key, and "
+    "the latest change is carried as a max over "
+    "zero-padded-epoch||value strings (lexicographic max = latest "
+    "change, value rides along — no IGNORE NULLS dependence, "
+    "identical in both engines).  One shuffle on the entity key, no "
+    "inequality join.",
+)
+def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    dim = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.concat(
+            F.lpad(F.unix_micros("o_orderdate").cast("string"), 20, "0"),
+            F.lit(":"),
+            F.col("o_orderpriority"),
+        ).alias("dim_key"),
+    )
+    fact = ev.select(
+        F.col("user_id").alias("uid"),
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("dim_key"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dim.unionByName(fact).withColumn(
+        "last_dim", F.max("dim_key").over(w)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        "ts",
+        F.split_part(F.col("last_dim"), F.lit(":"), F.lit(2)).alias(
+            "prio_at_event"
+        ),
+    )
