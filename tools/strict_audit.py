@@ -33,6 +33,14 @@ for name, spec in sorted(REGISTRY.items()):
                 if not np.array_equal(a, b):
                     d = np.max(np.abs(a - b))
                     risky.append((name, col, f"maxdiff={d:.3e}"))
+            elif str(sv.dtype) != str(ov.dtype):
+                # datetime unit (ns vs us) and datetime-vs-object are
+                # normalized by the driver (r01 evidence:
+                # filter_project_cast passed with object vs datetime64);
+                # flag everything else (e.g. int32 vs int64)
+                kinds = {str(sv.dtype), str(ov.dtype)}
+                if not any("datetime" in k for k in kinds):
+                    risky.append((name, col, f"dtype {sv.dtype} vs {ov.dtype}"))
     except Exception as e:
         risky.append((name, "ERROR", str(e)[:120]))
 
