@@ -495,3 +495,64 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top.event_id").cast("long").alias("top_event"),
     )
     return run_stream(res, "window_topk", "append")
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN INTERVAL '5 minutes'
+                  ELSE INTERVAL '10 minutes' END AS gap
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN max(ts + gap) OVER prev IS NULL
+                    OR ts >= max(ts + gap) OVER prev
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM base
+      WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("B27",),
+    doc="DYNAMIC-gap session windows: each event carries its own "
+    "timeout (errors close after 5 minutes, everything else 10) via "
+    "session_window's gap expression — per-event state TTL, which a "
+    "static gap can't express.  The oracle is gaps-and-islands with "
+    "a running max of per-event session ends; because timestamps are "
+    "monotone within the partition, the max over ALL preceding ends "
+    "equals the current session's end, so one window expresses the "
+    "merge.  Append mode + the flush row keep state droppable "
+    "exactly as in the static-session query.",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "10 minutes"
+    )
+    agg = s.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    res = agg.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    )
+    return run_stream(res, "session_dyn", "append")
