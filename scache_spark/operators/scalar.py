@@ -914,3 +914,78 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ks_drift_statistic",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    totals AS (
+      SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - is_a) AS BIGINT) AS n_b
+      FROM flagged
+    ),
+    walked AS (
+      SELECT v,
+             sum(is_a) OVER (ORDER BY v, is_a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(1 - is_a) OVER (ORDER BY v, is_a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM flagged
+    )
+    SELECT t.n_a, t.n_b,
+           round(max(abs(CAST(w.ca AS DOUBLE) / t.n_a
+                         - CAST(w.cb AS DOUBLE) / t.n_b)), 6) AS ks
+    FROM walked w CROSS JOIN totals t
+    GROUP BY t.n_a, t.n_b
+    """,
+    tags=("B20", "B9", "B16"),
+    doc="Two-sample Kolmogorov-Smirnov drift statistic: max ECDF gap "
+    "between urgent and non-urgent order-price distributions — the "
+    "continuous-distribution drift test completing source_lang_chisq's "
+    "categorical one.  Cumulative counts come from one ordered window "
+    "walk with a deterministic (value, group) total order; ECDF "
+    "values are exact-integer ratios, so the statistic is "
+    "deterministic up to the final rounding.  At 100 TB the walk is "
+    "a range-partitioned parallel sort (the Terasort shape), not a "
+    "single-node pass.",
+)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    flagged = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    totals = flagged.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    w = Window.orderBy("v", "is_a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = flagged.select(
+        F.sum("is_a").over(w).alias("ca"),
+        F.sum(1 - F.col("is_a")).over(w).alias("cb"),
+    )
+    return (
+        walked.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("n_a")
+                        - F.col("cb").cast("double") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks")
+        )
+    )
