@@ -131,11 +131,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot read as
-# TimestampType (micros).  It is read as a raw nanos long (requires
-# spark.sql.legacy.parquet.nanosAsLong=true, set in session.py) and
-# converted with integer division — `div`, not `/`: nanos-since-epoch
-# ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
+# events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+# parquet across fixture generations.  Spark cannot read NANOS as
+# TimestampType (micros), so that variant is read as a raw nanos long
+# (requires spark.sql.legacy.parquet.nanosAsLong=true, set in
+# session.py) and converted with integer division — `div`, not `/`:
+# nanos-since-epoch ≈ 1.7e18 exceeds double's 2^53 exact-integer
+# range.  The actual unit is sniffed from the parquet footer once per
+# path (cached) so either generation loads correctly.
 _EVENTS_READ_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -146,6 +149,28 @@ _EVENTS_READ_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+_TS_IS_NANOS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff whether events.ts is TIMESTAMP(NANOS) from the parquet
+    footer (one footer read per path, cached for the process)."""
+    if path not in _TS_IS_NANOS:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = [
+                f
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            probe = os.path.join(path, parts[0])
+        field = pq.read_schema(probe).field("ts")
+        _TS_IS_NANOS[path] = str(field.type) == "timestamp[ns]"
+    return _TS_IS_NANOS[path]
 
 
 _CONF_PINNED: set[int] = set()
@@ -177,10 +202,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a footer-read planning step per query on a 100k-file dataset.
     """
     ensure_runtime_conf(spark)
-    if name == "events":
-        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(
-            table_path(sf_dir, name)
-        )
+    path = table_path(sf_dir, name)
+    if name == "events" and _events_ts_is_nanos(path):
+        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
         from pyspark.sql import functions as F
 
         return raw.select(
