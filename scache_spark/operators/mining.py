@@ -1,0 +1,398 @@
+"""Pattern-mining & monitoring operators: co-occurrence, streaks,
+EWMA anomaly flags, LSH design curves.
+
+The reference's analytics surface stops at shuffle-level statistics
+(reduce-size prediction, ``sim/sim.py:223-263``); this module covers
+the dataset-level mining a training-data pipeline runs on top: which
+items co-occur (a-priori pruned pair counting), how user activity
+streaks distribute (gaps-and-islands), which daily series spike
+(observation-indexed EWMA), and whether the deployed MinHash banding
+actually catches the observed similarity mass (analytic candidate
+curve against measured Jaccard pairs).
+
+Bit-exactness discipline (FIXTURES.md): every float expression is
+either (a) built from identical left-associated literal arithmetic in
+both engines (EWMA weights are emitted as ``CAST('<repr>' AS
+DOUBLE)`` so DuckDB cannot parse them as DECIMAL; powers are expanded
+to explicit products, never ``pow``), or (b) an order-dependent sum
+rounded onto a grid coarser than accumulated ulp noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# co-occurrence mining (market-basket pair counts with a-priori pruning)
+# ---------------------------------------------------------------------------
+
+MIN_PAIR_ORDERS = 3
+
+
+@register(
+    "cooccurrence_brand_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    brand_n AS (
+      SELECT p_brand, count(*) AS n_orders_brand FROM items GROUP BY p_brand
+    ),
+    totals AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM items),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_PAIR_ORDERS}
+    )
+    SELECT brand_a, brand_b, n_co,
+           round(CAST(n_co AS DOUBLE) * CAST(t.n_total AS DOUBLE)
+                 / (CAST(na.n_orders_brand AS DOUBLE)
+                    * CAST(nb.n_orders_brand AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN totals t
+    """,
+    tags=("B7", "B4", "mining"),
+    doc="Market-basket co-occurrence: brand pairs sharing >= "
+    f"{MIN_PAIR_ORDERS} orders, with lift.  Scale shape: project to "
+    "(order, brand) and DISTINCT **before** the self-join (the pair "
+    "space is bounded by basket-size², never by corpus size); the "
+    "self-join key is the order key, so both sides share one shuffle "
+    "partitioning and the exchange is reused; brand marginals and the "
+    "1-row total join back as broadcasts.  The same plan counts "
+    "n-gram co-occurrence over a 100 TB token corpus.",
+)
+def cooccurrence_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    brand_n = items.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_orders_brand")
+    )
+    totals = items.agg(
+        F.countDistinct("l_orderkey").alias("n_total")
+    )
+    a = items.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = items.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= MIN_PAIR_ORDERS)
+    )
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_orders_brand").alias("na")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_orders_brand").alias("nb")
+    )
+    lift = F.round(
+        F.col("n_co").cast("double")
+        * F.col("n_total").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double")),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(totals))
+        .select("brand_a", "brand_b", "n_co", lift.alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS grp,
+             d
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(count(*) AS BIGINT) AS n_days,
+             min(d) AS streak_start
+      FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT user_id, n_days, streak_start,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_islands,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_days DESC, streak_start ASC) AS rn
+      FROM streaks
+    )
+    SELECT user_id, n_islands,
+           n_days AS longest_days,
+           CAST(streak_start AS TIMESTAMP) AS longest_start
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("B11", "B15", "mining"),
+    doc="Gaps-and-islands: longest consecutive-day activity streak per "
+    "user via the date-minus-row_number constant-group trick — one "
+    "shuffle on user_id shared by the window and both aggregations, "
+    "no self-join, no iteration.  DISTINCT (user, day) first, so "
+    "downstream state is bounded by user-days, not raw events.",
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min("d").alias("streak_start"),
+    )
+    wu = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("n_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("n_islands", F.count(F.lit(1)).over(wu).cast("long"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_islands",
+            F.col("n_days").alias("longest_days"),
+            F.col("streak_start").cast("timestamp").alias("longest_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA anomaly flags over daily series
+# ---------------------------------------------------------------------------
+
+EWMA_DECAY = 0.7
+EWMA_LAGS = 14  # current day + 13 trailing observations
+
+
+def _ewma_cols() -> tuple[Column, Column]:
+    """(numerator, denominator) of the observation-indexed EWMA as
+    explicit left-associated sums over lag columns ``x_0..x_13``
+    (pre-rounded daily totals), weights 0.7^k emitted as exact double
+    literals — bit-identical to the SQL twin by construction."""
+    num = None
+    den = None
+    for k in range(EWMA_LAGS):
+        wk = F.lit(EWMA_DECAY**k)
+        xk = F.col(f"x_{k}")
+        nk = F.when(xk.isNotNull(), xk * wk).otherwise(F.lit(0.0))
+        dk = F.when(xk.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return num, den
+
+
+def _sql_ewma() -> tuple[str, str]:
+    num = " + ".join(
+        f"CASE WHEN x_{k} IS NOT NULL THEN x_{k} * CAST('{EWMA_DECAY**k!r}' AS DOUBLE) "
+        f"ELSE 0.0 END"
+        for k in range(EWMA_LAGS)
+    )
+    den = " + ".join(
+        f"CASE WHEN x_{k} IS NOT NULL THEN CAST('{EWMA_DECAY**k!r}' AS DOUBLE) "
+        f"ELSE 0.0 END"
+        for k in range(EWMA_LAGS)
+    )
+    return num, den
+
+
+_SQL_NUM, _SQL_DEN = _sql_ewma()
+_SQL_LAG_COLS = ", ".join(
+    f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x_{k}"
+    for k in range(EWMA_LAGS)
+)
+
+
+@register(
+    "ewma_anomaly_flags",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT day, event_type, x, {_SQL_LAG_COLS}
+      FROM daily
+    ),
+    scored AS (
+      SELECT day, event_type, x,
+             round(({_SQL_NUM}) / ({_SQL_DEN}), 4) AS ewma,
+             round(x / (({_SQL_NUM}) / ({_SQL_DEN})), 6) AS ratio
+      FROM lagged
+    )
+    SELECT day, event_type, x, ewma, ratio,
+           (ratio > 1.2 OR ratio < 0.8) AS is_anomaly
+    FROM scored
+    """,
+    tags=("B11", "B15", "B20", "mining"),
+    doc="EWMA spike detection on daily per-type revenue: the smoothing "
+    "window is 14 explicit lag columns with closed-form 0.7^k weights "
+    "(observation-indexed, so day gaps don't misalign), one window "
+    "shuffle on event_type.  Daily totals are rounded BEFORE "
+    "smoothing so both engines feed identical doubles into identical "
+    "left-associated arithmetic — the flag threshold then compares "
+    "bit-equal ratios, never ulp noise.",
+)
+def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "day",
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(EWMA_LAGS)],
+    )
+    num, den = _ewma_cols()
+    scored = lagged.select(
+        "day",
+        "event_type",
+        "x",
+        F.round(num / den, 4).alias("ewma"),
+        F.round(F.col("x") / (num / den), 6).alias("ratio"),
+    )
+    return scored.withColumn(
+        "is_anomaly", (F.col("ratio") > 1.2) | (F.col("ratio") < 0.8)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH design curve: analytic banding probability vs observed similarity
+# ---------------------------------------------------------------------------
+
+
+def _p_candidate(q_terms: int, bands: int, s: str) -> str:
+    """SQL for 1 - (1 - s^r)^b with the powers expanded to explicit
+    left-associated products (no ``pow`` — libm vs JVM differ by ulp)."""
+    sr = "(" + " * ".join([s] * q_terms) + ")"
+    q = f"(1.0 - {sr})"
+    qb = "(" + " * ".join([q] * bands) + ")"
+    return f"(1.0 - {qb})"
+
+
+def _p_candidate_col(q_terms: int, bands: int, s: Column) -> Column:
+    sr = s
+    for _ in range(q_terms - 1):
+        sr = sr * s
+    q = F.lit(1.0) - sr
+    qb = q
+    for _ in range(bands - 1):
+        qb = qb * q
+    return F.lit(1.0) - qb
+
+
+@register(
+    "lsh_design_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')
+                            for i in range(1, len(string_split(lower(text), ' ')) - 1)])
+                 AS s
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    pairs AS (
+      SELECT floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))))
+                   * 10.0) / 10.0 AS sim_bin
+      FROM sh a JOIN sh b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    binned AS (
+      SELECT sim_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+             sim_bin + 0.05 AS mid
+      FROM pairs GROUP BY sim_bin
+    )
+    SELECT sim_bin, n_pairs,
+           round({_p_candidate(2, 4, "mid")}, 6) AS p_b4r2,
+           round({_p_candidate(1, 8, "mid")}, 6) AS p_b8r1,
+           round({_p_candidate(4, 2, "mid")}, 6) AS p_b2r4,
+           round(CAST(n_pairs AS DOUBLE) * {_p_candidate(2, 4, "mid")}, 4)
+               AS exp_caught_b4r2
+    FROM binned
+    """,
+    tags=("B24", "B16", "mining"),
+    doc="MinHash-LSH operating curve: measured 3-shingle Jaccard "
+    "similarities (within source blocks — the bounded design-time "
+    "sample, NOT the production path) are binned into deciles and "
+    "scored with the analytic candidate probability 1-(1-s^r)^b for "
+    "the deployed banding (b=4, r=2; dedup.py N_BANDS) and two "
+    "alternatives, yielding expected-caught-pairs per similarity "
+    "decile.  This is how you pick (b, r) BEFORE running banded dedup "
+    "over 100 TB; powers are expanded to products so both engines "
+    "produce bit-identical curves.",
+)
+def lsh_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plain documents (not the augmented dedup corpus): the curve
+    # characterizes the natural similarity mass.
+    docs = load_table(spark, sf_dir, "documents")
+    from scache_spark.functions import word_shingles
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        word_shingles(toks, 3).alias("s"),
+    ).filter(F.size(toks) >= 3)
+    a = sh.select(
+        "source", F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a")
+    )
+    b = sh.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+    )
+    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
+        F.array_union("s_a", "s_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select((F.floor(jac * 10.0) / 10.0).alias("sim_bin"))
+    binned = pairs.groupBy("sim_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    mid = F.col("sim_bin") + 0.05
+    return binned.select(
+        "sim_bin",
+        "n_pairs",
+        F.round(_p_candidate_col(2, 4, mid), 6).alias("p_b4r2"),
+        F.round(_p_candidate_col(1, 8, mid), 6).alias("p_b8r1"),
+        F.round(_p_candidate_col(4, 2, mid), 6).alias("p_b2r4"),
+        F.round(
+            F.col("n_pairs").cast("double") * _p_candidate_col(2, 4, mid), 4
+        ).alias("exp_caught_b4r2"),
+    )

@@ -166,6 +166,7 @@ def _ensure_loaded() -> None:
         eventlog,
         extra,
         graph,
+        mining,
         multimodal,
         pipeline,
         prediction,
