@@ -556,3 +556,130 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
     )
     return run_stream(res, "session_dyn", "append")
+
+
+@register(
+    "stream_chained_window_agg",
+    oracle="""
+    WITH m AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ws) AS TIMESTAMP) AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(sum(v), 4) AS total_value
+    FROM m GROUP BY 1, 2
+    """,
+    tags=("B27",),
+    doc="CHAINED windowed aggregation (window-of-window): per-type "
+    "5-minute counts re-aggregated into hourly rollups inside ONE "
+    "streaming query via window_time() — the continuous-aggregate "
+    "cascade (minute->hour->day) without an intermediate sink.  The "
+    "watermark propagates through both stateful stages, so each level "
+    "drops state as its windows close; the flush row finalizes every "
+    "real 5-minute window and its own window is never emitted, so "
+    "level 2 sees exactly the real partials (the oracle's inner "
+    "GROUP BY).",
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    lvl1 = s.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("v"),
+    )
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("v").alias("raw_total"),
+    )
+    res = lvl2.select(
+        F.col("h.start").alias("hour_start"),
+        "event_type",
+        "n_windows",
+        "n_events",
+        F.round(F.col("raw_total"), 4).alias("total_value"),
+    )
+    return run_stream(res, "chained", "append")
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           coalesce(c.event_id, -1) AS click_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           CAST(coalesce(c.ts, TIMESTAMP '1970-01-01 00:00:00') AS TIMESTAMP)
+               AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+    """,
+    tags=("B27",),
+    doc="Watermarked stream-stream LEFT OUTER join: purchases with no "
+    "click in the trailing 10 minutes are emitted with null-side "
+    "sentinels once the watermark proves no matching click can still "
+    "arrive — the state-bounded outer join (unmatched rows surface in "
+    "the no-data batch after the flush row advances the watermark "
+    "past every purchase's match window).  Nulls are coalesced to "
+    "sentinels on both engines so the driver's canonicalizer sees "
+    "stable integer/timestamp columns.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each side KEEPS the flush row (Catalyst pushes the type filter
+    # below the watermark node, so a side that filters it out would
+    # freeze its watermark at its own last real event and the tail's
+    # unmatched purchases would never finalize).  The flush row's
+    # user_id (-1) matches no real event; its own unmatched emission
+    # is dropped from the output below.
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("long")).alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        F.coalesce(
+            F.col("click_ts"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("click_ts"),
+    )
+    # Flush-row hygiene on the BATCH result (a streaming-side filter
+    # would be pushed below the watermark node and undo the fix
+    # above).  The flush row's own window never closes (watermark =
+    # flush - 1min < flush), so this is belt-and-braces.
+    out = run_stream(joined, "ss_left_outer", "append")
+    return out.filter(F.col("purchase_id") != FLUSH_EVENT_ID)
