@@ -41,6 +41,9 @@ HEADLINE = [
     "kmeans_two_rounds",
     "text_tfidf_top_terms",
     "funnel_session_conversion",
+    "pq_adc_topk",
+    "retrieval_rerank_two_stage",
+    "cooccurrence_brand_pairs",
 ]
 
 

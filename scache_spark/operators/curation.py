@@ -1,0 +1,257 @@
+"""Training-data curation operators: shard assignment, curriculum
+interleaving, budgeted selection, attribution.
+
+The last mile of a 100 TB corpus pipeline: AFTER dedup/quality
+filtering (dedup.py, pipeline.py) the surviving documents must be
+shuffled into shards, ordered into a curriculum, and cut to a token
+budget — all deterministically, so a re-run (or an incremental shard
+rebuild) reproduces byte-identical training order.  All randomness is
+md5-derived (seedable-randomness rule, SURVEY §4); every ordering has
+a unique tie-break key.
+
+``token_budget_selection`` demonstrates the scale pattern for global
+ordered selection: a distributed prefix sum (per-bucket cumsum +
+tiny bucket-offset table) replaces the single-partition global window
+a naive cumsum would need — same exact integers, parallel plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.catalog import load_table
+from scache_spark.functions import hash64, sql_hash64
+from scache_spark.registry import register
+
+N_SHARDS = 16
+# Below the smallest fixture's total (~28k tokens at sf0.001) so the
+# cut is exercised at every SF.
+TOKEN_BUDGET = 15_000
+
+
+@register(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {sql_hash64("'shard:' || CAST(doc_id AS VARCHAR)")} AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % {N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY k % {N_SHARDS}
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("B21", "B13", "mining"),
+    doc="Deterministic training shuffle: each document hashes to a "
+    f"shard (md5-derived key, {N_SHARDS} shards) and gets a dense "
+    "position from the hash order WITHIN its shard — a global random "
+    "permutation without any global sort: the shuffle is uniform by "
+    "construction and each shard's window runs in parallel.  Re-runs "
+    "(and single-shard rebuilds) reproduce byte-identical order.",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        hash64(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn(
+            "shard", F.pmod(F.col("k"), F.lit(N_SHARDS)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@register(
+    "curriculum_interleave",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_source
+      FROM documents
+    ),
+    sidx AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS s_total FROM sidx)
+    SELECT r.doc_id, r.source, r.rank_in_source,
+           (r.rank_in_source - 1) * n.s_total + x.si AS global_pos
+    FROM ranked r JOIN sidx x ON r.source = x.source CROSS JOIN n
+    """,
+    tags=("B11", "mining"),
+    doc="Curriculum interleaving: documents rank within their source "
+    "(longest first — the quality proxy), and the global training "
+    "order round-robins sources via closed-form position arithmetic "
+    "(rank-1)*n_sources + source_index — NO global sort, no shuffle "
+    "beyond the per-source window; every position is unique by "
+    "construction.  This is how mixture ratios stay stable through "
+    "the whole epoch instead of front-loading one source.",
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wr).cast("long").alias("rank_in_source"),
+    )
+    ws = Window.orderBy("source")
+    sidx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source", (F.row_number().over(ws) - 1).cast("long").alias("si")
+        )
+    )
+    n = sidx.agg(F.count(F.lit(1)).cast("long").alias("s_total"))
+    return (
+        ranked.join(F.broadcast(sidx), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "source",
+            "rank_in_source",
+            (
+                (F.col("rank_in_source") - 1) * F.col("s_total") + F.col("si")
+            ).alias("global_pos"),
+        )
+    )
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, tokens,
+             sum(tokens) OVER (ORDER BY tokens DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM t
+    )
+    SELECT doc_id, tokens, CAST(cum_end AS BIGINT) AS cum_end
+    FROM c WHERE cum_end <= {TOKEN_BUDGET}
+    """,
+    tags=("B11", "B10", "mining"),
+    doc="Budgeted selection with a DISTRIBUTED prefix sum: keep the "
+    f"highest-priority documents until {TOKEN_BUDGET} tokens.  The "
+    "oracle is the naive global cumsum (one ordered window = one "
+    "partition at scale); the engine instead buckets the priority "
+    "key into fixed ranges, cumsums WITHIN each bucket in parallel, "
+    "and adds a per-bucket offset from a tiny bucket-total prefix "
+    "table — identical integers along the same total order "
+    "(bucket is monotone in the sort key), but every big window "
+    "runs partitioned.  This is the scale shape for any global "
+    "ordered selection (top-N% sampling, score-cut curation).",
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tokens"),
+    )
+    # Bucket boundaries are fixed constants of the sort key, so
+    # (bucket DESC, tokens DESC, doc_id) is the same total order the
+    # oracle sorts by.
+    b = t.withColumn("bucket", F.floor(F.col("tokens") / F.lit(32)))
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("tokens").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = b.withColumn("within", F.sum("tokens").over(win))
+    btot = b.groupBy("bucket").agg(F.sum("tokens").alias("btot"))
+    woff = (
+        Window.orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(woff), F.lit(0)).alias("offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "tokens",
+            (F.col("offset") + F.col("within")).cast("long").alias("cum_end"),
+        )
+        .filter(F.col("cum_end") <= TOKEN_BUDGET)
+    )
+
+
+@register(
+    "attribution_linear_split",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.purchase_id, c.click_id, p.value,
+             CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+                 AS n_clicks
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+    )
+    SELECT click_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value / n_clicks), 4) AS total_credit
+    FROM pairs GROUP BY click_id
+    """,
+    tags=("B4", "B11", "temporal"),
+    doc="Linear multi-touch attribution: each purchase's value splits "
+    "equally across the user's clicks in the trailing 30 minutes, "
+    "then credit aggregates per click.  The pair space is an "
+    "EQUI-join on user_id with the time window as a residual filter "
+    "(never an inequality-only join); the per-purchase click count "
+    "is a window over the pairs, so one shuffle serves join, count, "
+    "and credit aggregation.",
+)
+def attribution_linear_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    wn = Window.partitionBy("purchase_id")
+    credited = pairs.withColumn(
+        "n_clicks", F.count(F.lit(1)).over(wn).cast("long")
+    )
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(F.sum(F.col("value") / F.col("n_clicks")), 4).alias(
+            "total_credit"
+        ),
+    )

@@ -162,6 +162,7 @@ def _ensure_loaded() -> None:
     from scache_spark.operators import (  # noqa: F401
         blocks,
         clustering,
+        curation,
         dedup,
         eventlog,
         extra,

@@ -47,6 +47,20 @@ COMMENT = {
     "hll_sketch_union_bound": "Per-type HLL sketches union into a corpus estimate without touching raw data — the re-aggregatable sketch-table pattern; the bound verdict keeps the output engine-exact.",
     "time_decayed_engagement": "Closed-form exponential recency weighting: integer second ages, one exp per row, one map-side-combinable aggregate — the order-independent alternative to a recursive EMA.",
     "minhash_merge_property": "Per-part signatures merge by element-wise min into the whole-set signature — verified per doc; the law that lets new corpus shards be signed independently and unioned.",
+    "pq_encode_codes": "PQ encode: the M×K codebook joins as a broadcast; the per-subvector argmin is a min(struct) hash aggregate (partial map-side — the shuffle carries one row per subvector, not K). At full scale the codebook folds into literal constants: no join, no shuffle.",
+    "pq_adc_topk": "ADC scoring reads CODES only: the query expands to an 8×16 lookup table broadcast to every task; each corpus vector costs 8 table probes + one small-key aggregate — the float vectors are never touched at query time.",
+    "retrieval_rerank_two_stage": "Two-stage serving: the query set broadcasts; stage-1 probe is an xor-in-set predicate (9/256 bucket rings, no explode); stage-2 exact cosine runs only on the shortlist; per-query top-3 is a bounded window over candidate counts.",
+    "embedding_centroid_outliers": "Centroid build is one partial-aggregated (label, dim) mean; the distance pass folds 64 dims in fixed order against the BROADCAST centroid arrays — the big side is scanned once, never exploded, never shuffled except the per-label stats rows.",
+    "cooccurrence_brand_pairs": "A-priori shape: DISTINCT (order, brand) BEFORE the self-join bounds pairs by basket size²; both self-join sides share one shuffle partitioning (exchange reuse); marginals and the 1-row total come back as broadcasts for lift.",
+    "gaps_islands_streaks": "The date-minus-row_number constant-group trick: one shuffle on user_id serves the window, the island aggregate, AND the per-user ranking — streaks of any length with zero self-joins.",
+    "ewma_anomaly_flags": "14 lag columns with literal 0.7^k weights — the smoothing is pure projection after one window shuffle on event_type; daily totals round BEFORE smoothing so the flag compares bit-identical doubles across engines.",
+    "lsh_design_curve": "Design-time tool: measured Jaccard deciles (bounded blocked sample) scored with the closed-form 1-(1-s^r)^b candidate curve for three (b,r) layouts — powers expanded to products, 11-row output, run BEFORE committing a 100 TB banding.",
+    "stream_chained_window_agg": "Window-of-window in ONE streaming query: 5-min partials re-aggregate into hourly rollups via window_time(); the watermark propagates through both stateful stages so each drops state as its windows close.",
+    "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
+    "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
+    "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
+    "curriculum_interleave": "Round-robin curriculum via closed-form position arithmetic (rank-1)*n_sources+source_index: per-source windows only, source index and count broadcast — mixture ratios stay stable through the epoch with no global sort.",
+    "attribution_linear_split": "Linear multi-touch attribution: equi-join on user with the 30-minute window as residual filter, per-purchase click count as a window over the SAME shuffle, credit aggregate on top — one exchange chain end to end.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
