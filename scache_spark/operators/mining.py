@@ -396,3 +396,221 @@ def lsh_design_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs").cast("double") * _p_candidate_col(2, 4, mid), 4
         ).alias("exp_caught_b4r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration (Lorenz/Gini), DAU overlap, conversion survival
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_gini_by_region",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, n_regionkey AS region, sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT region, rev,
+             CAST(row_number() OVER (PARTITION BY region
+                  ORDER BY rev ASC, c_custkey ASC) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY region) AS BIGINT) AS n,
+             sum(rev) OVER (PARTITION BY region) AS total
+      FROM cust
+    )
+    SELECT region,
+           max(n) AS n_customers,
+           round(max(total), 2) AS total_revenue,
+           round(2.0 * sum(i * rev) / (max(n) * max(total))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked GROUP BY region
+    """,
+    tags=("B7", "B11", "mining"),
+    doc="Revenue concentration per region via the closed-form Gini "
+    "estimator 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending "
+    "revenue ranks — one window shuffle on region feeds rank, count, "
+    "and total simultaneously; no pairwise |x_i - x_j| comparison "
+    "(the naive O(n^2) definition).  The same plan audits token-count "
+    "concentration across corpus sources.",
+)
+def revenue_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cust = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", F.col("n_regionkey").alias("region"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wr = Window.partitionBy("region").orderBy(
+        F.col("rev").asc(), F.col("c_custkey").asc()
+    )
+    wp = Window.partitionBy("region")
+    ranked = cust.select(
+        "region",
+        "rev",
+        F.row_number().over(wr).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+        F.sum("rev").over(wp).alias("total"),
+    )
+    return ranked.groupBy("region").agg(
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "dau_overlap_jaccard",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ),
+    sizes AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM days GROUP BY day),
+    overlap AS (
+      SELECT a.day AS day, CAST(count(*) AS BIGINT) AS n_both
+      FROM days a JOIN days b
+        ON a.user_id = b.user_id AND b.day = a.day + INTERVAL '1 day'
+      GROUP BY a.day
+    )
+    SELECT o.day, sa.n AS n_day, sb.n AS n_next, o.n_both,
+           round(CAST(o.n_both AS DOUBLE)
+                 / (sa.n + sb.n - o.n_both), 6) AS jaccard
+    FROM overlap o
+    JOIN sizes sa ON sa.day = o.day
+    JOIN sizes sb ON sb.day = o.day + INTERVAL '1 day'
+    """,
+    tags=("B4", "B12", "mining"),
+    doc="Day-over-day audience overlap: Jaccard of consecutive days' "
+    "active-user sets — the retention-dynamics signal.  DISTINCT "
+    "(day, user) first so the self-join carries user-day pairs, not "
+    "raw events; the join key is user_id (one shuffle both sides "
+    "share), day+1 is an equi condition, and daily sizes come back "
+    "as a broadcast.",
+)
+def dau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    sizes = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = days.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day_prev"),
+        F.col("user_id").alias("user_b"),
+    )
+    overlap = (
+        days.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("day") == F.col("day_prev")),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(F.col("day"), F.col("n").alias("n_day"))
+    sb = sizes.select(
+        (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("n").alias("n_next"),
+    )
+    return (
+        overlap.join(F.broadcast(sa), "day")
+        .join(F.broadcast(sb), "day")
+        .select(
+            "day",
+            "n_day",
+            "n_next",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_day") + F.col("n_next") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "conversion_survival_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             min(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
+                 AS conv_ts,
+             any_value(f.first_ts) AS first_ts
+      FROM firsts f JOIN events e ON f.user_id = e.user_id
+      GROUP BY f.user_id
+    ),
+    mins AS (
+      SELECT user_id,
+             CASE WHEN conv_ts IS NULL THEN NULL
+                  ELSE CAST(floor(date_diff('second', first_ts, conv_ts)
+                                  / 3600.0) AS BIGINT) END AS conv_hour
+      FROM conv
+    ),
+    grid AS (SELECT CAST(unnest(range(0, 48)) AS BIGINT) AS h),
+    totals AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM mins)
+    SELECT g.h AS hour,
+           t.n_users,
+           CAST(count(m.user_id) AS BIGINT) AS n_converted,
+           round(1.0 - CAST(count(m.user_id) AS DOUBLE) / t.n_users, 6)
+               AS surviving_frac
+    FROM grid g
+    CROSS JOIN totals t
+    LEFT JOIN mins m ON m.conv_hour <= g.h
+    GROUP BY g.h, t.n_users
+    """,
+    tags=("B15", "B7", "mining"),
+    doc="Time-to-conversion survival curve: for each hour offset h in "
+    "a 48-point grid, the fraction of users whose first purchase has "
+    "NOT yet happened within h hours of their first event.  Per-user "
+    "state collapses to ONE row (first_ts, conv_hour) before the "
+    "grid join, so the 48x fan-out multiplies users, not events; at "
+    "scale the grid side is the broadcast and the cumulative counts "
+    "come from one pass.",
+)
+def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("conv_ts"),
+    )
+    mins = per_user.select(
+        "user_id",
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.floor(
+                (
+                    F.col("conv_ts").cast("long")
+                    - F.col("first_ts").cast("long")
+                )
+                / 3600.0
+            ).cast("long"),
+        ).alias("conv_hour"),
+    )
+    grid = spark.range(0, 48).select(F.col("id").cast("long").alias("hour"))
+    totals = mins.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    joined = grid.crossJoin(F.broadcast(totals)).join(
+        mins, F.col("conv_hour") <= F.col("hour"), "left"
+    )
+    return joined.groupBy("hour", "n_users").agg(
+        F.count("user_id").cast("long").alias("n_converted"),
+        F.round(
+            F.lit(1.0) - F.count("user_id").cast("double") / F.col("n_users"),
+            6,
+        ).alias("surviving_frac"),
+    )

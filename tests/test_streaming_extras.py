@@ -131,3 +131,48 @@ def test_foreachbatch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
         assert once == twice and len(once) > 0
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The RocksDB state store (the disk-spilling provider a 100 TB
+    keyspace needs — the default HDFS-backed in-memory maps OOM
+    first) must produce byte-identical windowed aggregates."""
+    from scache_spark.streaming.windows import run_stream
+
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def tumbling():
+        s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+        agg = s.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        res = agg.select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        return run_stream(res, "rocksdb_check", "append").toPandas()
+
+    base = tumbling().sort_values(["window_start", "event_type"]).reset_index(
+        drop=True
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        rdb = tumbling().sort_values(
+            ["window_start", "event_type"]
+        ).reset_index(drop=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert base.equals(rdb), (len(base), len(rdb))
