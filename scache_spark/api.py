@@ -1,0 +1,298 @@
+"""User-facing composable API: the engine's operators, parameterized
+over ARBITRARY DataFrames.
+
+The registry (`registry.py`) binds every operator to the fixture
+tables so the round driver can oracle-check it; this module is the
+surface an application actually imports — the same scale-first plans
+(hash-before-shuffle dedup, banded LSH joins, broadcast codebooks,
+union+window as-of joins) exposed as functions of (DataFrame, column
+names, knobs).  Each function returns a lazy DataFrame: callers
+compose them and let Catalyst optimize across the seams.
+
+Determinism contract matches the registry: md5-derived hashing only,
+every ranking totally ordered, no unseeded randomness anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scache_spark.functions import salted_md5, vec_cosine, word_shingles
+
+__all__ = [
+    "exact_dedup",
+    "minhash_pairs",
+    "lsh_cosine_bucket",
+    "knn_topk",
+    "sessionize",
+    "asof_join",
+    "quality_signals",
+    "top_k_per_group",
+]
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one survivor (min id) per exact content hash.
+
+    Scale shape: only (16-byte md5, id) pairs reach the exchange; the
+    content column never shuffles — the survivor set joins back on
+    the frame's own id (cf. ``pipeline.dedup_materialize``).
+    """
+    hashed = df.withColumn("__h", F.md5(F.col(content_col)))
+    keep = hashed.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    return (
+        hashed.join(keep, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) via MinHash banding.
+
+    The banded self-join bounds the candidate space (never all-pairs);
+    exact Jaccard verifies candidates only (cf. ``dedup.py``).
+    ``n_hashes`` must be divisible by ``n_bands``.
+    """
+    rows = n_hashes // n_bands
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(toks, shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    def _sig(i: int):
+        # one-parameter closure: a `lambda s, i=i` would be treated by
+        # pyspark as an (element, index) lambda and the index column
+        # would silently replace the salt
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: salted_md5(s, i))
+        ).alias(f"__sig_{i}")
+
+    sigs = sh.select("__id", "__sh", *[_sig(i) for i in range(n_hashes)])
+    banded = sigs.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"__sig_{b * rows + r}")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band_id", "__band_hash"),
+    )
+    a = banded.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        "__band_id",
+        "__band_hash",
+    )
+    b = banded.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__band_id").alias("__band_id_b"),
+        F.col("__band_hash").alias("__band_hash_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("__band_id") == F.col("__band_id_b"))
+            & (F.col("__band_hash") == F.col("__band_hash_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("__sh_a", "__sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("__sh_a", "__sh_b"))
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_cosine_bucket(
+    vec: Column, *, dim: int, n_planes: int = 8
+) -> Column:
+    """Hyperplane-LSH bucket id of an array<float/double> column:
+    sign bits of ``n_planes`` deterministic (sin-derived) planes —
+    the partition key that turns ANN into a ~1/2^p partition read
+    (cf. ``similarity.lsh_bucket``, here with the dimension as a
+    parameter instead of the fixture constant)."""
+    def _plane_term(p: int):
+        # a one-parameter lambda: pyspark treats two-parameter lambdas
+        # as (element, index) functions, so p must close over, not
+        # default-arg
+        return lambda j: F.element_at(vec, j).cast("double") * F.sin(
+            F.lit(float(p * 131)) + j.cast("double") * 7.0
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(dim)), _plane_term(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def knn_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (queries broadcast,
+    corpus scanned once for ALL queries; ranking is totally ordered
+    by (cosine desc, neighbor id))."""
+    q = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col(id_col) != F.col("q_id")
+    ).select(
+        "q_id",
+        F.col(id_col).alias("neighbor_id"),
+        vec_cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str,
+    ts_col: str,
+    gap: str = "10 minutes",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the gap to
+    the previous event meets/exceeds ``gap``.  Adds ``session_id``
+    (per-user dense from 1).  One shuffle on the user key serves the
+    lag and the running sum."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col(ts_col) >= prev + F.expr(f"INTERVAL {gap}"))
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts`` strictly before ``left_ts`` (per ``on`` key) — the
+    union+window plan (ONE shuffle on the key), never an inequality
+    join that degenerates to a nested loop (cf.
+    ``temporal.asof_join_last_click``).  Right columns arrive as
+    ``asof_<name>``; left rows with no prior right row get nulls."""
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_cols],
+    )
+    lt = lt.withColumn("__ts", F.col(left_ts))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = unioned.select(
+        "*",
+        F.max(
+            F.when(F.col("__side") == 0, F.col("__ts"))
+        ).over(w).alias("asof_ts"),
+        *[
+            F.last(
+                F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+            ).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    drop = ["__side", "__ts", *right_cols]
+    return carried.filter(F.col("__side") == 1).drop(*drop)
+
+
+def quality_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the document-quality signal battery: token count, mean
+    token length, punctuation ratio, digit ratio, uppercase ratio —
+    all single-pass narrow expressions (cf. ``text.text_quality_score``)."""
+    t = F.col(text_col)
+    toks = F.split(t, " ")
+    n_chars = F.length(t).cast("double")
+    return df.select(
+        "*",
+        F.size(toks).cast("long").alias("q_tokens"),
+        F.round(n_chars / F.size(toks), 4).alias("q_mean_tok_len"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / n_chars, 6
+        ).alias("q_punct_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^0-9]", "")) / n_chars, 6
+        ).alias("q_digit_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"[^A-Z]", "")) / n_chars, 6
+        ).alias("q_upper_ratio"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    order_cols: tuple[Column, ...],
+    k: int,
+) -> DataFrame:
+    """Totally-ordered top-k per group (window row_number; callers
+    must include a unique tie-break in ``order_cols``)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

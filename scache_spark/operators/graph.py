@@ -328,14 +328,20 @@ def triangle_count_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        # The edge list is consumed by FOUR branches (e1/e2/e3 and the
+        # edge count); without a cut, the events window + distinct
+        # subtree replays per branch (no exchange reuse across the
+        # different projections).  Eager localCheckpoint computes it
+        # once — same idiom as dedup_clusters' iteration.
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = edges.select(F.col("u").alias("y2"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x3"), F.col("v").alias("z3"))
     tri = (
-        e1.join(e2, F.col("y") == F.col("y2"))
+        e1.join(F.broadcast(e2), F.col("y") == F.col("y2"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -1,0 +1,120 @@
+"""The composable API (scache_spark.api) must work on ARBITRARY
+DataFrames — these tests build their own frames instead of loading
+the fixture tables, proving the operators aren't fixture-bound."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from scache_spark import api
+
+
+def test_exact_dedup_keeps_min_id_per_content(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "bbb"), (4, "aaa"), (5, "ccc")],
+        ["id", "body"],
+    )
+    out = api.exact_dedup(df, "body", "id").toPandas()
+    assert sorted(out["id"]) == [1, 3, 5]
+
+
+def test_minhash_pairs_finds_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc", "text"])
+    out = api.minhash_pairs(df, "doc", "text").toPandas()
+    assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(1, 2)]
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 1.0]), (2, [0.5, -0.25, 0.125, 1.0]),
+         (3, [-0.5, 0.25, -0.125, -1.0])],
+        ["vid", "v"],
+    )
+    out = df.select(
+        "vid", api.lsh_cosine_bucket(F.col("v"), dim=4).alias("b")
+    ).toPandas().set_index("vid")["b"]
+    assert out[1] == out[2]
+    # antipodal vector flips every sign bit
+    assert out[3] == (2**8 - 1) ^ out[1]
+
+
+def test_knn_topk_ranks_by_cosine(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])], ["vid", "v"]
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], ["qid", "v"])
+    out = (
+        api.knn_topk(
+            corpus, queries, vec_col="v", id_col="vid",
+            query_id_col="qid", k=2,
+        )
+        .orderBy("rk")
+        .toPandas()
+    )
+    assert list(out["neighbor_id"]) == [1, 2]
+
+
+def test_sessionize_splits_on_gap(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, t0), (7, t0 + dt.timedelta(minutes=5)),
+        (7, t0 + dt.timedelta(minutes=40)),  # new session
+        (8, t0),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts"])
+    out = api.sessionize(df, user_col="uid", ts_col="ts").toPandas()
+    u7 = out[out["uid"] == 7].sort_values("ts")["session_id"].tolist()
+    assert u7 == [1, 1, 2]
+    assert out[out["uid"] == 8]["session_id"].tolist() == [1]
+
+
+def test_asof_join_takes_latest_prior_row(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=10)),
+         (1, t0 + dt.timedelta(minutes=1))],
+        ["key", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=5), 50.0), (1, t0, 10.0)],
+        ["key", "rts", "price"],
+    )
+    out = (
+        api.asof_join(
+            left, right, on="key", left_ts="lts", right_ts="rts",
+            right_cols=("price",),
+        )
+        .orderBy("lts")
+        .toPandas()
+    )
+    assert out["asof_price"].tolist() == [10.0, 50.0]
+
+
+def test_quality_signals_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello World 42 !!"), (2, "plain words only here")],
+        ["id", "text"],
+    )
+    out = api.quality_signals(df, "text").toPandas().set_index("id")
+    assert out.loc[1, "q_tokens"] == 4
+    assert out.loc[1, "q_digit_ratio"] > 0
+    assert out.loc[2, "q_punct_ratio"] == 0.0
+
+
+def test_top_k_per_group_total_order(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 9.0), ("a", 3, 1.0), ("b", 4, 5.0)],
+        ["g", "id", "score"],
+    )
+    out = api.top_k_per_group(
+        df,
+        group_cols=("g",),
+        order_cols=(F.col("score").desc(), F.col("id").asc()),
+        k=1,
+    ).toPandas()
+    assert sorted(out["id"]) == [1, 4]

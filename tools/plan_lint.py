@@ -31,7 +31,12 @@ from scache_spark.session import get_session
 SKIP_PREFIXES = ("stream_",)
 # Queries that legitimately execute work at plan-build time (iterative
 # loops with localCheckpoint, foreachBatch replays).
-EAGER = {"dedup_clusters", "dedup_canonical_by_quality", "pagerank_event_graph"}
+EAGER = {
+    "dedup_clusters",
+    "dedup_canonical_by_quality",
+    "pagerank_event_graph",
+    "triangle_count_transitions",
+}
 
 
 def main() -> None:
