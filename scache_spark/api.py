@@ -30,6 +30,8 @@ __all__ = [
     "asof_join",
     "quality_signals",
     "top_k_per_group",
+    "shard_assign",
+    "train_val_test_split",
 ]
 
 
@@ -296,3 +298,52 @@ def top_k_per_group(
     return df.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
+
+
+def shard_assign(
+    df: DataFrame, id_col: str, *, n_shards: int = 16, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic md5 shard id + dense position within the shard —
+    a global random permutation with every shard's ordering computed
+    in parallel (cf. ``curation.training_shard_assignment``)."""
+    from scache_spark.functions import hash64
+
+    keyed = df.withColumn(
+        "__k",
+        hash64(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return (
+        keyed.withColumn(
+            "shard", F.pmod(F.col("__k"), F.lit(n_shards)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__k")
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    group_col: str | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic hash split into train/val/test.  With
+    ``group_col`` (e.g. a duplicate-cluster id) the WHOLE group moves
+    as a unit — the leakage-safe posture (cf. ``leakage_safe_split``):
+    near-duplicates can never straddle the train/eval boundary."""
+    from scache_spark.functions import hash64
+
+    key = F.col(group_col) if group_col else F.col(id_col)
+    pct = F.pmod(
+        hash64(F.concat(F.lit(f"{salt}:"), key.cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(pct < test_pct, F.lit("test"))
+        .when(pct < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

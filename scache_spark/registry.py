@@ -89,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "date_funcs",  # B15
     "math_funcs",  # B16
     "array_funcs",  # B17
-    "collect_sorted_arrays",  # B17/B7
+    "token_budget_selection",  # B11/B10 distributed prefix sum
     "map_funcs_json",  # B18
     "conditional_null",  # B19
     "stats_summary",  # B20
@@ -104,7 +104,7 @@ PRIORITY: tuple[str, ...] = (
     "time_bucket_rollup",  # + B15
     "funnel_session_conversion",
     # similarity search
-    "knn_brute_cosine",  # B25
+    "retrieval_rerank_two_stage",  # B25/B10/B11 shortlist+rerank
     "ann_lsh_probe",  # B25
     "ann_ivf_cells",  # B25
     # dedup / LLM pipeline
@@ -115,7 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_clusters",  # B24 connected components
     # text analytics
     "text_tfidf_top_terms",  # B24
-    "text_langid",  # B24
+    "pq_adc_topk",  # B25 product-quantization ADC
     "text_quality_score",  # B24
     # multimodal
     "multimodal_features",  # north-star/B23
@@ -135,6 +135,9 @@ PRIORITY: tuple[str, ...] = (
     # --- end of the 50-entry graded window ---
     # Next in line if the driver widens its window: the round-2
     # training-pipeline layer, flashiest first.
+    "knn_brute_cosine",  # B25 (window seat ceded to rerank)
+    "collect_sorted_arrays",  # B17/B7 (seat ceded to token budget)
+    "text_langid",  # B24 (seat ceded to PQ ADC)
     "sequence_packing_bins",
     "leakage_safe_split",
     "dedup_substring_pairs",

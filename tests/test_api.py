@@ -118,3 +118,44 @@ def test_top_k_per_group_total_order(spark):
         k=1,
     ).toPandas()
     assert sorted(out["id"]) == [1, 4]
+
+
+def test_api_functions_handle_empty_frames(spark):
+    import pyspark.sql.types as T
+
+    empty_docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+    assert api.exact_dedup(empty_docs, "text", "id").count() == 0
+    assert api.minhash_pairs(empty_docs, "id", "text").count() == 0
+    assert api.quality_signals(empty_docs, "text").count() == 0
+    assert api.shard_assign(empty_docs, "id").count() == 0
+
+
+def test_shard_assign_positions_are_dense_per_shard(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], ["id"])
+    out = api.shard_assign(df, "id", n_shards=4).toPandas()
+    assert set(out["shard"]) <= {0, 1, 2, 3}
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["shard_pos"]) == list(range(1, len(grp) + 1))
+    # deterministic across invocations
+    again = api.shard_assign(df, "id", n_shards=4).toPandas()
+    assert out.sort_values("id").reset_index(drop=True).equals(
+        again.sort_values("id").reset_index(drop=True)
+    )
+
+
+def test_split_is_leakage_safe_with_groups(spark):
+    rows = [(i, i // 3) for i in range(300)]  # clusters of 3
+    df = spark.createDataFrame(rows, ["id", "cluster"])
+    out = api.train_val_test_split(
+        df, "id", group_col="cluster"
+    ).toPandas()
+    # every cluster lands wholly in one split
+    assert (out.groupby("cluster")["split"].nunique() == 1).all()
+    # all three splits materialize with roughly sane mass
+    frac = out["split"].value_counts(normalize=True)
+    assert frac["train"] > 0.6 and frac["val"] > 0.02 and frac["test"] > 0.02
