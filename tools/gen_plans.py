@@ -56,6 +56,7 @@ COMMENT = {
     "ewma_anomaly_flags": "14 lag columns with literal 0.7^k weights — the smoothing is pure projection after one window shuffle on event_type; daily totals round BEFORE smoothing so the flag compares bit-identical doubles across engines.",
     "lsh_design_curve": "Design-time tool: measured Jaccard deciles (bounded blocked sample) scored with the closed-form 1-(1-s^r)^b candidate curve for three (b,r) layouts — powers expanded to products, 11-row output, run BEFORE committing a 100 TB banding.",
     "stream_chained_window_agg": "Window-of-window in ONE streaming query: 5-min partials re-aggregate into hourly rollups via window_time(); the watermark propagates through both stateful stages so each drops state as its windows close.",
+    "ann_ivf_pq_topk": "IVF-PQ composition: broadcast centroids pick the query's 2 cells (candidate set = 2/16 of the corpus, and on a cell-partitioned layout 2/16 of the SCAN); shortlisted codes score via the broadcast 8x16 ADC table — no float vector is touched at query time.",
     "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
     "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
