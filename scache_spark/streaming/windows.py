@@ -717,3 +717,30 @@ def stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("n_events"),
         F.round(F.max_by("raw_total", "n_events"), 4).alias("total_value"),
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+    tags=("B27", "B13"),
+    doc="Streaming dedup with GUARANTEED state eviction: "
+    "dropDuplicatesWithinWatermark keeps a key only until the "
+    "watermark passes its event time + delay, then drops it — unlike "
+    "plain dropDuplicates (stream_dedup), whose key set grows "
+    "forever on an unbounded stream.  Correct whenever duplicates "
+    "arrive within the watermark delay of each other (true for the "
+    "staged twice-written corpus); the posture a 100 TB/day firehose "
+    "requires.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        events_stream(spark, sf_dir, copies=2)
+        .filter(F.col("event_id") != FLUSH_EVENT_ID)
+        .withWatermark("ts", "1 minute")
+    )
+    deduped = s.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+    return run_stream(deduped, "dedup_wm", "append")
