@@ -627,3 +627,61 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("surviving_frac"),
     )
+
+
+@register(
+    "new_vs_returning_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id),
+    flagged AS (
+      SELECT d.day,
+             CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END AS is_new
+      FROM days d JOIN firsts f ON d.user_id = f.user_id
+    ),
+    daily AS (
+      SELECT day,
+             CAST(sum(is_new) AS BIGINT) AS new_users,
+             CAST(sum(1 - is_new) AS BIGINT) AS returning_users
+      FROM flagged GROUP BY day
+    )
+    SELECT day, new_users, returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+    tags=("B11", "B15", "mining"),
+    doc="Growth accounting: per day, users active for the first time "
+    "vs returning, plus the running total of distinct users ever "
+    "seen — WITHOUT a running COUNT(DISTINCT) (unbounded state): "
+    "each user collapses to one first_day row, so the cumulative "
+    "curve is a cumsum over per-day NEW counts.  The tiny final "
+    "window runs over |days| rows only.",
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    flagged = days.join(firsts, "user_id").select(
+        "day",
+        (F.col("day") == F.col("first_day")).cast("int").alias("is_new"),
+    )
+    daily = flagged.groupBy("day").agg(
+        F.sum("is_new").cast("long").alias("new_users"),
+        F.sum(F.lit(1) - F.col("is_new")).cast("long").alias(
+            "returning_users"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -744,3 +744,64 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_id", "event_type", "value"
     )
     return run_stream(deduped, "dedup_wm", "append")
+
+
+@register(
+    "stream_join_then_window",
+    oracle="""
+    WITH joined AS (
+      SELECT p.ts AS purchase_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+    )
+    SELECT CAST(time_bucket(INTERVAL '1 hour', purchase_ts) AS TIMESTAMP)
+               AS hour_start,
+           CAST(count(*) AS BIGINT) AS n_attributed
+    FROM joined GROUP BY 1
+    """,
+    tags=("B27",),
+    doc="CHAINED stateful operators (Spark 3.5+): a watermarked "
+    "stream-stream interval join feeding a tumbling windowed count "
+    "in ONE streaming query, append mode end to end — the join's "
+    "watermark propagates into the window so BOTH stages drop state. "
+    " Before multi-stateful support this required an intermediate "
+    "sink; now attribution joins and their rollups run as one "
+    "exactly-once pipeline.",
+)
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            p_user = c_user AND
+            click_ts BETWEEN purchase_ts - INTERVAL 10 MINUTES AND purchase_ts
+            """
+        ),
+    )
+    agg = joined.groupBy(
+        F.window("purchase_ts", "1 hour").alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_attributed"))
+    res = agg.select(
+        F.col("w.start").alias("hour_start"), "n_attributed"
+    )
+    return run_stream(res, "join_then_window", "append")
