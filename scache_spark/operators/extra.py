@@ -984,3 +984,39 @@ def hll_sketch_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("union_within_5pct"),
     )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS INT) // 25 AS INT)
+               AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("B18", "mining"),
+    doc="Spark-4 VARIANT ingestion of semi-structured props: "
+    "parse_json once into the binary variant encoding, typed "
+    "try_variant_get extraction, then aggregate — the open-table "
+    "semi-structured path that replaces per-query string re-parsing "
+    "(get_json_object) with a parse-once columnar value.  Floor "
+    "division buckets keep everything integer-exact.",
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(
+            "event_type",
+            F.floor(F.col("k") / 25).cast("int").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )

@@ -348,3 +348,71 @@ def triangle_count_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edges.crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path levels on the transition graph
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCE = "view"
+_BFS_MAX_HOPS = 4
+
+
+@register(
+    "bfs_levels_event_graph",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    und AS (
+      SELECT DISTINCT a AS u, b AS v FROM seq
+      WHERE b IS NOT NULL AND a <> b
+      UNION
+      SELECT DISTINCT b, a FROM seq WHERE b IS NOT NULL AND a <> b),
+    bfs(node, lvl) AS (
+      SELECT '{_BFS_SOURCE}', 0
+      UNION
+      SELECT e.v, bfs.lvl + 1
+      FROM bfs JOIN und e ON e.u = bfs.node
+      WHERE bfs.lvl < {_BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(lvl) AS INT) AS level
+    FROM bfs GROUP BY node
+    """,
+    tags=("B4", "B7", "mining"),
+    doc="BFS shortest-path levels from the '"
+    f"{_BFS_SOURCE}' node over the undirected event-type transition "
+    f"graph, bounded to {_BFS_MAX_HOPS} hops — the frontier-expansion "
+    "loop (join frontier to edges, min-combine levels, eager "
+    "checkpoint per round) that is the Pregel primitive behind "
+    "reachability, label propagation, and hop-bounded neighborhood "
+    "features; the oracle is a recursive CTE.  Each round is one "
+    "shuffle on node id; level state is one row per reached node.",
+)
+def bfs_levels_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    )
+    directed = seq.filter(
+        F.col("b").isNotNull() & (F.col("a") != F.col("b"))
+    ).select("a", "b").distinct()
+    und = directed.unionByName(
+        directed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    levels = spark.createDataFrame(
+        [(_BFS_SOURCE, 0)], ["node", "lvl"]
+    )
+    for _ in range(_BFS_MAX_HOPS):
+        expanded = (
+            levels.join(und, levels.node == und.a)
+            .select(F.col("b").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+            .unionByName(levels)
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
+        )
+        levels = expanded.localCheckpoint(eager=True)
+    return levels.select("node", F.col("lvl").cast("int").alias("level"))

@@ -36,6 +36,7 @@ EAGER = {
     "dedup_canonical_by_quality",
     "pagerank_event_graph",
     "triangle_count_transitions",
+    "bfs_levels_event_graph",
 }
 
 
