@@ -1020,3 +1020,143 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("k_sum"),
         )
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_order_fk' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_part_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_nation_fk',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_pk_unique',
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events)
+                AS BIGINT)
+    """,
+    tags=("B6", "B7", "mining"),
+    doc="Constraint audit in one result: four foreign-key orphan "
+    "checks as LEFT ANTI joins (dimension sides broadcast; the "
+    "fact-side anti join is the only shuffle) and two primary-key "
+    "uniqueness checks as count-vs-distinct deltas — the "
+    "expectations gate a warehouse runs before publishing a "
+    "snapshot.  Every check reduces to ONE row before the union, so "
+    "the result is 6 rows no matter the scale.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(name, fact, dim, fk, pk, broadcast_dim=True):
+        d = F.broadcast(dim) if broadcast_dim else dim
+        cnt = (
+            fact.join(d, fact[fk] == dim[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
+        return cnt
+
+    dupes_o = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    ev = load_table(spark, sf_dir, "events")
+    dupes_e = ev.agg(
+        (F.count(F.lit(1)) - F.countDistinct("event_id"))
+        .cast("long")
+        .alias("n_violations")
+    ).select(F.lit("events_pk_unique").alias("check_name"), "n_violations")
+
+    return (
+        orphans("lineitem_order_fk", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", broadcast_dim=False)
+        .unionByName(orphans("lineitem_part_fk", li, p.select("p_partkey"), "l_partkey", "p_partkey"))
+        .unionByName(orphans("orders_customer_fk", o, c.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(orphans("customer_nation_fk", c, n.select("n_nationkey"), "c_nationkey", "n_nationkey"))
+        .unionByName(dupes_o)
+        .unionByName(dupes_e)
+    )
+
+
+def _sql_checksum(table: str, cols: list[str]) -> str:
+    concat = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST('0x' || substr(md5({concat}), 1, 15) AS BIGINT))
+                AS BIGINT) AS xor_checksum
+    FROM {table}
+    """
+
+
+_CHECKSUM_TABLES = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+}
+
+
+@register(
+    "table_checksum_manifest",
+    oracle=" UNION ALL ".join(
+        _sql_checksum(t, cs) for t, cs in _CHECKSUM_TABLES.items()
+    ),
+    tags=("B7", "B16", "mining"),
+    doc="Content checksums for cross-environment reconciliation: each "
+    "table reduces to (row count, XOR of per-row md5-derived 60-bit "
+    "hashes).  XOR is order-independent and overflow-free, so the "
+    "checksum is stable under any partitioning/row order and combines "
+    "map-side — byte-equality of a replicated 100 TB table verified "
+    "by shipping ONE 16-byte row per table.  (Tables with float "
+    "columns are excluded: float->string rendering is not "
+    "engine-portable; hash those via their int/string key columns.)",
+)
+def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cs in _CHECKSUM_TABLES.items():
+        df = load_table(spark, sf_dir, t)
+        row_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        chr(31), *[F.col(c).cast("string") for c in cs]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        one = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(row_hash).cast("long").alias("xor_checksum"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "xor_checksum")
+        out = one if out is None else out.unionByName(one)
+    return out
