@@ -868,3 +868,106 @@ def minhash_merge_property(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh_odd").alias("n_odd"),
         match.cast("int").alias("n_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hot-band capping: the skew guard for banded self-joins
+# ---------------------------------------------------------------------------
+
+BAND_CAP = 8  # max docs per (band_id, band_hash) bucket before demotion
+
+
+@register(
+    "dedup_minhash_capped_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    keep AS (
+      SELECT band_id, band_hash FROM melted
+      GROUP BY band_id, band_hash
+      HAVING count(*) <= {BAND_CAP}
+    ),
+    capped AS (
+      SELECT m.* FROM melted m
+      JOIN keep k ON m.band_id = k.band_id AND m.band_hash = k.band_hash
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.doc_a
+    JOIN shingled sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    """,
+    tags=("B24", "B21"),
+    doc=f"MinHash pairs with HOT-BAND CAPPING: buckets holding more "
+    f"than {BAND_CAP} docs are demoted before the self-join (a "
+    "k-member bucket contributes k² candidate pairs, so one viral "
+    "boilerplate band can dominate the whole job — the classic "
+    "banded-LSH skew failure at corpus scale).  The cap bounds "
+    "per-bucket fan-out; demoted content still pairs through its "
+    "OTHER bands (each doc has N_BANDS chances), which is why "
+    "capping costs little recall in practice.  The count-filter "
+    "runs before any pair materializes.",
+)
+def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_docs(spark, sf_dir)
+    sigs = sh.select("doc_id", "sh", *_signature_cols())
+    melted = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")))
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    keep = (
+        melted.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BAND_CAP)
+        .select("band_id", "band_hash")
+    )
+    capped = melted.join(keep, ["band_id", "band_hash"])
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        "band_id",
+        "band_hash",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )

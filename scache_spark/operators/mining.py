@@ -685,3 +685,76 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returning_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "session_feature_vector",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_s,
+           round(sum(value), 4) AS total_value,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_views,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("B11", "B7", "mining"),
+    doc="Per-session feature vectors — the feature-engineering "
+    "composite a behavior model trains on: sessionize (lag-gap "
+    "islands), then duration, value, and per-type counts as CASE "
+    "pivots, all inside the ONE shuffle the sessionization already "
+    "pays.  Emitting features at session grain (not event grain) is "
+    "what keeps the training table 100-1000x smaller than the log.",
+)
+def session_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.col("ts") >= prev + F.expr("INTERVAL 10 MINUTES"))
+    ).cast("int")
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sid",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    def _n(t: str):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}s" if t != "error" else "n_errors")
+        )
+
+    return sess.groupBy("user_id", F.col("sid").cast("long").alias("sid")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long"))
+        .cast("long")
+        .alias("duration_s"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        _n("view"),
+        _n("click"),
+        _n("purchase"),
+        _n("error"),
+    )
