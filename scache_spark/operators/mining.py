@@ -758,3 +758,93 @@ def session_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n("purchase"),
         _n("error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI token co-occurrence over a bounded vocabulary
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB = 30
+PMI_MIN_DF = 5
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' ')))
+                 AS tok
+      FROM documents
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT {PMI_VOCAB}
+    ),
+    vtoks AS (
+      SELECT t.doc_id, t.tok FROM toks t JOIN vocab v ON t.tok = v.tok
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(count(*) AS BIGINT) AS df_ab
+      FROM vtoks a JOIN vtoks b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= {PMI_MIN_DF}
+    )
+    SELECT tok_a, tok_b, df_ab,
+           round(ln(CAST(df_ab AS DOUBLE) * n.n_docs
+                    / (CAST(va.df AS DOUBLE) * vb.df)), 6) AS pmi
+    FROM pairs
+    JOIN vocab va ON va.tok = tok_a
+    JOIN vocab vb ON vb.tok = tok_b
+    CROSS JOIN n
+    """,
+    tags=("B24", "B7", "mining"),
+    doc="Pointwise mutual information over token pairs, vocabulary "
+    f"bounded to the top {PMI_VOCAB} tokens by document frequency "
+    "(TakeOrdered, broadcast back): the pair space is |V|² at most, "
+    "never corpus-sized — the collocation/phrase-mining primitive.  "
+    "ln() differs by ≤1 ulp across libms, so PMI rounds to 6dp; "
+    "everything under the log is exact integers.",
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    vocab = df.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(
+        PMI_VOCAB
+    )
+    vtoks = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    n = docs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    a = vtoks.select("doc_id", F.col("tok").alias("tok_a"))
+    b = vtoks.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_ab"))
+        .filter(F.col("df_ab") >= PMI_MIN_DF)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("dfa"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("dfb"))
+    pmi = F.round(
+        F.log(
+            F.col("df_ab").cast("double")
+            * F.col("n_docs")
+            / (F.col("dfa").cast("double") * F.col("dfb"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select("tok_a", "tok_b", "df_ab", pmi.alias("pmi"))
+    )

@@ -485,3 +485,124 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.select(
         "vec_id", "adc_d2", F.row_number().over(w).alias("rk")
     ).filter(F.col("rk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# cosine-threshold operating curve against planted ground truth
+# ---------------------------------------------------------------------------
+
+_SWEEP_GRID = [0.80, 0.85, 0.90, 0.95, 0.99]
+_SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
+
+
+@register(
+    "cosine_threshold_sweep",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding, label FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {sql_vec_cosine("a.embedding", "b.embedding")} AS cosine,
+             (b.vec_id = a.vec_id + 100000 AND a.vec_id % 20 = 0)
+                 AS is_planted
+      FROM aug a JOIN aug b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {sql_vec_cosine("a.embedding", "b.embedding")} >= 0.80
+    ),
+    grid AS (SELECT unnest([{_SWEEP_SQL_GRID}]) AS threshold),
+    planted AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_planted_total
+      FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT g.threshold,
+           CAST(count(*) AS BIGINT) AS n_detected,
+           CAST(sum(CASE WHEN p.is_planted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_planted_detected,
+           round(CAST(sum(CASE WHEN p.is_planted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / pl.n_planted_total, 6) AS recall,
+           round(CAST(sum(CASE WHEN p.is_planted THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS precision
+    FROM grid g
+    JOIN pairs p ON p.cosine >= g.threshold
+    CROSS JOIN planted pl
+    GROUP BY g.threshold, pl.n_planted_total
+    """,
+    tags=("B25", "B20", "mining"),
+    doc="Threshold operating curve for embedding near-dup: the "
+    "planted exact copies (vec_id%20, +100000) are ground truth, so "
+    "precision/recall at five cosine cutoffs come straight from the "
+    "ONE label-blocked pair table (computed once, fanned out 5x "
+    "against a broadcast grid) — how the 0.95 production threshold "
+    "is chosen before a corpus-scale run, the cosine sibling of "
+    "lsh_design_curve.  Cosines are bit-identical across engines, "
+    "so >= comparisons against exact literal thresholds agree.",
+)
+def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    aug = e.unionByName(
+        e.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    a = aug.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "label",
+    )
+    b = aug.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("label").alias("label_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            vec_cosine(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.80)
+        .withColumn(
+            "is_planted",
+            (F.col("vec_b") == F.col("vec_a") + 100000)
+            & (F.col("vec_a") % 20 == 0),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _SWEEP_GRID], ["threshold"]
+    )
+    planted = e.filter(F.col("vec_id") % 20 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_planted_total")
+    )
+    hits = F.sum(F.when(F.col("is_planted"), 1).otherwise(0)).cast("long")
+    return (
+        F.broadcast(grid)
+        .join(pairs, F.col("cosine") >= F.col("threshold"))
+        .crossJoin(F.broadcast(planted))
+        .groupBy("threshold", "n_planted_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_detected"),
+            hits.alias("n_planted_detected"),
+            F.round(
+                hits.cast("double") / F.col("n_planted_total"), 6
+            ).alias("recall"),
+            F.round(hits.cast("double") / F.count(F.lit(1)), 6).alias(
+                "precision"
+            ),
+        )
+        .select(
+            "threshold",
+            "n_detected",
+            "n_planted_detected",
+            "recall",
+            "precision",
+        )
+    )
