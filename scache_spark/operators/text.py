@@ -726,3 +726,155 @@ def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 4
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (full-text search scoring over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), dlen AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), top7 AS (
+      SELECT tok, df FROM dfreq ORDER BY df DESC, tok ASC LIMIT 7
+    ), qterms AS (
+      SELECT tok, df FROM (
+        SELECT tok, df,
+               row_number() OVER (ORDER BY df DESC, tok ASC) AS rk
+        FROM top7)
+      WHERE rk BETWEEN 3 AND 7
+    )
+    SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+             AS bm25
+    FROM tf
+    JOIN qterms USING (tok)
+    JOIN dlen USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("B24", "B7", "B10"),
+    doc="BM25 ranked retrieval: top-20 documents for a 5-term query "
+    "(k1=1.2, b=0.75, Lucene's +1 idf floor so weights stay "
+    "positive).  The query terms are derived deterministically from "
+    "the corpus itself (df-ranks 3-7) purely to keep the fixture "
+    "query self-contained; in production the term set is user input "
+    "and simply replaces the qterms branch as a broadcast literal "
+    "frame.  Plan shape at 100 TB: text tokenizes map-side into "
+    "(doc_id, tok, tf) pairs — the raw text never shuffles; corpus "
+    "N/avgdl are a broadcast 1-row aggregate (no driver-side "
+    "count); the tf x qterms join is a broadcast of <=5 rows, so "
+    "scoring touches only postings of query terms; the final top-20 "
+    "is TakeOrderedAndProject (BoundedPriorityQueue analog, "
+    "reference util/BoundedPriorityQueue.scala:27-60).  Ordering uses "
+    "the ROUNDED score in both engines so the limit boundary is "
+    "cross-engine deterministic (ties broken by doc_id).",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    # limit(7) is TakeOrdered over the vocab; the rank-window then runs
+    # on 7 rows only (never the full vocabulary).
+    from pyspark.sql.window import Window
+
+    top7 = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(7)
+    qterms = (
+        top7.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok")))
+        )
+        .filter((F.col("rk") >= 3) & (F.col("rk") <= 7))
+        .select("tok", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6) AS entropy
+    FROM tf
+    GROUP BY doc_id
+    """,
+    tags=("B24", "B16", "B7"),
+    doc="Shannon token-entropy quality signal per document (low "
+    "entropy = repetitive/templated text, a standard pre-training "
+    "corpus filter alongside the duplicate-n-gram ratio).  Uses the "
+    "algebraic identity H = ln(L) - (1/L)*sum(tf*ln(tf)) so the whole "
+    "computation is TWO partial-aggregatable groupBys — (doc_id, tok) "
+    "then doc_id — with no per-token probability materialization and "
+    "no window.  Both shuffles carry integer-sized rows; the text "
+    "itself never moves.  Rounded to 6 dp on both engines "
+    "(summation-order ulp noise).",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            F.log(F.sum("tf")) - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf"), 6
+        ).alias("entropy"),
+    )
