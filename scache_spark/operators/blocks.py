@@ -449,3 +449,111 @@ def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("imbalance"),
         "top_key",
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python Data Source scan (Spark 4 extensibility surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "blocktrace_source_agg",
+    oracle="""
+    WITH blocks AS (
+      SELECT s.shuffle_id, m.map_id, r.reduce_id,
+             (m.map_id * 2654435761 + r.reduce_id * 40503
+              + s.shuffle_id * 97) % 1000003 % 32768 AS size_b
+      FROM (SELECT unnest(generate_series(0, 63)) AS map_id) m
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS shuffle_id) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS reduce_id) r)
+    SELECT shuffle_id, reduce_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(size_b) AS BIGINT) AS total_b,
+           CAST(max(size_b) AS BIGINT) AS max_b
+    FROM blocks
+    GROUP BY shuffle_id, reduce_id
+    """,
+    tags=("B1", "B7", "A.2"),
+    doc="Scan of a CUSTOM Python Data Source (Spark-4 "
+    "pyspark.sql.datasource API, sources/blocktrace.py): a zero-I/O "
+    "deterministic generator of the reference's block keyspace "
+    "(app, job, shuffle, map, reduce) -> size "
+    "(storage/BlockId.scala:79-81), partitioned one InputPartition "
+    "per map-chunk so the scan parallelizes like a real file source.  "
+    "The aggregate is the MapStatus per-reducer size rollup "
+    "(scheduler/MapStatus.scala:45-82).  Sizes are a closed-form "
+    "integer hash, so the DuckDB oracle regenerates the identical "
+    "trace from generate_series — the source's correctness is checked "
+    "end-to-end, not just its plumbing.  At scale the generator "
+    "stands in for any external keyspace (an object-store manifest, a "
+    "shard catalog): partition planning happens in partitions(), rows "
+    "stream per-task, nothing passes through the driver.",
+)
+def blocktrace_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.sources.blocktrace import register_blocktrace
+
+    register_blocktrace(spark)
+    df = (
+        spark.read.format("scache_blocks")
+        .option("shuffles", "2")
+        .option("maps", "64")
+        .option("reduces", "16")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy(
+        F.col("shuffle_id").cast("long").alias("shuffle_id"),
+        F.col("reduce_id").cast("long").alias("reduce_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("size_b").cast("long").alias("total_b"),
+        F.max("size_b").cast("long").alias("max_b"),
+    )
+
+
+@register(
+    "blocktrace_stream_waves",
+    oracle="""
+    WITH blocks AS (
+      SELECT m.map_id, r.reduce_id,
+             (m.map_id * 2654435761 + r.reduce_id * 40503) % 1000003
+               % 32768 AS size_b
+      FROM (SELECT unnest(generate_series(0, 63)) AS map_id) m
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS reduce_id) r)
+    SELECT reduce_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(size_b) AS BIGINT) AS total_b
+    FROM blocks
+    GROUP BY reduce_id
+    """,
+    tags=("B27", "A.5", "B1"),
+    doc="STREAMING scan of the custom Python data source "
+    "(sources/blocktrace.py BlockTraceStreamReader): the block trace "
+    "arrives in map-output WAVES (16 maps per micro-batch offset), "
+    "mirroring the reference's arrival model — per-map prefetch "
+    "triggers (storage/BlockManagerMasterEndpoint.scala:347-366) and "
+    "first-wave predictor sampling (sim/train.py:237-243).  The "
+    "running aggregate is per-reducer total bytes, i.e. the live "
+    "MapStatus table a pre-scheduler consumes.  Complete output mode "
+    "is correct HERE (unlike time-windowed aggs): state is bounded by "
+    "the reducer count R, fixed for the shuffle's lifetime, never "
+    "time-unbounded.  availableNow drains all waves, so the final "
+    "table equals the batch closed form the DuckDB oracle computes.",
+)
+def blocktrace_stream_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.sources.blocktrace import register_blocktrace
+    from scache_spark.streaming.windows import run_stream
+
+    register_blocktrace(spark)
+    df = (
+        spark.readStream.format("scache_blocks")
+        .option("maps", "64")
+        .option("reduces", "16")
+        .option("wave_size", "16")
+        .load()
+    )
+    agg = df.groupBy(F.col("reduce_id").cast("long").alias("reduce_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("size_b").cast("long").alias("total_b"),
+    )
+    return run_stream(agg, "blocktrace_waves", "complete")

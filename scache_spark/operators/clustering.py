@@ -223,3 +223,100 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
         F.round(F.avg(F.sqrt("d2")), 6).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: k-means cells as the blocking key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings
+      WHERE vec_id % 20 = 0
+    ),
+    seeds AS (SELECT vec_id AS cell, embedding AS centroid
+              FROM embeddings WHERE vec_id < {K}),
+    scored AS (
+      SELECT a.vec_id, a.embedding, s.cell,
+             {_sql_l2sq("a.embedding", "s.centroid")} AS d2
+      FROM aug a, seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY d2 ASC, cell ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS dup_id, a.cell, a.vec_id AS keep_id,
+             (list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], 'sum') / (sqrt(list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) for i in range(1, len(a.embedding) + 1)], 'sum')) * sqrt(list_aggregate([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) for i in range(1, len(b.embedding) + 1)], 'sum')))) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT dup_id, cell,
+           CAST(min(keep_id) AS BIGINT) AS canonical_id,
+           round(max(cos), 6) AS max_cosine
+    FROM pairs WHERE cos >= 0.95
+    GROUP BY dup_id, cell
+    """,
+    tags=("B24", "B25"),
+    doc="SemDeDup-style SEMANTIC dedup: vectors are blocked by their "
+    "k-means cell (the IVF assignment reused as the blocking key), "
+    "then only within-cell pairs are cosine-verified; each duplicate "
+    "is canonicalized to the MINIMUM surviving vec_id among its >=0.95 "
+    "partners.  Complements the two existing blockings — label "
+    "(validation baseline) and hyperplane-LSH (recall-tuned) — with "
+    "the centroid-based one production semantic dedup actually uses: "
+    "cells adapt to the data distribution, so near-dups land in the "
+    "same block even when no hyperplane bucket catches them.  At "
+    "100 TB: assignment is a broadcast-K min-struct aggregate (the "
+    "corpus never shuffles for it), the pair space is bounded per "
+    "cell, and the canonical-min aggregate is map-side combinable.",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import vec_cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    aug = (
+        e.select("vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") % 20 == 0).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    assigned = _assign(aug, _centroids(spark, sf_dir)).select(
+        "vec_id", "embedding", "cell"
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("keep_id"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b")) & (F.col("keep_id") < F.col("dup_id")),
+        )
+        .select(
+            "dup_id",
+            "cell",
+            "keep_id",
+            vec_cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )
+    return pairs.groupBy("dup_id", "cell").agg(
+        F.min("keep_id").cast("long").alias("canonical_id"),
+        F.round(F.max("cos"), 6).alias("max_cosine"),
+    )

@@ -159,3 +159,24 @@ def test_scan_exposes_file_provenance(spark, sf_dir, tmp_path):
     assert rows
     for r in rows:
         assert f"o_orderpriority={r['o_orderpriority']}" in r["f"].replace("%20", " ")
+
+
+def test_blocktrace_source_partition_planning(spark):
+    """The custom Python data source must parallelize: numPartitions
+    InputPartitions -> that many Spark tasks, rows sliced by map-id
+    range with no overlap and full coverage."""
+    from scache_spark.sources.blocktrace import block_size, register_blocktrace
+
+    register_blocktrace(spark)
+    df = (
+        spark.read.format("scache_blocks")
+        .option("maps", "32")
+        .option("reduces", "4")
+        .option("numPartitions", "5")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 32 * 4
+    # spot-check the closed form end-to-end through the scan
+    row = df.filter("map_id = 7 AND reduce_id = 3 AND shuffle_id = 0").first()
+    assert row["size_b"] == block_size(0, 7, 3)
