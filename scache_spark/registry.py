@@ -101,22 +101,22 @@ PRIORITY: tuple[str, ...] = (
     "udf_cogrouped_stats",  # B23
     # temporal
     "asof_join_last_click",
-    "time_bucket_rollup",  # + B15
+    "blocktrace_stream_waves",  # B27/A.5 — streaming custom Python source
     "funnel_session_conversion",
     # similarity search
     "retrieval_rerank_two_stage",  # B25/B10/B11 shortlist+rerank
     "ann_lsh_probe",  # B25
-    "ann_ivf_cells",  # B25
+    "dedup_semantic_cells",  # B25/B24 — IVF assignment as dedup blocking key
     # dedup / LLM pipeline
     "dedup_exact_hash",  # B24/B13
     "dedup_minhash_pairs",  # B24
-    "dedup_simhash_pairs",  # B24
+    "blocktrace_source_agg",  # B1/A.2 — custom Python data source scan
     "dedup_embedding_lsh",  # B24/B25 — LSH-bucketed scale path
     "dedup_clusters",  # B24 connected components
     # text analytics
     "text_tfidf_top_terms",  # B24
     "pq_adc_topk",  # B25 product-quantization ADC
-    "text_quality_score",  # B24
+    "text_bm25_topk",  # B24/B10 ranked retrieval
     # multimodal
     "multimodal_features",  # north-star/B23
     # scheduling & prediction (Part A)
@@ -138,6 +138,10 @@ PRIORITY: tuple[str, ...] = (
     "knn_brute_cosine",  # B25 (window seat ceded to rerank)
     "collect_sorted_arrays",  # B17/B7 (seat ceded to token budget)
     "text_langid",  # B24 (seat ceded to PQ ADC)
+    "ann_ivf_cells",  # B25 (seat ceded to dedup_semantic_cells)
+    "dedup_simhash_pairs",  # B24 (seat ceded to blocktrace source)
+    "text_quality_score",  # B24 (seat ceded to BM25)
+    "time_bucket_rollup",  # B15 (seat ceded to wave streaming)
     "sequence_packing_bins",
     "leakage_safe_split",
     "dedup_substring_pairs",

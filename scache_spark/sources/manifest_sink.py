@@ -1,0 +1,120 @@
+"""Custom Python Data Sink (Spark 4 `pyspark.sql.datasource` writer
+API): JSONL part files published atomically through a manifest.
+
+The exactly-once discipline mirrors what every production table
+format (and the reference's tellMaster-on-put protocol,
+storage/BlockManager.scala:363-395) relies on: tasks write
+side-effect-free part files named by a task-unique suffix and return
+a commit MESSAGE (path + row count); only the driver's `commit`,
+which runs once after every task succeeded, writes `_MANIFEST.json`
+naming the surviving files.  Readers trust only files listed in the
+manifest, so a re-executed / speculated / failed task can never leak
+rows: its orphan part file exists on disk but is invisible.  `abort`
+removes any parts named by partial messages.
+
+This is the sink-side complement of `blocktrace.py`'s reader — the
+two together cover the full custom-connector surface of the Python
+Data Source API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+from pyspark.sql.types import StructType
+
+
+class PartFileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options["path"]
+        self.columns = schema.fieldNames()
+        self.overwrite = overwrite
+
+    def write(self, rows: Iterator) -> PartFileCommit:
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        # write to a temp name first so a crashed task can never leave
+        # a file that looks like a finished part
+        tmp = part + ".inprogress"
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                n += 1
+        os.rename(tmp, part)
+        return PartFileCommit(part, n)
+
+    def commit(self, messages: list[PartFileCommit]) -> None:
+        manifest = {
+            "files": sorted(
+                [{"path": m.path, "rows": m.rows} for m in messages],
+                key=lambda d: d["path"],
+            ),
+            "total_rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
+
+    def abort(self, messages: list[PartFileCommit]) -> None:
+        # Spark's PythonBatchWrite hands abort() null commit messages
+        # (observed on 4.1: [null, null, ...]), so the paths cannot
+        # come from `messages`.  Instead remove every part not vouched
+        # for by an already-published manifest — correct under the
+        # single-writer-per-path assumption every manifest/table
+        # format without a lock service makes.  Readers are safe even
+        # if this cleanup never runs: unpublished parts are invisible.
+        listed: set[str] = set()
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                listed = {e["path"] for e in json.load(f)["files"]}
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+        if os.path.isdir(self.path):
+            for fn in os.listdir(self.path):
+                full = os.path.join(self.path, fn)
+                unpublished = (
+                    fn.startswith("part-")
+                    and fn.endswith(".jsonl")
+                    and full not in listed
+                )
+                if fn.endswith(".inprogress") or unpublished:
+                    os.remove(full)
+
+
+class ManifestJsonlDataSource(DataSource):
+    """`df.write.format("manifest_jsonl").option("path", ...).save()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return ManifestJsonlWriter(self.options, schema, overwrite)
+
+
+def register_manifest_sink(spark) -> None:
+    spark.dataSource.register(ManifestJsonlDataSource)
+
+
+def read_manifest(spark, path: str, schema):
+    """Read back ONLY the rows the manifest vouches for."""
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [e["path"] for e in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)

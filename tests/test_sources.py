@@ -180,3 +180,71 @@ def test_blocktrace_source_partition_planning(spark):
     # spot-check the closed form end-to-end through the scan
     row = df.filter("map_id = 7 AND reduce_id = 3 AND shuffle_id = 0").first()
     assert row["size_b"] == block_size(0, 7, 3)
+
+
+def test_manifest_sink_atomic_publish(spark, sf_dir, tmp_path):
+    """Custom Python data SINK: rows land in part files, but only the
+    driver-side commit publishes them via _MANIFEST.json; orphan part
+    files on disk are invisible to manifest readers."""
+    import json
+    import os
+
+    from scache_spark.sources.manifest_sink import (
+        read_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink")
+    src = (
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .repartition(3)
+    )
+    src.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 5
+    assert len(manifest["files"]) == 3  # one part per task
+
+    # plant an orphan part (a failed/speculated task's leftover):
+    # manifest readers must not see its rows
+    orphan = os.path.join(out, "part-orphan.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"r_regionkey": 99, "r_name": "GHOST"}\n')
+    back = read_manifest(spark, out, src.schema)
+    assert back.count() == 5
+    assert back.filter("r_regionkey = 99").count() == 0
+    got = {r["r_name"] for r in back.collect()}
+    want = {r["r_name"] for r in src.collect()}
+    assert got == want
+
+
+def test_manifest_sink_abort_removes_parts(spark, tmp_path):
+    """A mid-job task failure must abort the write: no manifest, and
+    completed tasks' parts are removed — nothing partial publishes."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scache_spark.sources.manifest_sink import register_manifest_sink
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "sink_abort")
+    poisoned = spark.range(0, 100, 1, 4).select(
+        F.when(F.col("id") == 77, F.col("id") / F.lit(0))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("id"),
+        F.assert_true(F.col("id") != 77, F.lit("boom")).alias("chk"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        poisoned.write.format("manifest_jsonl").option("path", out).mode(
+            "append"
+        ).save()
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    if os.path.exists(out):
+        leaked = [p for p in os.listdir(out) if p.endswith(".jsonl")]
+        assert leaked == []
