@@ -176,3 +176,174 @@ def expected_reduce_size_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("ph"), 8).alias("p_hat"),
         F.round(F.col("ph") * F.col("all_bytes"), 2).alias("expected_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LPT + deterministic locality swap (the FULL reference heuristic)
+# ---------------------------------------------------------------------------
+
+_COIN_MOD = 1000003  # prime; coin(rid) = rid*2654435761 % p / p
+N_SCHED_MAPS = 8  # map count of the block view; nor normalizes by 1/num_map
+
+
+def _lpt_swap(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase 1: LPT pack (as `_lpt_pack`).  Phase 2: the reference's
+    locality swap (sim/sim.py:198-220,246-255) made deterministic —
+    task r moves to its max-data-share host h*(r) iff
+    nor(r) = (p* - 1/K)/(1 - 1/K) exceeds a HASH coin (the reference
+    draws random.random(); a seeded closed-form coin keeps the same
+    distribution shape and is replayable by the SQL oracle), subject
+    to a bounded-imbalance guard: the move may not push h*'s load
+    past 1.1x the LPT makespan (the reference bounds swap volume at
+    1.1x the moving task instead; same safety intent, but a pure
+    load-vector state the oracle can carry — no task-list shuffling).
+    """
+    rows = pdf.sort_values(["sz", "rid"], ascending=[False, True])
+    heap = [(0, h) for h in range(N_SCHED_HOSTS)]
+    heapq.heapify(heap)
+    lpt = {}
+    loads = [0] * N_SCHED_HOSTS
+    for rid, sz in zip(rows["rid"], rows["sz"]):
+        load, host = heapq.heappop(heap)
+        lpt[int(rid)] = int(host)
+        loads[host] += int(sz)
+        heapq.heappush(heap, (load + int(sz), host))
+    cap = 1.1 * max(loads)
+    out = []
+    for rid, sz, hstar, b in zip(
+        rows["rid"], rows["sz"], rows["hstar"], rows["b"]
+    ):
+        rid, sz, hstar, b = int(rid), int(sz), int(hstar), int(b)
+        h0 = lpt[rid]
+        nor = (b * 1.0 / sz - 1.0 / N_SCHED_MAPS) / (1.0 - 1.0 / N_SCHED_MAPS)
+        coin = (rid * 2654435761 % _COIN_MOD) * 1.0 / _COIN_MOD
+        if hstar != h0 and nor > coin and loads[hstar] + sz <= cap:
+            loads[h0] -= sz
+            loads[hstar] += sz
+            out.append((rid, sz, h0, hstar, 1))
+        else:
+            out.append((rid, sz, h0, h0, 0))
+    return pd.DataFrame(out, columns=["rid", "sz", "lpt_host", "host", "moved"])
+
+
+@register(
+    "lpt_schedule_locality_swap",
+    oracle=f"""
+    WITH RECURSIVE cells AS (
+      SELECT CAST(l_suppkey % {N_SCHED_TASKS} AS INT) AS rid,
+             CAST((l_partkey % 8) % {N_SCHED_HOSTS} AS INT) AS host,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS b
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tasks AS (SELECT rid, CAST(sum(b) AS BIGINT) AS sz FROM cells GROUP BY rid),
+    loc AS (
+      SELECT rid, host AS hstar, b FROM (
+        SELECT *, row_number() OVER (PARTITION BY rid
+                  ORDER BY b DESC, host ASC) AS rk
+        FROM cells) WHERE rk = 1
+    ),
+    ordered AS (
+      SELECT rid, sz,
+             CAST(row_number() OVER (ORDER BY sz DESC, rid ASC) AS INT) AS rn
+      FROM tasks
+    ),
+    assign AS (
+      SELECT 0 AS rn, CAST(NULL AS INT) AS rid, CAST(NULL AS BIGINT) AS sz,
+             CAST(NULL AS INT) AS host,
+             [CAST(0 AS BIGINT) for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
+      UNION ALL
+      SELECT o.rn, o.rid, o.sz,
+             CAST(list_indexof(a.loads, list_min(a.loads)) - 1 AS INT) AS host,
+             [CASE WHEN i = list_indexof(a.loads, list_min(a.loads))
+                   THEN a.loads[i] + o.sz ELSE a.loads[i] END
+              for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
+      FROM assign a JOIN ordered o ON o.rn = a.rn + 1
+    ),
+    final_loads AS (
+      SELECT loads FROM assign ORDER BY rn DESC LIMIT 1
+    ),
+    cap AS (SELECT list_max(loads) * 1.1 AS cap FROM final_loads),
+    swp AS (
+      SELECT 0 AS rn, CAST(NULL AS INT) AS rid, CAST(NULL AS BIGINT) AS sz,
+             CAST(NULL AS INT) AS lpt_host, CAST(NULL AS INT) AS host,
+             CAST(NULL AS INT) AS moved,
+             (SELECT loads FROM final_loads) AS loads
+      UNION ALL
+      SELECT a.rn, a.rid, a.sz, a.host AS lpt_host,
+             CASE WHEN l.hstar <> a.host
+                       AND (l.b * 1.0 / a.sz - 1.0 / {N_SCHED_MAPS})
+                           / (1.0 - 1.0 / {N_SCHED_MAPS})
+                           > (a.rid * 2654435761 % {_COIN_MOD}) * 1.0
+                             / {_COIN_MOD}
+                       AND s.loads[l.hstar + 1] + a.sz <= c.cap
+                  THEN l.hstar ELSE a.host END AS host,
+             CASE WHEN l.hstar <> a.host
+                       AND (l.b * 1.0 / a.sz - 1.0 / {N_SCHED_MAPS})
+                           / (1.0 - 1.0 / {N_SCHED_MAPS})
+                           > (a.rid * 2654435761 % {_COIN_MOD}) * 1.0
+                             / {_COIN_MOD}
+                       AND s.loads[l.hstar + 1] + a.sz <= c.cap
+                  THEN 1 ELSE 0 END AS moved,
+             [CASE WHEN l.hstar <> a.host
+                        AND (l.b * 1.0 / a.sz - 1.0 / {N_SCHED_MAPS})
+                            / (1.0 - 1.0 / {N_SCHED_MAPS})
+                            > (a.rid * 2654435761 % {_COIN_MOD}) * 1.0
+                              / {_COIN_MOD}
+                        AND s.loads[l.hstar + 1] + a.sz <= c.cap
+                   THEN CASE WHEN i = l.hstar + 1 THEN s.loads[i] + a.sz
+                             WHEN i = a.host + 1 THEN s.loads[i] - a.sz
+                             ELSE s.loads[i] END
+                   ELSE s.loads[i] END
+              for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
+      FROM swp s
+      JOIN assign a ON a.rn = s.rn + 1
+      JOIN loc l ON l.rid = a.rid
+      CROSS JOIN cap c
+    )
+    SELECT rid, sz, lpt_host, host, moved FROM swp WHERE rn > 0
+    """,
+    tags=("A.2", "B23", "B16"),
+    doc="The COMPLETE reference pre-scheduling heuristic "
+    "(sim/sim.py:223-263): LPT bin-packing followed by the locality "
+    "swap — each task pulled toward the host holding the largest "
+    "share of its shuffle data (map outputs placed map % K) when its "
+    "normalized locality probability (1/num_map baseline, as the "
+    "reference normalizes) beats a coin, guarded so the "
+    "makespan never exceeds 1.1x the LPT optimum.  The unseeded "
+    "random.random() of the reference becomes a closed-form hash "
+    "coin, so both engines replay bit-identically: the oracle chains "
+    "TWO recursive CTEs (LPT loads vector, then the swap pass over "
+    "the same rank order).  Scheduling state stays K hosts x R "
+    "tasks; the 100 TB input collapses to R x K cells in one "
+    "distributed aggregation before the greedy runs.  Note the "
+    "granularity condition: a move needs task size <= the cap slack "
+    "(~10% of makespan), the normal regime at production scale "
+    "(thousands of reduces each <<makespan); at fixture scale with "
+    "32 coarse tasks only the loosest hosts accept moves.",
+)
+def lpt_schedule_locality_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        (F.col("l_suppkey") % N_SCHED_TASKS).cast("int").alias("rid"),
+        ((F.col("l_partkey") % 8) % N_SCHED_HOSTS).cast("int").alias("host"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("b")
+    )
+    per_rid = cells.groupBy("rid").agg(
+        F.sum("b").alias("sz"),
+        F.max(
+            F.struct(F.col("b").alias("b"), (-F.col("host")).alias("nh"))
+        ).alias("best"),
+    )
+    tasks = per_rid.select(
+        "rid",
+        "sz",
+        (-F.col("best.nh")).cast("int").alias("hstar"),
+        F.col("best.b").alias("b"),
+    )
+    return (
+        tasks.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_lpt_swap, "rid int, sz long, lpt_host int, host int, moved int")
+    )

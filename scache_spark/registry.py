@@ -120,7 +120,7 @@ PRIORITY: tuple[str, ...] = (
     # multimodal
     "multimodal_features",  # north-star/B23
     # scheduling & prediction (Part A)
-    "lpt_schedule",  # A.2
+    "lpt_schedule_locality_swap",  # A.2 — the COMPLETE reference heuristic
     "expected_reduce_size_weighted",  # B26/A.5
     "event_log_parse",  # B14/B18/A.5
     # streaming — every registered stream query
@@ -142,6 +142,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash_pairs",  # B24 (seat ceded to blocktrace source)
     "text_quality_score",  # B24 (seat ceded to BM25)
     "time_bucket_rollup",  # B15 (seat ceded to wave streaming)
+    "lpt_schedule",  # A.2 (seat ceded to the +locality-swap variant)
     "sequence_packing_bins",
     "leakage_safe_split",
     "dedup_substring_pairs",

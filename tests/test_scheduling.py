@@ -80,3 +80,45 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
     }
     assert planted, "no planted duplicates found by the baseline"
     assert planted <= lsh_pairs, "LSH missed planted exact duplicates"
+
+
+def test_lpt_swap_mechanics_on_skewed_frame():
+    """Locality swap mechanics, exercised hard on a synthetic frame
+    with strong locality (p* = 0.9): multiple tasks move, loads stay
+    conserved, and the makespan never exceeds the 1.1x LPT cap."""
+    import pandas as pd
+
+    from scache_spark.operators.scheduling import (
+        N_SCHED_HOSTS,
+        _lpt_pack,
+        _lpt_swap,
+    )
+
+    # production-like granularity: many tasks, each far smaller than
+    # the makespan, so the 1.1x-cap slack can actually accept moves
+    # (at fixture granularity a single task is ~16% of the makespan
+    # and the guard correctly refuses nearly every move)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "rid": range(n),
+            "sz": [80 + 7 * (i % 7) for i in range(n)],
+            "hstar": [i % N_SCHED_HOSTS for i in range(n)],
+            # 90% of each task's bytes sit on hstar -> nor ~ 0.886
+            "b": [int((80 + 7 * (i % 7)) * 0.9) for i in range(n)],
+        }
+    )
+    out = _lpt_swap(pdf)
+    assert len(out) == n
+    assert out["sz"].sum() == pdf["sz"].sum()  # no task lost or duplicated
+    moved = out[out["moved"] == 1]
+    assert len(moved) >= 5, f"swap barely exercised: {len(moved)} moves"
+    # every move went to the task's locality host
+    by_rid = pdf.set_index("rid")
+    for _, r in moved.iterrows():
+        assert r["host"] == by_rid.loc[r["rid"], "hstar"]
+        assert r["host"] != r["lpt_host"]
+    # bounded imbalance: final makespan <= 1.1x the LPT makespan
+    lpt_loads = _lpt_pack(pdf[["rid", "sz"]]).groupby("host")["sz"].sum()
+    final_loads = out.groupby("host")["sz"].sum()
+    assert final_loads.max() <= 1.1 * lpt_loads.max() + 1e-9
