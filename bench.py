@@ -44,6 +44,9 @@ HEADLINE = [
     "pq_adc_topk",
     "retrieval_rerank_two_stage",
     "cooccurrence_brand_pairs",
+    "text_bm25_topk",
+    "dedup_semantic_cells",
+    "lpt_schedule_locality_swap",
 ]
 
 

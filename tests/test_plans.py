@@ -435,3 +435,26 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS stats_t")
+
+
+def test_bm25_qterms_broadcast_and_topk_bounded(spark, sf_dir):
+    """BM25: the query-term join must broadcast (<=5 rows ship, the
+    postings never re-shuffle for it) and the final top-20 must be a
+    TakeOrderedAndProject, not a global sort."""
+    from scache_spark.operators.text import text_bm25_topk
+
+    plan = text_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_assignment_is_aggregate(spark, sf_dir):
+    """Semantic dedup's cell assignment must be the map-side-combinable
+    min-struct aggregate (shuffle carries n rows, not K*n) — same
+    contract as the k-means assignment."""
+    from scache_spark.operators.clustering import dedup_semantic_cells
+
+    plan = (
+        dedup_semantic_cells(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan or "partial min" in plan.lower()
