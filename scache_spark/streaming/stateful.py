@@ -101,3 +101,145 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").cast("long").alias("n_events"),
         F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor stateful API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+_MIX_SCHEMA = "user_id long, n_total long, n_types long, top_type string"
+
+
+class _UserTypeMix(StatefulProcessor):
+    """Per-user event-type histogram in MAP state — the typed,
+    composable state primitive transformWithState adds over
+    applyInPandasWithState's single-tuple state.  One map entry per
+    (user, type): state stays O(|types|) per key while the stream is
+    unbounded."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n bigint"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        for pdf in rows:
+            for t, c in pdf.groupby("event_type").size().items():
+                k = (str(t),)
+                prev = (
+                    self._counts.getValue(k)[0]
+                    if self._counts.containsKey(k)
+                    else 0
+                )
+                self._counts.updateValue(k, (prev + int(c),))
+        pairs = [(k[0], v[0]) for k, v in self._counts.iterator()]
+        n_total = int(sum(c for _, c in pairs))
+        top_type = sorted(pairs, key=lambda kv: (-kv[1], kv[0]))[0][0]
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_total": [n_total],
+                "n_types": [len(pairs)],
+                "top_type": [top_type],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's driver worker speaks a protobuf protocol
+    to the JVM; the runtime dependency is `protobuf`, absent from this
+    container (no pip allowed).  The operator is therefore GATED: full
+    implementation above, registered only where the dependency exists
+    (any real cluster image), exercised by a skipif pytest here."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no `google` namespace package at all
+        return False
+
+
+_TWS_ORACLE = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    ),
+    top AS (
+      SELECT user_id, event_type AS top_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                  ORDER BY n DESC, event_type ASC) AS rk
+        FROM c) WHERE rk = 1
+    )
+    SELECT user_id, n_total, n_types, top_type
+    FROM tot JOIN top USING (user_id)
+    """
+
+
+def stream_transform_with_state_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (the Spark-4 stateful API that
+    supersedes applyInPandasWithState): per-user event-type mix kept
+    in typed MAP state — one (type -> count) entry per key, updated
+    per micro-batch, emitting running (n_total, n_types, top_type)
+    with a deterministic count-desc/type-asc tie-break.  Cumulative
+    emissions are monotone in n_total, so max_by collapses to the
+    final state = the batch aggregate `_TWS_ORACLE` computes.
+    MapState is the right shape for unbounded streams: state is
+    O(#types) per user, never O(#events), and single entries update
+    without rewriting the whole value (what the old single-tuple
+    state API forced).  Registered only when protobuf is available
+    (see `_has_protobuf`); `tests/test_streaming_extras.py` gates the
+    pytest the same way."""
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "event_type")
+    )
+    # transformWithState requires the RocksDB state store provider
+    # (the default HDFS-backed store does not implement the new
+    # multi-state-variable protocol); scope the conf to this query.
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        mixed = s.groupBy("user_id").transformWithStateInPandas(
+            _UserTypeMix(),
+            outputStructType=_MIX_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        emitted = run_stream(mixed, "tws_mix", "append")
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return emitted.groupBy("user_id").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.max_by("n_types", "n_total").cast("long").alias("n_types"),
+        F.max_by("top_type", "n_total").alias("top_type"),
+    )
+
+
+if _has_protobuf():  # pragma: no cover - container lacks protobuf
+    register(
+        "stream_transform_with_state_mix",
+        oracle=_TWS_ORACLE,
+        tags=("B27", "B23"),
+        doc=stream_transform_with_state_mix.__doc__,
+    )(stream_transform_with_state_mix)

@@ -176,3 +176,25 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     assert base.equals(rdb), (len(base), len(rdb))
+
+
+def test_transform_with_state_mix_matches_batch(spark, sf_dir, oracle_con):
+    """Spark-4 transformWithStateInPandas (MapState per-user type mix)
+    vs the batch oracle.  Skipped where protobuf — the wire protocol
+    of the TWS driver worker — is unavailable (this container);
+    the operator registers itself automatically where it is."""
+    import pytest
+
+    from scache_spark.streaming.stateful import (
+        _TWS_ORACLE,
+        _has_protobuf,
+        stream_transform_with_state_mix,
+    )
+
+    if not _has_protobuf():
+        pytest.skip("protobuf not installed: transformWithState needs it")
+    from tests.conftest import assert_frames_match
+
+    spark_pdf = stream_transform_with_state_mix(spark, sf_dir).toPandas()
+    oracle_pdf = oracle_con.execute(_TWS_ORACLE).df()
+    assert_frames_match(spark_pdf, oracle_pdf, "stream_transform_with_state_mix")
