@@ -557,3 +557,100 @@ def blocktrace_stream_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("size_b").cast("long").alias("total_b"),
     )
     return run_stream(agg, "blocktrace_waves", "complete")
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (OPTIMIZE-style FFD bin pack)
+# ---------------------------------------------------------------------------
+
+N_COMPACT_FILES = 24
+
+
+def _ffd_pack(pdf):
+    """First-fit-decreasing: files sorted (size desc, fid asc), each
+    placed into the lowest-indexed group it fits (cap = 2x the largest
+    file), else a new group opens.  The classic 11/9·OPT + 6/9 bound
+    applies — good enough for layout maintenance everywhere."""
+    import pandas as pd
+
+    rows = pdf.sort_values(["sz", "fid"], ascending=[False, True])
+    cap = 2 * int(rows["sz"].max())
+    loads: list[int] = []
+    out = []
+    for fid, sz in zip(rows["fid"], rows["sz"]):
+        fid, sz = int(fid), int(sz)
+        g = next((i for i, l in enumerate(loads) if l + sz <= cap), len(loads))
+        if g == len(loads):
+            loads.append(sz)
+        else:
+            loads[g] += sz
+        out.append((fid, sz, g))
+    return pd.DataFrame(out, columns=["fid", "sz", "grp"])
+
+
+@register(
+    "compaction_plan_ffd",
+    oracle=f"""
+    WITH RECURSIVE files AS (
+      SELECT CAST(l_orderkey % {N_COMPACT_FILES} AS INT) AS fid,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sz
+      FROM lineitem GROUP BY 1
+    ),
+    cap AS (SELECT 2 * max(sz) AS cap FROM files),
+    ordered AS (
+      SELECT fid, sz,
+             CAST(row_number() OVER (ORDER BY sz DESC, fid ASC) AS INT) AS rn
+      FROM files
+    ),
+    pack AS (
+      SELECT 0 AS rn, CAST(NULL AS INT) AS fid, CAST(NULL AS BIGINT) AS sz,
+             CAST(NULL AS INT) AS grp, CAST([] AS BIGINT[]) AS loads
+      UNION ALL
+      SELECT o.rn, o.fid, o.sz,
+             CAST(coalesce(
+               ([i for i in range(1, len(p.loads) + 1)
+                 if p.loads[i] + o.sz <= c.cap])[1],
+               len(p.loads) + 1) - 1 AS INT) AS grp,
+             CASE WHEN coalesce(
+                    ([i for i in range(1, len(p.loads) + 1)
+                      if p.loads[i] + o.sz <= c.cap])[1],
+                    len(p.loads) + 1) <= len(p.loads)
+                  THEN [CASE WHEN i = ([j for j in range(1, len(p.loads) + 1)
+                                       if p.loads[j] + o.sz <= c.cap])[1]
+                             THEN p.loads[i] + o.sz ELSE p.loads[i] END
+                        for i in range(1, len(p.loads) + 1)]
+                  ELSE list_append(p.loads, o.sz) END AS loads
+      FROM pack p JOIN ordered o ON o.rn = p.rn + 1
+      CROSS JOIN cap c
+    )
+    SELECT fid, sz, grp FROM pack WHERE rn > 0
+    """,
+    tags=("B21", "B23", "B1"),
+    doc="OPTIMIZE-style small-file compaction planning: a deterministic "
+    f"manifest of {N_COMPACT_FILES} file sizes is bin-packed "
+    "first-fit-decreasing into merge groups capped at 2x the largest "
+    "file — each group is one rewrite task of a lakehouse table "
+    "maintenance job.  Same distributed shape as the LPT scheduler: "
+    "the full-scale input collapses to one row per FILE in a single "
+    "aggregation (at 100 TB this is the table's file-manifest scan, "
+    "not a data scan), then the greedy runs as one tiny grouped-map "
+    "task.  The oracle replays FFD with a GROWING loads list in a "
+    "recursive CTE (first-fit = first index of the filtered "
+    "candidate list).  FFD differs from LPT (lpt_schedule): capacity "
+    "bound + open-ended group count vs fixed hosts + makespan "
+    "balance — the two ends of the bin-packing family a data "
+    "platform actually runs.",
+)
+def compaction_plan_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    files = li.groupBy(
+        (F.col("l_orderkey") % N_COMPACT_FILES).cast("int").alias("fid")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sz")
+    )
+    return (
+        files.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_ffd_pack, "fid int, sz long, grp int")
+    )

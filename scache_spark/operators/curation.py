@@ -255,3 +255,89 @@ def attribution_linear_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_credit"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV feature binning (supervised feature screening)
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 8
+
+
+@register(
+    "woe_iv_binning",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+      SELECT CAST(least(floor((o_totalprice - rng.mn)
+                              / ((rng.mx - rng.mn) / {_WOE_BINS}.0)),
+                        {_WOE_BINS - 1}) AS INT) AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders, rng
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn
+      FROM cells
+    )
+    SELECT bin, n_pos, n_neg,
+           round(ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6) AS woe,
+           round((n_pos * 1.0 / tp - n_neg * 1.0 / tn)
+                 * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6) AS iv_term
+    FROM cells, tot
+    """,
+    tags=("B16", "B7", "B19"),
+    doc="Weight-of-evidence / information-value feature binning — the "
+    "standard supervised screen for 'does this feature separate the "
+    "classes' before model training.  o_totalprice is cut into "
+    f"{_WOE_BINS} equal-width bins from a broadcast (min, max) 1-row "
+    "aggregate (NOT a global ntile — no single-partition window "
+    "anywhere; bin assignment is pure map-side arithmetic), label = "
+    "order status 'F'.  Per bin: class counts, WOE = "
+    "ln(%pos / %neg), and the IV contribution (sum iv_term for the "
+    "feature's IV).  Equal-width from broadcast extrema is the "
+    "100 TB-safe binning; quantile bins would use the approx- "
+    "percentile edges the same broadcast way.  ln rounded to 6 dp "
+    "(transcendental ulp rule).",
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / float(_WOE_BINS))
+            ),
+            F.lit(_WOE_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    )
+    pp = F.col("n_pos") * 1.0 / F.col("tp")
+    pn = F.col("n_neg") * 1.0 / F.col("tn")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(pp / pn), 6).alias("woe"),
+        F.round((pp - pn) * F.log(pp / pn), 6).alias("iv_term"),
+    )
