@@ -32,6 +32,8 @@ __all__ = [
     "top_k_per_group",
     "shard_assign",
     "train_val_test_split",
+    "bm25_score",
+    "semantic_dedup",
 ]
 
 
@@ -347,3 +349,116 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def bm25_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval for one query over an arbitrary corpus.
+
+    Returns ``(id_col, bm25)`` for the k best documents.  Plan shape:
+    text tokenizes map-side to (id, tok, tf); corpus stats (N, avgdl)
+    are a broadcast 1-row aggregate; the term join broadcasts the
+    literal query frame; top-k is TakeOrderedAndProject on the
+    ROUNDED score (total order, ties by id).
+    """
+    spark = df.sparkSession
+    tf = (
+        df.select(F.col(id_col), F.explode(F.split(F.lower(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    q = spark.createDataFrame([(t.lower(),) for t in query_terms], ["tok"]).join(
+        dfreq, "tok"
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(q), "tok")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate detection blocked by nearest
+    centroid (``centroids``: (cell, centroid) — e.g. k-means output).
+
+    Each duplicate maps to the MIN surviving id among its >=threshold
+    within-cell partners.  Assignment is a broadcast-K min-struct
+    aggregate (the corpus never shuffles for it); norms precompute
+    before the pair join so each pair costs one dot product.
+    """
+    from scache_spark.functions import vec_dot, vec_norm
+
+    diffs = F.zip_with(
+        F.col(vec_col),
+        F.col("centroid"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col(vec_col), F.col("cell"), d2.alias("d2")
+    )
+    assigned = (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.min(F.struct("d2", "cell")).alias("best"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("best.cell").alias("cell"),
+            vec_norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col("cell"),
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("nrm").alias("_na"),
+    )
+    bb = assigned.select(
+        F.col("cell").alias("_cb"),
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("nrm").alias("_nb"),
+    )
+    pairs = (
+        a.join(bb, (F.col("cell") == F.col("_cb")) & (F.col("keep_id") < F.col("dup_id")))
+        .select(
+            "dup_id",
+            "cell",
+            "keep_id",
+            (vec_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy("dup_id", "cell").agg(
+        F.min("keep_id").alias("canonical_id"), F.round(F.max("cos"), 6).alias("max_cosine")
+    )

@@ -989,3 +989,79 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks")
         )
     )
+
+
+_PSI_BINS = 10
+
+
+@register(
+    "psi_drift_bins",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+      SELECT CAST(least(floor((o_totalprice - rng.mn)
+                              / ((rng.mx - rng.mn) / {_PSI_BINS}.0)),
+                        {_PSI_BINS - 1}) AS INT) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders, rng
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(is_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(is_a) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      FROM cells
+    )
+    SELECT bin, n_a, n_b,
+           round((n_a * 1.0 / ta - n_b * 1.0 / tb)
+                 * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)), 6) AS psi_term
+    FROM cells, tot
+    """,
+    tags=("B20", "B16", "B7"),
+    doc="Population-stability-index drift monitor: the binned sibling "
+    "of ks_drift_statistic (same A/B populations — urgent vs other "
+    "orders over o_totalprice).  Equal-width bins from a broadcast "
+    "(min, max) 1-row aggregate, so bin assignment is map-side "
+    "arithmetic and the whole statistic is ONE small groupBy + a "
+    "broadcast total — no ordered window at all, which is why PSI "
+    "(not KS) is what production monitoring jobs actually run at "
+    "100 TB.  Per-bin psi_term sums to the feature's PSI "
+    "(>0.25 = action threshold by convention).",
+)
+def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / float(_PSI_BINS))
+            ),
+            F.lit(_PSI_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+    )
+    tot = cells.agg(
+        F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
+    )
+    pa = F.col("n_a") * 1.0 / F.col("ta")
+    pb = F.col("n_b") * 1.0 / F.col("tb")
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

@@ -159,3 +159,42 @@ def test_split_is_leakage_safe_with_groups(spark):
     # all three splits materialize with roughly sane mass
     frac = out["split"].value_counts(normalize=True)
     assert frac["train"] > 0.6 and frac["val"] > 0.02 and frac["test"] > 0.02
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    rows = [
+        (1, "apple banana cherry apple"),
+        (2, "banana banana banana banana banana"),
+        (3, "cherry dates elderberry fig grape"),
+        (4, "apple apple apple"),
+        (5, "dates elderberry fig grape hazelnut"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = api.bm25_score(df, "text", "id", ["apple"], k=3).toPandas()
+    assert list(out["id"])[:2] == [4, 1]  # highest tf-density apple docs
+    assert 2 not in set(out["id"]) or out[out["id"] == 2]["bm25"].iloc[0] == 0
+    assert (out["bm25"].diff().dropna() <= 0).all()  # sorted desc
+
+
+def test_semantic_dedup_blocks_by_centroid(spark):
+    # two tight clusters around orthogonal axes + one planted duplicate
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.99, 0.01, 0.0]),
+        (10, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, ["id", "vec"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        ["cell", "centroid"],
+    )
+    out = api.semantic_dedup(df, "vec", "id", cents, threshold=0.95).toPandas()
+    dup_map = dict(zip(out["dup_id"], out["canonical_id"]))
+    assert dup_map[10] == 0  # planted dup canonicalizes to min id
+    assert dup_map.get(1) == 0 and dup_map.get(3) == 2  # within-cell near-dups
+    # cross-cell pairs never compared: no (2|3) mapping to (0|1)
+    assert all(
+        (d >= 2) == (c >= 2) for d, c in dup_map.items() if d != 10
+    )

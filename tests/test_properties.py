@@ -172,3 +172,28 @@ def test_gini_closed_form_matches_pairwise_definition(xs):
         2.0 * n * n * (total / n)
     )
     assert abs(closed - pairwise) < 1e-9
+
+
+def test_ffd_pack_invariants():
+    """FFD compaction: every file assigned exactly once, no group over
+    capacity, and group ids are dense from 0 — for arbitrary size
+    mixes including the pathological all-equal and one-giant cases."""
+    import pandas as pd
+
+    from scache_spark.operators.blocks import _ffd_pack
+
+    for sizes in (
+        [100] * 7,
+        [1000, 1, 1, 1, 1, 1],
+        [5, 9, 3, 7, 1, 8, 2, 6, 4],
+        [17],
+    ):
+        pdf = pd.DataFrame({"fid": range(len(sizes)), "sz": sizes})
+        out = _ffd_pack(pdf)
+        cap = 2 * max(sizes)
+        assert sorted(out["fid"]) == list(range(len(sizes)))
+        loads = out.groupby("grp")["sz"].sum()
+        assert (loads <= cap).all()
+        assert sorted(out["grp"].unique()) == list(range(out["grp"].max() + 1))
+        # FFD never opens more groups than a one-file-per-group plan
+        assert out["grp"].max() + 1 <= len(sizes)
