@@ -347,3 +347,100 @@ def lpt_schedule_locality_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(_lpt_swap, "rid int, sz long, lpt_host int, host int, moved int")
     )
+
+
+# ---------------------------------------------------------------------------
+# scheduler policy comparison (the reference's evaluation methodology)
+# ---------------------------------------------------------------------------
+
+
+def _policy_compare(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Makespans of the three scheduling policies the reference's
+    simulator races (sim/sim.py:38-134): round-robin pre-placement
+    (reduce i -> host i mod K, what the Scala master actually ships,
+    MapOutputTracker.scala:202-210), LPT (the paper's heuristic), and
+    the ideal lower bound max(ceil(total/K), max task)."""
+    sizes = {int(r): int(s) for r, s in zip(pdf["rid"], pdf["sz"])}
+    k = N_SCHED_HOSTS
+    rr = [0] * k
+    for rid, sz in sizes.items():
+        rr[rid % k] += sz
+    lpt_out = _lpt_pack(pdf[["rid", "sz"]])
+    lpt_loads = lpt_out.groupby("host")["sz"].sum()
+    total = sum(sizes.values())
+    ideal = max(-(-total // k), max(sizes.values()))
+    return pd.DataFrame(
+        {
+            "policy": ["round_robin", "lpt", "ideal"],
+            "makespan": [int(max(rr)), int(lpt_loads.max()), int(ideal)],
+        }
+    )
+
+
+@register(
+    "schedule_policy_compare",
+    oracle=f"""
+    WITH RECURSIVE tasks AS (
+      SELECT CAST(l_suppkey % {N_SCHED_TASKS} AS INT) AS rid,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sz
+      FROM lineitem GROUP BY 1
+    ),
+    ordered AS (
+      SELECT rid, sz,
+             CAST(row_number() OVER (ORDER BY sz DESC, rid ASC) AS INT) AS rn
+      FROM tasks
+    ),
+    assign AS (
+      SELECT 0 AS rn, CAST(NULL AS INT) AS rid, CAST(NULL AS BIGINT) AS sz,
+             CAST(NULL AS INT) AS host,
+             [CAST(0 AS BIGINT) for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
+      UNION ALL
+      SELECT o.rn, o.rid, o.sz,
+             CAST(list_indexof(a.loads, list_min(a.loads)) - 1 AS INT) AS host,
+             [CASE WHEN i = list_indexof(a.loads, list_min(a.loads))
+                   THEN a.loads[i] + o.sz ELSE a.loads[i] END
+              for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
+      FROM assign a JOIN ordered o ON o.rn = a.rn + 1
+    ),
+    lpt_makespan AS (
+      SELECT list_max(loads) AS m FROM assign
+      ORDER BY rn DESC LIMIT 1
+    ),
+    rr AS (
+      SELECT CAST(max(hl) AS BIGINT) AS m FROM (
+        SELECT rid % {N_SCHED_HOSTS} AS host, sum(sz) AS hl
+        FROM tasks GROUP BY 1)
+    ),
+    ideal AS (
+      SELECT CAST(greatest(CAST(ceil(sum(sz) * 1.0 / {N_SCHED_HOSTS}) AS BIGINT),
+                           max(sz)) AS BIGINT) AS m
+      FROM tasks
+    )
+    SELECT 'round_robin' AS policy, m AS makespan FROM rr
+    UNION ALL SELECT 'lpt', CAST(m AS BIGINT) FROM lpt_makespan
+    UNION ALL SELECT 'ideal', m FROM ideal
+    """,
+    tags=("A.2", "A.5", "B23"),
+    doc="The reference's scheduler EVALUATION, reproduced: makespans "
+    "of round-robin pre-placement (what the Scala master ships, "
+    "MapOutputTracker.scala:202-210), LPT (the paper's heuristic, "
+    "sim/sim.py:223-263), and the ideal lower bound — the same "
+    "three-way race sim/sim.py:265-328 runs over the Hadoop trace, "
+    "here over the deterministic task-size frame.  LPT should land "
+    "between ideal and round-robin; the pytest asserts that ordering "
+    "holds.  One distributed aggregation feeds all three policies; "
+    "the comparison itself is K-host-sized state.",
+)
+def schedule_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    tasks = li.groupBy(
+        (F.col("l_suppkey") % N_SCHED_TASKS).cast("int").alias("rid")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sz")
+    )
+    return (
+        tasks.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_policy_compare, "policy string, makespan long")
+    )

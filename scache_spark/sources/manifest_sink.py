@@ -55,16 +55,34 @@ class ManifestJsonlWriter(DataSourceWriter):
         return PartFileCommit(part, n)
 
     def commit(self, messages: list[PartFileCommit]) -> None:
+        # Versioned snapshots (time travel): each commit publishes
+        # _MANIFEST.v{n}.json.  Append mode carries the previous
+        # version's files forward (the new snapshot = old + this
+        # job's parts); overwrite starts the file list fresh while
+        # old versions keep serving reads of their snapshot.
+        # _MANIFEST.json always mirrors the latest version.
+        prev_files: list[dict] = []
+        versions = _manifest_versions(self.path)
+        if versions and not self.overwrite:
+            with open(_version_path(self.path, versions[-1])) as f:
+                prev_files = json.load(f)["files"]
+        files = prev_files + [
+            {"path": m.path, "rows": m.rows} for m in messages
+        ]
         manifest = {
-            "files": sorted(
-                [{"path": m.path, "rows": m.rows} for m in messages],
-                key=lambda d: d["path"],
-            ),
-            "total_rows": sum(m.rows for m in messages),
+            "version": (versions[-1] if versions else 0) + 1,
+            "files": sorted(files, key=lambda d: d["path"]),
+            "total_rows": sum(e["rows"] for e in files),
         }
+        payload = json.dumps(manifest)
+        vpath = _version_path(self.path, manifest["version"])
+        tmp = vpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.rename(tmp, vpath)
         tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(manifest, f)
+            f.write(payload)
         os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
 
     def abort(self, messages: list[PartFileCommit]) -> None:
@@ -75,11 +93,11 @@ class ManifestJsonlWriter(DataSourceWriter):
         # single-writer-per-path assumption every manifest/table
         # format without a lock service makes.  Readers are safe even
         # if this cleanup never runs: unpublished parts are invisible.
+        # any file named by ANY committed snapshot stays readable
         listed: set[str] = set()
-        mpath = os.path.join(self.path, "_MANIFEST.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                listed = {e["path"] for e in json.load(f)["files"]}
+        for v in _manifest_versions(self.path):
+            with open(_version_path(self.path, v)) as f:
+                listed |= {e["path"] for e in json.load(f)["files"]}
         for m in messages or []:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
@@ -110,9 +128,29 @@ def register_manifest_sink(spark) -> None:
     spark.dataSource.register(ManifestJsonlDataSource)
 
 
-def read_manifest(spark, path: str, schema):
-    """Read back ONLY the rows the manifest vouches for."""
-    with open(os.path.join(path, "_MANIFEST.json")) as f:
+def _manifest_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for fn in os.listdir(path):
+        if fn.startswith("_MANIFEST.v") and fn.endswith(".json"):
+            out.append(int(fn[len("_MANIFEST.v") : -len(".json")]))
+    return sorted(out)
+
+
+def _version_path(path: str, version: int) -> str:
+    return os.path.join(path, f"_MANIFEST.v{version}.json")
+
+
+def read_manifest(spark, path: str, schema, version: int | None = None):
+    """Read back ONLY the rows the manifest vouches for; pass
+    ``version`` to time-travel to an earlier committed snapshot."""
+    mpath = (
+        os.path.join(path, "_MANIFEST.json")
+        if version is None
+        else _version_path(path, version)
+    )
+    with open(mpath) as f:
         manifest = json.load(f)
     files = [e["path"] for e in manifest["files"]]
     if not files:

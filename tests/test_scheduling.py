@@ -122,3 +122,11 @@ def test_lpt_swap_mechanics_on_skewed_frame():
     lpt_loads = _lpt_pack(pdf[["rid", "sz"]]).groupby("host")["sz"].sum()
     final_loads = out.groupby("host")["sz"].sum()
     assert final_loads.max() <= 1.1 * lpt_loads.max() + 1e-9
+
+
+def test_policy_ordering_ideal_lpt_roundrobin(spark, sf_dir):
+    """LPT must dominate round-robin and never beat the lower bound."""
+    from scache_spark.operators.scheduling import schedule_policy_compare
+
+    rows = {r["policy"]: r["makespan"] for r in schedule_policy_compare(spark, sf_dir).collect()}
+    assert rows["ideal"] <= rows["lpt"] <= rows["round_robin"]

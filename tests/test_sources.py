@@ -248,3 +248,34 @@ def test_manifest_sink_abort_removes_parts(spark, tmp_path):
     if os.path.exists(out):
         leaked = [p for p in os.listdir(out) if p.endswith(".jsonl")]
         assert leaked == []
+
+
+def test_manifest_sink_time_travel(spark, sf_dir, tmp_path):
+    """Versioned snapshots: append commits chain file lists, overwrite
+    restarts them, and any earlier version stays readable (time
+    travel) because its files are never removed by later commits."""
+    from scache_spark.sources.manifest_sink import (
+        read_manifest,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "tt")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n5 = r.repartition(2)
+    n5.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    n5.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    v1 = read_manifest(spark, out, r.schema, version=1)
+    v2 = read_manifest(spark, out, r.schema, version=2)
+    latest = read_manifest(spark, out, r.schema)
+    assert v1.count() == 5
+    assert v2.count() == 10 == latest.count()
+
+    # overwrite opens version 3 with a fresh file list; v2 still reads
+    r.limit(2).write.format("manifest_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    v3 = read_manifest(spark, out, r.schema)
+    assert v3.count() == 2
+    assert read_manifest(spark, out, r.schema, version=2).count() == 10
