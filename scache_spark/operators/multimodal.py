@@ -270,3 +270,145 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mime") == "video/mp4"
     ).select("asset_id", "blob")
     return assets.mapInPandas(sample_frames, _FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (image dedup plumbing)
+# ---------------------------------------------------------------------------
+
+_PHASH_BITS = 64
+_PHASH_BANDS = 4  # 4 x 16-bit bands, same blocking shape as SimHash
+_PHASH_MAX_HAMMING = 6
+
+
+def _phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode each blob (``_fake_decode`` stands in for the image
+    codec) and compute an average-hash perceptual signature: sample 64
+    byte positions (stride 7 mod n — the stub for resize-to-8x8),
+    threshold each against the sample mean, pack the bitstring into
+    4 x 16-bit band integers.  Arrow-batched; constant memory."""
+    for pdf in batches:
+        rows = []
+        for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+            arr = _fake_decode(blob)
+            n = len(arr)
+            codes = [int(arr[(i * 7) % n]) for i in range(_PHASH_BITS)]
+            mean = sum(codes) / 64.0
+            bands = []
+            for j in range(_PHASH_BANDS):
+                b = 0
+                for k in range(16):
+                    if codes[j * 16 + k] > mean:
+                        b |= 1 << k
+                bands.append(b)
+            rows.append((int(asset_id), *bands))
+        yield pd.DataFrame(rows, columns=["asset_id", "b0", "b1", "b2", "b3"])
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             [ascii(substr(text, ((i * 7) % length(text)) + 1, 1))
+              for i in range(0, {_PHASH_BITS})] AS c
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, c, list_aggregate(c, 'sum') / 64.0 AS m FROM codes
+    ),
+    bands AS (
+      SELECT doc_id,
+             list_aggregate([CASE WHEN c[0*16 + k + 1] > m
+               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+               for k in range(0, 16)], 'sum') AS b0,
+             list_aggregate([CASE WHEN c[1*16 + k + 1] > m
+               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+               for k in range(0, 16)], 'sum') AS b1,
+             list_aggregate([CASE WHEN c[2*16 + k + 1] > m
+               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+               for k in range(0, 16)], 'sum') AS b2,
+             list_aggregate([CASE WHEN c[3*16 + k + 1] > m
+               THEN (CAST(1 AS BIGINT) << k) ELSE 0 END
+               for k in range(0, 16)], 'sum') AS b3
+      FROM hashed
+    ),
+    melted AS (
+      SELECT doc_id, b0, b1, b2, b3, band_id,
+             CASE band_id WHEN 0 THEN b0 WHEN 1 THEN b1
+                          WHEN 2 THEN b2 ELSE b3 END AS band_val
+      FROM bands, (SELECT unnest(generate_series(0, 3)) AS band_id)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+             a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3,
+             b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3
+      FROM melted a JOIN melted b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT asset_a, asset_b,
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3))
+        <= {_PHASH_MAX_HAMMING}
+    """,
+    tags=("north-star", "B23", "B24"),
+    doc="Image near-duplicate detection over opaque binary assets: "
+    "decode (stubbed codec) -> 64-bit average-hash perceptual "
+    "signature in mapInPandas -> 4x16-bit band blocking -> exact "
+    "Hamming verify (<=6) on candidates only — the multimodal "
+    "sibling of dedup_simhash_pairs, completing the decode->hash->"
+    "dedup chain a vision-training pipeline runs.  The blobs never "
+    "shuffle: signatures (4 ints) move, 2 KB payloads stay at the "
+    "scan.  The oracle reproduces the full signature arithmetic from "
+    "the text bytes (the fake decode is byte-identity), so the "
+    "Arrow plumbing is verified end-to-end, not just shaped.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = binary_assets(spark, sf_dir).select("asset_id", "blob")
+    sig = assets.mapInPandas(
+        _phash_bands, "asset_id long, b0 long, b1 long, b2 long, b3 long"
+    )
+    melted = sig.select(
+        "asset_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), F.col(f"b{j}").alias("band_val")
+                    )
+                    for j in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("asset_id", "b0", "b1", "b2", "b3", "bd.band_id", "bd.band_val")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            *[F.col(f"a.b{j}").alias(f"a{j}") for j in range(4)],
+            *[F.col(f"b.b{j}").alias(f"c{j}") for j in range(4)],
+        )
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"c{j}"))) for j in range(4)
+    )
+    return cand.select(
+        "asset_a", "asset_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
