@@ -156,3 +156,29 @@ def read_manifest(spark, path: str, schema, version: int | None = None):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+def vacuum(path: str, retain_versions: int = 1) -> dict:
+    """Lakehouse VACUUM: keep the newest ``retain_versions`` snapshots,
+    delete older version manifests and every part file no surviving
+    snapshot references.  Returns {"removed_files": n,
+    "removed_versions": m}.  Single-writer assumption, like commit."""
+    versions = _manifest_versions(path)
+    keep = set(versions[-retain_versions:]) if retain_versions > 0 else set()
+    live: set[str] = set()
+    for v in keep:
+        with open(_version_path(path, v)) as f:
+            live |= {e["path"] for e in json.load(f)["files"]}
+    removed_files = 0
+    removed_versions = 0
+    for fn in sorted(os.listdir(path)):
+        full = os.path.join(path, fn)
+        if fn.startswith("part-") and fn.endswith(".jsonl") and full not in live:
+            os.remove(full)
+            removed_files += 1
+        elif fn.startswith("_MANIFEST.v") and fn.endswith(".json"):
+            v = int(fn[len("_MANIFEST.v") : -len(".json")])
+            if v not in keep:
+                os.remove(full)
+                removed_versions += 1
+    return {"removed_files": removed_files, "removed_versions": removed_versions}

@@ -244,8 +244,15 @@ def test_manifest_sink_abort_removes_parts(spark, tmp_path):
         poisoned.write.format("manifest_jsonl").option("path", out).mode(
             "append"
         ).save()
+    # the exactly-once invariant: no manifest published, so whatever
+    # part files exist (abort races straggler tasks that rename their
+    # part after the abort scan) are INVISIBLE to readers...
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    # ...and vacuum (retain 0 snapshots) reclaims any straggler orphans
     if os.path.exists(out):
+        from scache_spark.sources.manifest_sink import vacuum
+
+        vacuum(out, retain_versions=0)
         leaked = [p for p in os.listdir(out) if p.endswith(".jsonl")]
         assert leaked == []
 
@@ -279,3 +286,43 @@ def test_manifest_sink_time_travel(spark, sf_dir, tmp_path):
     v3 = read_manifest(spark, out, r.schema)
     assert v3.count() == 2
     assert read_manifest(spark, out, r.schema, version=2).count() == 10
+
+
+def test_manifest_sink_vacuum_and_schema_evolution(spark, sf_dir, tmp_path):
+    """VACUUM removes unreferenced parts + expired snapshots (time
+    travel to them then fails, latest still reads); a column added in
+    a later version back-fills null for old rows on read."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scache_spark.sources.manifest_sink import (
+        read_manifest,
+        register_manifest_sink,
+        vacuum,
+    )
+
+    register_manifest_sink(spark)
+    out = str(tmp_path / "vac")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    # v2 evolves the schema: one added column
+    r2 = r.withColumn("ingested_by", F.lit("round2"))
+    r2.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    latest = read_manifest(spark, out, r2.schema)
+    assert latest.count() == 10
+    # old rows surface with the new column null; new rows carry it
+    assert latest.filter("ingested_by IS NULL").count() == 5
+    assert latest.filter("ingested_by = 'round2'").count() == 5
+
+    # overwrite -> v3 references only its own parts; vacuum to v3 only
+    r.limit(3).write.format("manifest_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    stats = vacuum(out, retain_versions=1)
+    assert stats["removed_versions"] == 2
+    assert stats["removed_files"] > 0
+    assert read_manifest(spark, out, r.schema).count() == 3
+    with _pytest.raises(FileNotFoundError):
+        read_manifest(spark, out, r.schema, version=1)
