@@ -57,6 +57,16 @@ COMMENT = {
     "lsh_design_curve": "Design-time tool: measured Jaccard deciles (bounded blocked sample) scored with the closed-form 1-(1-s^r)^b candidate curve for three (b,r) layouts — powers expanded to products, 11-row output, run BEFORE committing a 100 TB banding.",
     "stream_chained_window_agg": "Window-of-window in ONE streaming query: 5-min partials re-aggregate into hourly rollups via window_time(); the watermark propagates through both stateful stages so each drops state as its windows close.",
     "ann_ivf_pq_topk": "IVF-PQ composition: broadcast centroids pick the query's 2 cells (candidate set = 2/16 of the corpus, and on a cell-partitioned layout 2/16 of the SCAN); shortlisted codes score via the broadcast 8x16 ADC table — no float vector is touched at query time.",
+    "text_bm25_topk": "BM25 serving plan: text tokenizes map-side to (doc, tok, tf) — the raw text never exchanges; N/avgdl ride a broadcast 1-row aggregate, the <=5 query terms broadcast into the postings join, and the top-20 on the ROUNDED score is TakeOrderedAndProject (per-partition heaps, no global sort).",
+    "text_token_entropy": "Shannon entropy via ln(L) - sum(tf*ln tf)/L: TWO partial-aggregatable groupBys — (doc, tok) then doc — carry integer-sized rows; no per-token probability column, no window, nothing holistic.",
+    "dedup_semantic_cells": "SemDeDup shape: broadcast-K min-struct assignment (the corpus never shuffles to find its cell), per-vector norms precomputed BEFORE the within-cell self-join so each candidate pair costs one dot product, canonical-min aggregate map-side combinable.",
+    "blocktrace_source_agg": "A custom Python DataSource scan: partitions() plans 8 map-range InputPartitions, rows generate per-task (zero I/O, nothing through the driver), and the per-reducer rollup is an ordinary partial-agg exchange over the generated relation.",
+    "lpt_schedule_locality_swap": "The full reference heuristic: one distributed aggregation collapses the fact table to RxK locality cells; LPT packing AND the coin-gated locality pull run in a single grouped-map task whose state is K host loads — the 100 TB never moves for scheduling.",
+    "schedule_policy_compare": "Three scheduling policies race over ONE aggregated task-size frame: round-robin, LPT, and the ideal lower bound — K-host-sized comparison state, the simulator's evaluation loop as a query.",
+    "compaction_plan_ffd": "OPTIMIZE planning: the file manifest (one row per FILE — a metadata scan at 100 TB, not a data scan) bin-packs first-fit-decreasing in one grouped-map task; output is the merge-group assignment a rewrite job executes.",
+    "woe_iv_binning": "Supervised feature screen with NO global window: equal-width bins from a broadcast (min,max) 1-row aggregate make bin assignment map-side arithmetic; WOE/IV are one small groupBy plus a broadcast total.",
+    "psi_drift_bins": "PSI = the window-free drift statistic: broadcast extrema -> map-side bin assignment -> one combined groupBy -> broadcast totals; contrast KS, whose ECDF needs an ordered global walk.",
+    "multimodal_phash_neardup": "Image near-dup chain: blobs decode and hash inside mapInPandas (Arrow batches, constant memory) — 4 band ints per asset exchange, 2 KB payloads never do; banded equality bounds candidates, bit_count XOR verifies exactly.",
     "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
     "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
