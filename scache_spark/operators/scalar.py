@@ -1065,3 +1065,85 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+@register(
+    "welch_t_test",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a,
+             o_totalprice AS v
+      FROM orders
+    ),
+    s AS (
+      SELECT is_a,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(v) AS m,
+             var_samp(v) AS var
+      FROM g GROUP BY is_a
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             round(a.m - b.m, 4) AS mean_diff,
+             (a.var / a.n + b.var / b.n) AS se2,
+             a.var / a.n AS qa, b.var / b.n AS qb
+      FROM (SELECT * FROM s WHERE is_a = 1) a,
+           (SELECT * FROM s WHERE is_a = 0) b
+    )
+    SELECT n_a, n_b, mean_diff,
+           round((mean_diff) / sqrt(se2), 4) AS t_stat,
+           round(se2 * se2 / (qa * qa / (n_a - 1) + qb * qb / (n_b - 1)), 2)
+             AS welch_df
+    FROM w
+    """,
+    tags=("B20", "B16", "B7"),
+    doc="Welch two-sample t-test (unequal variances): urgent vs "
+    "non-urgent order prices — the parametric mean-shift test "
+    "completing the drift family (chi-square categorical, KS "
+    "distributional, PSI binned).  Entirely algebraic: one "
+    "partial-aggregatable pass produces (n, mean, variance) per "
+    "group; t and the Welch-Satterthwaite df are closed-form over "
+    "those 6 numbers.  mean_diff is rounded BEFORE t to keep the "
+    "divided quantity grid-aligned; var_samp matches Spark's "
+    "variance (n-1 denominator) exactly.",
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+        F.col("o_totalprice").alias("v"),
+    )
+    s = g.groupBy("is_a").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("var"),
+    )
+    a = s.filter(F.col("is_a") == 1).select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("var").alias("var_a")
+    )
+    b = s.filter(F.col("is_a") == 0).select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("var").alias("var_b")
+    )
+    w = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        (F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")).alias("se2"),
+        (F.col("var_a") / F.col("n_a")).alias("qa"),
+        (F.col("var_b") / F.col("n_b")).alias("qb"),
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        "mean_diff",
+        F.round(F.col("mean_diff") / F.sqrt("se2"), 4).alias("t_stat"),
+        F.round(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                F.col("qa") * F.col("qa") / (F.col("n_a") - 1)
+                + F.col("qb") * F.col("qb") / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
