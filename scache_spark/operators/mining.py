@@ -848,3 +848,105 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select("tok_a", "tok_b", "df_ab", pmi.alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecasting (level+trend exponential smoothing)
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_HORIZON = 7
+
+
+def _holt_forecast(pdf):
+    """Holt's linear method over the daily series: l_t = a*y + (1-a)
+    *(l+b); b_t = B*(l_t - l) + (1-B)*b.  Seeds: l_1 = y_1,
+    b_1 = y_2 - y_1.  Emits one-step-ahead in-sample forecasts plus a
+    7-day extrapolation.  Arithmetic written in the EXACT operation
+    order of the oracle's recursive CTE (bit-identical doubles)."""
+    import datetime
+
+    import pandas as pd
+
+    rows = pdf.sort_values("day").reset_index(drop=True)
+    days = list(rows["day"])
+    y = list(rows["y"])
+    out = [(days[0], y[0], None)]
+    level = y[0]
+    trend = y[1] - y[0]
+    for t in range(1, len(y)):
+        fc = level + trend
+        new_level = _HOLT_ALPHA * y[t] + (1.0 - _HOLT_ALPHA) * (level + trend)
+        trend = _HOLT_BETA * (new_level - level) + (1.0 - _HOLT_BETA) * trend
+        level = new_level
+        out.append((days[t], y[t], round(fc, 4)))
+    for h in range(1, _HOLT_HORIZON + 1):
+        out.append(
+            (days[-1] + datetime.timedelta(days=h), None, round(level + h * trend, 4))
+        )
+    return pd.DataFrame(out, columns=["day", "y", "forecast"])
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
+      FROM daily
+    ),
+    hw AS (
+      SELECT rn, day, y, CAST(NULL AS DOUBLE) AS fc,
+             y AS l,
+             (SELECT y FROM ranked WHERE rn = 2) - y AS b
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.rn, r.day, r.y,
+             h.l + h.b AS fc,
+             {_HOLT_ALPHA} * r.y + {1.0 - _HOLT_ALPHA} * (h.l + h.b) AS l,
+             {_HOLT_BETA} * ({_HOLT_ALPHA} * r.y
+                 + {1.0 - _HOLT_ALPHA} * (h.l + h.b) - h.l)
+               + {1.0 - _HOLT_BETA} * h.b AS b
+      FROM hw h JOIN ranked r ON r.rn = h.rn + 1
+    ),
+    last_state AS (
+      SELECT day, l, b FROM hw ORDER BY rn DESC LIMIT 1
+    ),
+    future AS (
+      SELECT ls.day + CAST(f.h AS INT) AS day,
+             CAST(NULL AS DOUBLE) AS y,
+             round(ls.l + f.h * ls.b, 4) AS forecast
+      FROM last_state ls,
+           (SELECT unnest(generate_series(1, {_HOLT_HORIZON})) AS h) f
+    )
+    SELECT day, y, round(fc, 4) AS forecast FROM hw
+    UNION ALL
+    SELECT day, y, forecast FROM future
+    """,
+    tags=("B15", "B16", "B23"),
+    doc="Holt linear-trend forecasting over the daily revenue series: "
+    "level+trend exponential smoothing (a=0.5, B=0.3) with one-step "
+    "in-sample forecasts and a 7-day extrapolation.  The distributed "
+    "shape is the scheduling-family pattern: the 100 TB event stream "
+    "collapses to ~30 daily rows in ONE partial-aggregated groupBy "
+    "(daily totals rounded BEFORE smoothing, the EWMA rule), then the "
+    "inherently sequential recursion runs as a single grouped-map "
+    "task over tiny state — never driver-side, never a window over "
+    "raw data.  The oracle replays the recursion as a recursive CTE "
+    "carrying (level, trend).",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    return (
+        daily.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_holt_forecast, "day date, y double, forecast double")
+    )
