@@ -1147,3 +1147,53 @@ def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("welch_df"),
     )
+
+
+_NEYMAN_BUDGET = 1000  # total sample size to allocate
+
+
+@register(
+    "neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(count(*) AS BIGINT) AS n_h,
+             stddev_samp(o_totalprice) AS s_h
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_h * s_h) AS z FROM strata)
+    SELECT stratum, n_h,
+           round(s_h, 4) AS stddev,
+           round(n_h * s_h / z, 6) AS weight,
+           CAST(floor({_NEYMAN_BUDGET} * n_h * s_h / z) AS BIGINT)
+             AS alloc_n
+    FROM strata, tot
+    """,
+    tags=("B20", "B7", "B16"),
+    doc="Neyman-optimal stratified sampling allocation: the "
+    f"{_NEYMAN_BUDGET}-row budget split across order-priority strata "
+    "proportional to N_h*S_h (stratum size x price stddev) — the "
+    "minimum-variance design for estimating mean price, and the "
+    "statistically-correct upgrade over the engine's equal-rate "
+    "sample_stratified.  One algebraic (count, stddev) pass per "
+    "stratum, a broadcast 1-row normalizer, floor() for the integer "
+    "allocation (floor agrees across engines; cast alone does not).  "
+    "At 100 TB: allocate from these per-stratum rates, then sample "
+    "with the deterministic content-hash rule per stratum.",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.stddev_samp("o_totalprice").alias("s_h"),
+    )
+    tot = strata.agg(F.sum(F.col("n_h") * F.col("s_h")).alias("z"))
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        F.round("s_h", 4).alias("stddev"),
+        F.round(F.col("n_h") * F.col("s_h") / F.col("z"), 6).alias("weight"),
+        F.floor(F.lit(_NEYMAN_BUDGET) * F.col("n_h") * F.col("s_h") / F.col("z"))
+        .cast("long")
+        .alias("alloc_n"),
+    )
