@@ -1033,3 +1033,72 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist term screening (safety-filter pass)
+# ---------------------------------------------------------------------------
+
+# term -> policy category; in production this is a governance-owned
+# table of thousands of terms — the plan below broadcasts it whatever
+# its size class, because it joins against tokenized content.
+_BLOCKLIST = {
+    "merge": "ops",
+    "window": "ops",
+    "scan": "read",
+    "value": "data",
+}
+
+
+def _sql_blocklist_values() -> str:
+    return ", ".join(f"('{t}', '{c}')" for t, c in sorted(_BLOCKLIST.items()))
+
+
+@register(
+    "blocklist_term_screen",
+    oracle=f"""
+    WITH bl(term, category) AS (VALUES {_sql_blocklist_values()}),
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    hits AS (
+      SELECT t.doc_id, bl.term, bl.category
+      FROM toks t JOIN bl ON t.tok = bl.term
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           string_agg(DISTINCT category, ',' ORDER BY category) AS categories,
+           string_agg(term, ',' ORDER BY term) AS terms
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("B24", "B6", "B14"),
+    doc="Blocklist/safety term screening: tokenized content joined "
+    "against a governance blocklist (term -> policy category), "
+    "emitting per-document hit counts plus sorted category and term "
+    "lists — the screening verdict a moderation pipeline attaches "
+    "before routing.  Tokens dedup per doc BEFORE the join (the "
+    "content never shuffles; distinct (doc, tok) pairs do) and the "
+    "blocklist broadcasts — at 100 TB this is a map-side lookup "
+    "against a few thousand terms, one small aggregate after.",
+)
+def blocklist_term_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bl = spark.createDataFrame(
+        sorted(_BLOCKLIST.items()), ["term", "category"]
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    hits = toks.join(F.broadcast(bl), toks["tok"] == bl["term"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.array_join(F.array_sort(F.collect_set("category")), ",").alias(
+            "categories"
+        ),
+        F.array_join(F.array_sort(F.collect_list("term")), ",").alias("terms"),
+    )

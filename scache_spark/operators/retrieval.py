@@ -606,3 +606,136 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and vector ranks
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_QUERY_VEC = 42  # the query doc/vector id (ann_ivf_probe convention)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+    ), dlen AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ), top7 AS (
+      SELECT tok, df FROM dfreq ORDER BY df DESC, tok ASC LIMIT 7
+    ), qterms AS (
+      SELECT tok, df FROM (
+        SELECT tok, df,
+               row_number() OVER (ORDER BY df DESC, tok ASC) AS rk
+        FROM top7)
+      WHERE rk BETWEEN 3 AND 7
+    ), bm AS (
+      SELECT doc_id,
+             round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+               AS bm25
+      FROM tf
+      JOIN qterms USING (tok)
+      JOIN dlen USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC
+      LIMIT {_RRF_DEPTH}
+    ), t_rank AS (
+      SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+               AS tr
+      FROM bm
+    ), qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+    ), vec AS (
+      SELECT vec_id,
+             round((list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum') / (sqrt(list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum')) * sqrt(list_aggregate([CAST(qv.q[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(qv.q) + 1)], 'sum')))), 6) AS cos
+      FROM embeddings e, qv
+      WHERE vec_id <> {_RRF_QUERY_VEC}
+      ORDER BY cos DESC, vec_id ASC
+      LIMIT {_RRF_DEPTH}
+    ), v_rank AS (
+      SELECT vec_id AS id,
+             CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT)
+               AS vr
+      FROM vec
+    )
+    SELECT id,
+           round(coalesce(1.0 / ({_RRF_K} + tr), 0)
+               + coalesce(1.0 / ({_RRF_K} + vr), 0), 6) AS rrf,
+           tr AS text_rank, vr AS vec_rank
+    FROM t_rank FULL JOIN v_rank USING (id)
+    ORDER BY rrf DESC, id ASC
+    LIMIT 10
+    """,
+    tags=("B25", "B24", "B10"),
+    doc="HYBRID retrieval by reciprocal-rank fusion: the BM25 top-20 "
+    "(derived query terms, text_bm25_topk's plan) and the vector "
+    "cosine top-20 (query = embedding 42) fuse as "
+    "sum 1/(60 + rank) over a FULL outer join of the two rank lists "
+    "— the standard production pattern for text+vector search, "
+    "robust to either side's score scale.  Both candidate lists are "
+    "TakeOrdered bounded (20 rows each), so the fusion join is "
+    "trivially broadcastable; ranks are computed over ROUNDED scores "
+    "with id tie-breaks, making the fused ordering cross-engine "
+    "deterministic end-to-end.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.functions import vec_cosine
+    from scache_spark.operators.text import text_bm25_topk
+
+    bm = text_bm25_topk(spark, sf_dir)
+    t_rank = bm.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("int")
+        .alias("tr"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(vec_cosine(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_RRF_DEPTH)
+    )
+    v_rank = vec.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .cast("int")
+        .alias("vr"),
+    )
+    fused = t_rank.join(v_rank, "id", "full").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("tr")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vr")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("tr").alias("text_rank"),
+        F.col("vr").alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(10)

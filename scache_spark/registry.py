@@ -105,7 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "funnel_session_conversion",
     # similarity search
     "retrieval_rerank_two_stage",  # B25/B10/B11 shortlist+rerank
-    "ann_lsh_probe",  # B25
+    "hybrid_rrf_retrieval",  # B25/B24 — text+vector reciprocal-rank fusion
     "dedup_semantic_cells",  # B25/B24 — IVF assignment as dedup blocking key
     # dedup / LLM pipeline
     "dedup_exact_hash",  # B24/B13
@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_score",  # B24 (seat ceded to BM25)
     "time_bucket_rollup",  # B15 (seat ceded to wave streaming)
     "lpt_schedule",  # A.2 (seat ceded to the +locality-swap variant)
+    "ann_lsh_probe",  # B25 (seat ceded to hybrid RRF fusion)
     "sequence_packing_bins",
     "leakage_safe_split",
     "dedup_substring_pairs",
