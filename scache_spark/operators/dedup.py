@@ -971,3 +971,99 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (ingestion-time shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, n.doc_id AS new_id
+      FROM (SELECT * FROM melted WHERE doc_id < 100000) c
+      JOIN (SELECT * FROM melted WHERE doc_id >= 100000) n
+        ON c.band_id = n.band_id AND c.band_hash = n.band_hash
+    ),
+    verified AS (
+      SELECT cand.new_id, cand.corpus_id,
+             CAST(len(list_intersect(sc.sh, sn.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sc.sh, sn.sh))) AS jaccard
+      FROM cand
+      JOIN shingled sc ON sc.doc_id = cand.corpus_id
+      JOIN shingled sn ON sn.doc_id = cand.new_id
+      WHERE CAST(len(list_intersect(sc.sh, sn.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sc.sh, sn.sh))) >= 0.5
+    )
+    SELECT new_id,
+           min(corpus_id) AS dup_of,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM verified GROUP BY new_id
+    """,
+    tags=("B24", "B6"),
+    doc="INCREMENTAL dedup — the shape ingestion actually runs: a new "
+    "batch (the planted arrivals, doc_id >= 100000) checked against "
+    "the EXISTING corpus via an asymmetric banded-LSH join, never a "
+    "self-join of the whole union.  At 100 TB the delta's band keys "
+    "BROADCAST against the corpus's stored signature table (built "
+    "once, extended incrementally — minhash_merge_property proves "
+    "signatures merge), so each ingest touches corpus bands only "
+    "map-side; Jaccard verifies candidates only, and each new doc "
+    "resolves to its min-id corpus duplicate.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sigs = sh.select("doc_id", *_signature_cols())
+    bands = sigs.select("doc_id", *_band_cols())
+    melted = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"), F.col(f"band_{j}").alias("band_hash")
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    corpus = melted.filter(F.col("doc_id") < 100000).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    batch = melted.filter(F.col("doc_id") >= 100000).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_hash"
+    )
+    # the delta broadcasts; the corpus-side signature table stays put
+    cand = (
+        corpus.join(F.broadcast(batch), ["band_id", "band_hash"])
+        .select("corpus_id", "new_id")
+        .distinct()
+    )
+    sc = sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_c"))
+    sn = sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_n"))
+    jac = F.size(F.array_intersect("sh_c", "sh_n")).cast("double") / F.size(
+        F.array_union("sh_c", "sh_n")
+    )
+    verified = (
+        cand.join(sc, "corpus_id")
+        .join(sn, "new_id")
+        .select("new_id", "corpus_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.groupBy("new_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
