@@ -89,3 +89,32 @@ def test_cooccurrence_lift_marginals_consistent(spark, sf_dir):
     assert (pdf["n_co"] >= 3).all()
     assert (pdf["brand_a"] < pdf["brand_b"]).all()
     assert (pdf["lift"] > 0).all()
+
+
+def test_hybrid_rrf_shortlists_are_take_ordered(spark, sf_dir):
+    """Both fusion inputs must be TakeOrderedAndProject-bounded (20
+    rows each) — a global Sort before the fusion join would mean a
+    full-corpus sort at serving time."""
+    from scache_spark.operators.retrieval import hybrid_rrf_retrieval
+
+    plan = (
+        hybrid_rrf_retrieval(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_incremental_dedup_broadcasts_the_batch(spark, sf_dir):
+    """The asymmetric LSH join must broadcast the NEW-batch band keys;
+    the corpus-side signature table must never shuffle for the join."""
+    from scache_spark.operators.dedup import dedup_incremental_batch
+
+    plan = (
+        dedup_incremental_batch(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
