@@ -1197,3 +1197,46 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+@register(
+    "try_arithmetic_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE l_quantity = 25) AS BIGINT)
+             AS n_div_zero_null,
+           CAST(count(*) FILTER (WHERE l_orderkey > 1) AS BIGINT)
+             AS n_overflow_null,
+           round(sum(l_quantity), 2) AS qty_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B16", "B19", "B7"),
+    doc="Error-safe arithmetic semantics (Spark try_* family): "
+    "try_divide returns NULL on a zero divisor instead of failing "
+    "the job, try_multiply NULLs on BIGINT overflow, try_sum "
+    "aggregates with overflow-to-NULL.  The battery counts exactly "
+    "which rows degrade — the oracle states the expected semantics "
+    "as CASE-equivalent predicates, so the query verifies Spark's "
+    "ANSI-safety CONTRACT, not just its output.  Matters at 100 TB "
+    "because one poisoned row must never kill a 6-hour job: try_* "
+    "turns data errors into auditable NULL counts.",
+)
+def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "safe_div"
+        ),
+        F.try_multiply(
+            F.col("l_orderkey"), F.lit(9223372036854775807).cast("long")
+        ).alias("safe_mul"),
+    )
+    return rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_if(F.col("safe_div").isNull()).cast("long").alias("n_div_zero_null"),
+        F.count_if(F.col("safe_mul").isNull()).cast("long").alias("n_overflow_null"),
+        F.round(F.try_sum("l_quantity"), 2).alias("qty_sum"),
+    )
