@@ -198,3 +198,63 @@ def test_transform_with_state_mix_matches_batch(spark, sf_dir, oracle_con):
     spark_pdf = stream_transform_with_state_mix(spark, sf_dir).toPandas()
     oracle_pdf = oracle_con.execute(_TWS_ORACLE).df()
     assert_frames_match(spark_pdf, oracle_pdf, "stream_transform_with_state_mix")
+
+
+def test_watermark_actually_drops_window_state(spark, sf_dir, tmp_path):
+    """The append-mode watermark contract, observed in the state-store
+    metrics: events staged as TIME-ORDERED file slices replay as
+    multiple availableNow micro-batches (maxFilesPerTrigger=1), the
+    watermark advances between batches, and closed windows are
+    EVICTED — numRowsRemoved fires and live state stays bounded far
+    below the total window count."""
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from scache_spark.catalog import SCHEMAS, load_table
+
+    src = str(tmp_path / "sliced")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo) / 4
+    for i in range(4):
+        s0, s1 = lo + i * span, lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(s0)) & (
+            F.col("ts") <= F.lit(hi) if i == 3 else F.col("ts") < F.lit(s1)
+        )
+        ev.filter(cond).repartition(1).write.mode("append").parquet(src)
+        time.sleep(0.1)  # distinct mtimes -> deterministic batch order
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    agg = stream.groupBy(F.window("ts", "5 minutes"), "event_type").count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_drop_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    assert q.exception() is None
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    removed = sum(
+        p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+    )
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    emitted = spark.table("state_drop_probe").count()
+    total_groups = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
+    )
+    assert emitted > 0
+    assert removed > 0, "watermark never evicted any window state"
+    # live state at every point stays well below the all-windows total
+    # (complete mode would hold total_groups rows forever)
+    assert max(totals) < total_groups, (max(totals), total_groups)
