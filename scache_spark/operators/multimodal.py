@@ -412,3 +412,65 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "asset_a", "asset_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# audio windowed energy (the audio leg of the decode pipeline)
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 64
+_AUDIO_MAX_WIN = 8
+
+
+def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Windowed RMS energy per audio asset: decode (stub codec), slice
+    into fixed 64-sample windows (up to 8), sqrt(mean(x^2)) each —
+    the framing every audio featurizer (VAD, loudness normalization,
+    silence trimming) starts from.  Integer byte values keep the
+    squared sums exactly representable, so only the final sqrt needs
+    the 6-dp transcendental rounding."""
+    for pdf in batches:
+        rows = []
+        for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
+            arr = _fake_decode(blob)
+            n_win = min(_AUDIO_MAX_WIN, len(arr) // _AUDIO_WIN)
+            for g in range(n_win):
+                w = arr[g * _AUDIO_WIN : (g + 1) * _AUDIO_WIN]
+                sum_sq = float((w * w).sum())
+                rows.append(
+                    (int(asset_id), g, round((sum_sq / 64.0) ** 0.5, 6))
+                )
+        yield pd.DataFrame(rows, columns=["asset_id", "win_no", "rms"])
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(g AS INT) AS win_no,
+           round(sqrt(list_aggregate(
+             [CAST(ascii(substr(text, g*{_AUDIO_WIN} + i, 1)) AS DOUBLE)
+              * ascii(substr(text, g*{_AUDIO_WIN} + i, 1))
+              for i in range(1, {_AUDIO_WIN} + 1)], 'sum') / 64.0), 6) AS rms
+    FROM documents,
+         (SELECT unnest(range(0, {_AUDIO_MAX_WIN})) AS g)
+    WHERE doc_id % 3 = 1 AND g < floor(length(text) / {_AUDIO_WIN})
+    """,
+    tags=("north-star", "B23", "B16"),
+    doc="Audio windowed-energy extraction over opaque binary assets: "
+    "mime-filtered audio blobs decode in mapInPandas (stub codec = "
+    "byte identity) and emit RMS per fixed 64-sample window (max 8) "
+    "— the framing pass VAD / loudness normalization / silence "
+    "trimming build on, completing the multimodal legs (image "
+    "pHash, video frame sampling, audio energy).  One scan, no "
+    "shuffle, window rows fan out inside the Arrow batch; the "
+    "oracle recomputes every window from the text bytes, verifying "
+    "the decode-window-reduce chain exactly.",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = binary_assets(spark, sf_dir).filter(
+        F.col("mime") == "audio/wav"
+    ).select("asset_id", "blob")
+    return audio.mapInPandas(
+        _audio_energy, "asset_id long, win_no int, rms double"
+    )
