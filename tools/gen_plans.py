@@ -67,6 +67,14 @@ COMMENT = {
     "woe_iv_binning": "Supervised feature screen with NO global window: equal-width bins from a broadcast (min,max) 1-row aggregate make bin assignment map-side arithmetic; WOE/IV are one small groupBy plus a broadcast total.",
     "psi_drift_bins": "PSI = the window-free drift statistic: broadcast extrema -> map-side bin assignment -> one combined groupBy -> broadcast totals; contrast KS, whose ECDF needs an ordered global walk.",
     "multimodal_phash_neardup": "Image near-dup chain: blobs decode and hash inside mapInPandas (Arrow batches, constant memory) — 4 band ints per asset exchange, 2 KB payloads never do; banded equality bounds candidates, bit_count XOR verifies exactly.",
+    "hybrid_rrf_retrieval": "Hybrid serving: both rank lists are TakeOrdered-bounded 20-row frames, the fusion is a full outer join of two tiny sides, and every rank is computed over ROUNDED scores with id tie-breaks — cross-engine-deterministic fusion, no full-corpus sort.",
+    "dedup_incremental_batch": "Ingestion-shape dedup: the NEW batch's band keys broadcast against the corpus signature table (asymmetric join, never a union self-join); Jaccard verifies candidates only and each arrival resolves to its min-id corpus duplicate.",
+    "blocklist_term_screen": "Safety screening: per-doc DISTINCT tokens meet the broadcast governance blocklist map-side; content never shuffles, one small per-doc aggregate emits the verdict.",
+    "holt_linear_forecast": "Forecasting as aggregate-then-tiny-recursion: one partial-agg groupBy collapses the stream to ~30 daily rows (rounded BEFORE smoothing), the sequential Holt recursion runs in a single grouped-map task with (level, trend) state.",
+    "welch_t_test": "Fully algebraic inference: one (n, mean, variance) pass per group — partial-aggregatable — then t and the Welch-Satterthwaite df are closed-form over six numbers.",
+    "neyman_allocation": "Sampling design from one algebraic pass: per-stratum (count, stddev) plus a broadcast normalizer yield the minimum-variance allocation; the actual sample then applies deterministic per-stratum hash rates.",
+    "multimodal_audio_energy": "Audio framing: blobs decode inside mapInPandas Arrow batches and fan out to fixed 64-sample RMS windows in-batch — one scan, no shuffle, integer-exact sums with only the final sqrt rounded.",
+    "try_arithmetic_battery": "Error-safe semantics: try_divide/try_multiply/try_sum degrade poisoned rows to countable NULLs inside codegen — the oracle states the expected degradation as predicates, verifying the ANSI-safety contract itself.",
     "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
     "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
