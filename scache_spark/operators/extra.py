@@ -1160,3 +1160,74 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("table_name"), "n_rows", "xor_checksum")
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "hll_rolling_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
+      FROM (SELECT DISTINCT day FROM du)
+    ),
+    rolled AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_rolling
+      FROM days d
+      JOIN days p ON p.rn BETWEEN d.rn - 2 AND d.rn
+      JOIN du u ON u.day = p.day
+      GROUP BY d.day
+    )
+    SELECT day, exact_rolling, TRUE AS sketch_within_5pct FROM rolled
+    """,
+    tags=("B7", "B20", "B15"),
+    doc="Rolling 3-day distinct users from MERGEABLE daily HLL "
+    "sketches: one sketch per day (hll_sketch_agg), each trailing "
+    "window unioned from its 3 daily sketches (hll_union_agg) — "
+    "never re-touching events — and asserted in-query within 5% of "
+    "the exact rolling distinct, which is what the output carries "
+    "(engine-exact values + boolean verdict; the estimate stays "
+    "internal).  THE pattern for rolling/cumulative distinct at "
+    "100 TB: exact rolling distinct cannot reuse partials (distinct "
+    "is holistic), but sketch tables re-aggregate to any window "
+    "from ~30 tiny rows.",
+)
+def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    daily_sk = ev.groupBy(day.alias("pday")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    days = (
+        du.select("day")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    )
+    d, p = days.alias("d"), days.alias("p")
+    pairs = d.join(
+        p,
+        (F.col("p.rn") >= F.col("d.rn") - 2) & (F.col("p.rn") <= F.col("d.rn")),
+    ).select(F.col("d.day").alias("day"), F.col("p.day").alias("pday"))
+    est = (
+        pairs.join(daily_sk, "pday")
+        .groupBy("day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        pairs.join(du.withColumnRenamed("day", "pday"), "pday")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_rolling"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "exact_rolling",
+        (
+            F.abs(F.col("est") - F.col("exact_rolling"))
+            <= 0.05 * F.col("exact_rolling")
+        ).alias("sketch_within_5pct"),
+    )
