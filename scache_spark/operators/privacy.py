@@ -1,0 +1,125 @@
+"""Privacy operators: k-anonymity auditing and differentially-private
+aggregate release.
+
+The governance leg of a data platform: before a table (or an
+aggregate) leaves the trust boundary, audit re-identification risk
+(k-anonymity over the quasi-identifiers) and, where counts are
+released, add calibrated noise.  Both are plain aggregates — the
+100 TB input collapses to one row per quasi-identifier group, and the
+audit/release math runs over that tiny frame.
+
+Determinism contract: the Laplace noise is derived from a SEEDED
+integer hash (md5-free closed form both engines replay), which makes
+the release testable bit-for-bit.  A production deployment swaps the
+hash-uniform for a real CSPRNG — one line — keeping the identical
+plan; the point here is the pipeline shape and the calibration
+arithmetic, stated honestly (deterministic "noise" provides no actual
+privacy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.registry import register
+
+K_ANON = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS qi1,
+             CAST(year(o_orderdate) AS INT) AS qi2,
+             CAST(count(*) AS BIGINT) AS grp_n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE grp_n < {K_ANON}) AS BIGINT)
+             AS n_violating,
+           CAST(min(grp_n) AS BIGINT) AS min_group_size,
+           round(sum(CASE WHEN grp_n < {K_ANON} THEN grp_n ELSE 0 END)
+                 * 1.0 / sum(grp_n), 6) AS rows_at_risk_frac
+    FROM g
+    """,
+    tags=("B7", "B19", "B20"),
+    doc=f"k-anonymity audit (k={K_ANON}) over the quasi-identifier "
+    "pair (order priority, order year): how many equivalence classes "
+    "exist, how many are smaller than k, the worst class size, and "
+    "the fraction of rows sitting in re-identifiable classes — the "
+    "release gate a governance pipeline evaluates before publishing. "
+    "One partial-aggregated groupBy; the audit itself is "
+    "|classes|-sized.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("qi1"),
+        F.year("o_orderdate").cast("int").alias("qi2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("grp_n"))
+    viol = F.col("grp_n") < K_ANON
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(viol).cast("long").alias("n_violating"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+        F.round(
+            F.sum(F.when(viol, F.col("grp_n")).otherwise(0)) * 1.0
+            / F.sum("grp_n"),
+            6,
+        ).alias("rows_at_risk_frac"),
+    )
+
+
+_DP_EPS = 1.0
+_DP_MOD = 1000003
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS true_n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS h
+      FROM events GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type, true_n,
+             ((h * 2654435761) % {_DP_MOD} + 0.5) / {_DP_MOD} AS unif
+      FROM c
+    )
+    SELECT event_type, true_n,
+           round(true_n + CASE WHEN unif < 0.5
+                   THEN ln(2.0 * unif) / {_DP_EPS}
+                   ELSE -ln(2.0 * (1.0 - unif)) / {_DP_EPS} END, 6)
+             AS released_n
+    FROM u
+    """,
+    tags=("B7", "B16", "B20"),
+    doc="Differentially-private count release (Laplace mechanism, "
+    "eps=1, sensitivity 1 for count queries): per-type event counts "
+    "plus inverse-CDF Laplace noise, noise drawn from a SEEDED "
+    "hash-uniform so both engines replay the release bit-for-bit "
+    "(swap the hash for a CSPRNG in production — deterministic "
+    "'noise' is a test harness, not privacy; the plan and "
+    "calibration are the deliverable).  The release runs over the "
+    "|types|-row aggregate, never the raw events.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+        F.countDistinct("user_id").cast("long").alias("h"),
+    )
+    unif = ((F.col("h") * 2654435761) % _DP_MOD + 0.5) / _DP_MOD
+    noise = F.when(unif < 0.5, F.log(2.0 * unif) / _DP_EPS).otherwise(
+        -F.log(2.0 * (1.0 - unif)) / _DP_EPS
+    )
+    return c.select(
+        "event_type",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("released_n"),
+    )

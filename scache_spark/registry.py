@@ -180,6 +180,7 @@ def _ensure_loaded() -> None:
         multimodal,
         pipeline,
         prediction,
+        privacy,
         relational,
         retrieval,
         scalar,
