@@ -123,3 +123,54 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         F.round(F.col("true_n") + noise, 6).alias("released_n"),
     )
+
+
+L_DIV = 2
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS qi1,
+             CAST(year(o_orderdate) AS INT) AS qi2,
+             CAST(count(*) AS BIGINT) AS grp_n,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(*) FILTER (WHERE n_sensitive < {L_DIV}) AS BIGINT)
+             AS n_low_diversity,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity,
+           round(sum(CASE WHEN n_sensitive < {L_DIV} THEN grp_n ELSE 0 END)
+                 * 1.0 / sum(grp_n), 6) AS rows_exposed_frac
+    FROM g
+    """,
+    tags=("B7", "B19", "B20"),
+    doc=f"l-diversity audit (l={L_DIV}), k-anonymity's companion: a "
+    "quasi-identifier class can be large yet still leak if every row "
+    "shares one sensitive value (here order status) — homogeneity "
+    "attack.  Reports classes below l distinct sensitive values and "
+    "the row mass exposed.  Same shape as k_anonymity_audit: one "
+    "grouped aggregate (count + count distinct per class), audit "
+    "math over the |classes|-row frame.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("qi1"),
+        F.year("o_orderdate").cast("int").alias("qi2"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_sensitive"),
+    )
+    low = F.col("n_sensitive") < L_DIV
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.count_if(low).cast("long").alias("n_low_diversity"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+        F.round(
+            F.sum(F.when(low, F.col("grp_n")).otherwise(0)) * 1.0 / F.sum("grp_n"),
+            6,
+        ).alias("rows_exposed_frac"),
+    )
