@@ -182,3 +182,26 @@ def vacuum(path: str, retain_versions: int = 1) -> dict:
                 os.remove(full)
                 removed_versions += 1
     return {"removed_files": removed_files, "removed_versions": removed_versions}
+
+
+def write_stream_batch(batch_df, path: str, batch_id: int) -> bool:
+    """foreachBatch publisher with EXACTLY-ONCE semantics over the
+    manifest sink: each micro-batch commits one snapshot tagged with
+    its batchId; a re-delivered batch (restart replays the last
+    uncommitted epoch) is detected by its marker and SKIPPED, so the
+    table never double-counts.  Returns True if the batch published,
+    False if it was a duplicate."""
+    marker = os.path.join(path, f"_BATCH.{batch_id}.json")
+    if os.path.exists(marker):
+        return False
+    spark = batch_df.sparkSession
+    register_manifest_sink(spark)
+    batch_df.write.format("manifest_jsonl").option("path", path).mode(
+        "append"
+    ).save()
+    version = _manifest_versions(path)[-1]
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "version": version}, f)
+    os.rename(tmp, marker)
+    return True

@@ -326,3 +326,52 @@ def test_manifest_sink_vacuum_and_schema_evolution(spark, sf_dir, tmp_path):
     assert read_manifest(spark, out, r.schema).count() == 3
     with _pytest.raises(FileNotFoundError):
         read_manifest(spark, out, r.schema, version=1)
+
+
+def test_stream_foreachbatch_manifest_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming -> manifest sink, exactly-once under batch
+    re-delivery: events replay as availableNow micro-batches through
+    foreachBatch/write_stream_batch; re-invoking a batch id (the
+    restart-replay case) publishes nothing, and the final manifest
+    rows equal the batch total exactly."""
+    from scache_spark.catalog import SCHEMAS
+    from scache_spark.sources.manifest_sink import (
+        read_manifest,
+        write_stream_batch,
+    )
+    from scache_spark.streaming.windows import _staged_events_dir
+
+    src = _staged_events_dir(spark, sf_dir, copies=1)
+    out = str(tmp_path / "stream_pub")
+    seen = []
+
+    def publish(batch_df, batch_id):
+        projected = batch_df.select("event_id", "user_id", "value")
+        assert write_stream_batch(projected, out, batch_id)
+        # simulate the restart re-delivery of the SAME epoch
+        assert not write_stream_batch(projected, out, batch_id)
+        seen.append(batch_id)
+
+    q = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .writeStream.foreachBatch(publish)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    assert q.exception() is None
+    assert len(seen) >= 2, "expected multiple micro-batches"
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    total = spark.read.schema(SCHEMAS["events"]).parquet(src).count()
+    assert read_manifest(spark, out, schema).count() == total
