@@ -1231,3 +1231,62 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_rolling")
         ).alias("sketch_within_5pct"),
     )
+
+
+@register(
+    "variance_partial_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice), 4) AS mean_price,
+           round(stddev_samp(l_extendedprice), 4) AS std_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B7", "B16", "B20"),
+    doc="Parallel-variance merge (Chan's formula): each half of the "
+    "data (orderkey parity stands in for two shards/periods) reduces "
+    "to (n, mean, M2); the halves merge with M2 = M2a + M2b + "
+    "d^2*na*nb/(na+nb) and the result must equal the full-scan "
+    "var_samp the oracle computes.  Completes the incremental-"
+    "maintenance story for SECOND moments — sums merge trivially "
+    "(incremental_agg_maintenance), variances need this law, and it "
+    "is exactly what Spark's partial aggregation runs internally; "
+    "here it is lifted to shard/period level so stddev-based "
+    "monitors (drift, z-scores) update from per-shard state.  Output is the STDDEV (price-scale magnitude) rather than the ~1e9-scale variance, so the 4-dp rounding grid sits far above merge-path ulp noise.",
+)
+def variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def partials(df: DataFrame) -> DataFrame:
+        # (n, mean, M2) per group: M2 = var_samp * (n - 1)
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("l_extendedprice").alias("m"),
+            (F.var_samp("l_extendedprice") * (F.count(F.lit(1)) - 1)).alias("m2"),
+        )
+    a = partials(li.filter(F.col("l_orderkey") % 2 == 0)).select(
+        "l_returnflag",
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("m2").alias("m2a"),
+    )
+    b = partials(li.filter(F.col("l_orderkey") % 2 == 1)).select(
+        "l_returnflag",
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("m2").alias("m2b"),
+    )
+    d = F.col("mb") - F.col("ma")
+    n = F.col("na") + F.col("nb")
+    merged_mean = F.col("ma") + d * F.col("nb") / n
+    merged_m2 = (
+        F.col("m2a")
+        + F.col("m2b")
+        + d * d * F.col("na") * F.col("nb") / n
+    )
+    return a.join(b, "l_returnflag").select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(merged_mean, 4).alias("mean_price"),
+        F.round(F.sqrt(merged_m2 / (n - 1)), 4).alias("std_price"),
+    )
