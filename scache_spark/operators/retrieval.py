@@ -739,3 +739,122 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vr").alias("vec_rank"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# retrieval quality: NDCG@10 of the ANN ranking vs the exact ideal
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QUERY = 42
+
+
+@register(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH qv AS (
+      SELECT embedding AS q, {sql_lsh_bucket("embedding")} AS qb
+      FROM embeddings WHERE vec_id = {_NDCG_QUERY}
+    ),
+    ideal AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
+                        vec_id ASC) AS INT) AS irk
+      FROM embeddings e, qv WHERE vec_id <> {_NDCG_QUERY}
+      QUALIFY irk <= {_NDCG_K}
+    ),
+    system AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (
+               ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
+                        vec_id ASC) AS INT) AS srk
+      FROM embeddings e, qv
+      WHERE vec_id <> {_NDCG_QUERY}
+        AND {sql_lsh_bucket("e.embedding")} = qv.qb
+      QUALIFY srk <= {_NDCG_K}
+    ),
+    scored AS (
+      SELECT s.srk,
+             coalesce({_NDCG_K} + 1 - i.irk, 0) AS rel
+      FROM system s LEFT JOIN ideal i ON i.vec_id = s.vec_id
+    ),
+    dcg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_system,
+             sum(rel / ln(srk + 1.0)) AS dcg_raw
+      FROM scored
+    ),
+    idcg AS (
+      SELECT sum(({_NDCG_K} + 1 - p) / ln(p + 1.0)) AS idcg_raw
+      FROM (SELECT unnest(generate_series(1, {_NDCG_K})) AS p)
+    )
+    SELECT n_system,
+           round(dcg_raw, 6) AS dcg,
+           round(dcg_raw / idcg_raw, 6) AS ndcg
+    FROM dcg, idcg
+    """,
+    tags=("B25", "B20", "B10"),
+    doc=f"Retrieval-quality measurement: NDCG@{_NDCG_K} of the "
+    "single-probe LSH ranking against the exact-cosine ideal for "
+    "query 42 — graded relevance = ideal-rank position (11-rank), "
+    "log-discounted, normalized by the closed-form IDCG.  This is "
+    "the recall/precision sweep's ranking-aware sibling: it scores "
+    "not just WHAT the ANN index returns but in what ORDER, the "
+    "number an index tuning loop optimizes.  Both rankings order by "
+    "ROUNDED cosine with id tie-breaks (cross-engine total order); "
+    "natural log in the discount keeps both engines on the same "
+    "transcendental, rounded at 6 dp.",
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _NDCG_QUERY).select(
+        F.col("embedding").alias("q"),
+        lsh_bucket(F.col("embedding")).alias("qb"),
+    )
+    base = (
+        e.filter(F.col("vec_id") != _NDCG_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(vec_cosine(F.col("embedding"), F.col("q")), 6).alias("cos"),
+            (lsh_bucket(F.col("embedding")) == F.col("qb")).alias("in_bucket"),
+        )
+    )
+    ideal = (
+        base.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "irk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .select("vec_id", "irk")
+    )
+    system = (
+        base.filter("in_bucket")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "srk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .cast("int"),
+        )
+        .select("vec_id", "srk")
+    )
+    scored = system.join(ideal, "vec_id", "left").select(
+        "srk",
+        F.coalesce(_NDCG_K + 1 - F.col("irk"), F.lit(0)).alias("rel"),
+    )
+    idcg_raw = sum(
+        (_NDCG_K + 1 - p) / __import__("math").log(p + 1.0)
+        for p in range(1, _NDCG_K + 1)
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_system"),
+        F.round(F.sum(F.col("rel") / F.log(F.col("srk") + 1.0)), 6).alias("dcg"),
+        F.round(
+            F.sum(F.col("rel") / F.log(F.col("srk") + 1.0)) / F.lit(idcg_raw), 6
+        ).alias("ndcg"),
+    )
