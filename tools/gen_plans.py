@@ -75,6 +75,11 @@ COMMENT = {
     "neyman_allocation": "Sampling design from one algebraic pass: per-stratum (count, stddev) plus a broadcast normalizer yield the minimum-variance allocation; the actual sample then applies deterministic per-stratum hash rates.",
     "multimodal_audio_energy": "Audio framing: blobs decode inside mapInPandas Arrow batches and fan out to fixed 64-sample RMS windows in-batch — one scan, no shuffle, integer-exact sums with only the final sqrt rounded.",
     "try_arithmetic_battery": "Error-safe semantics: try_divide/try_multiply/try_sum degrade poisoned rows to countable NULLs inside codegen — the oracle states the expected degradation as predicates, verifying the ANSI-safety contract itself.",
+    "hll_rolling_distinct": "Windowed distinct without re-touching raw data: daily HLL sketches (one partial-agg pass) re-union per trailing window over a ~30-row frame; the exact rolling count rides the same tiny join for the in-query verdict.",
+    "variance_partial_merge": "Chan's merge over shard partials: each half reduces to (n, mean, M2) map-side; the merge is closed-form arithmetic on six numbers per group and must equal the full-scan variance — second-moment monitors update from per-shard state.",
+    "retrieval_ndcg_at_k": "Index-quality scoring: both rankings are 10-row TakeOrdered frames over rounded cosines, relevance joins by id, and the discounted sum plus closed-form IDCG are constant-sized arithmetic.",
+    "k_anonymity_audit": "Governance gate: one partial-aggregated groupBy to |classes| rows, audit math over that frame — at 100 TB the release decision costs one aggregation.",
+    "dp_noisy_counts": "Private release: counts collapse map-side; the Laplace inverse-CDF draws from a seeded hash-uniform per group, so the release is testable bit-for-bit and swaps to a CSPRNG without touching the plan.",
     "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
     "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
