@@ -878,3 +878,66 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("tf")) - F.sum(F.col("tf") * F.log("tf")) / F.sum("tf"), 6
         ).alias("entropy"),
     )
+
+
+_ZIPF_TOP = 500
+
+
+@register(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, f FROM freq ORDER BY f DESC, tok ASC LIMIT {_ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS INT)
+                  AS rk
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_intercept(ln(CAST(f AS DOUBLE)),
+                                ln(CAST(rk AS DOUBLE))), 4) AS zipf_intercept
+    FROM ranked
+    """,
+    tags=("B24", "B26", "B16"),
+    doc=f"Zipf's-law fit over the top-{_ZIPF_TOP} token frequencies: "
+    "OLS slope/intercept of ln(freq) on ln(rank) via the built-in "
+    "regr_slope/regr_intercept aggregates — natural text sits near "
+    "slope -1, so the fitted slope is a one-number corpus-health "
+    "signal (templated/synthetic text flattens it; the fixtures' "
+    "word salad reads shallow, which is itself the diagnostic).  "
+    "Token counting collapses map-side; the rank window runs on the "
+    f"TakeOrdered {_ZIPF_TOP}-row frame, never the vocabulary; the "
+    "regression is one algebraic aggregate (the same distributed-OLS "
+    "machinery as size_regression_fit, reference sim/train.py:11-29).",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))).cast("int"),
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
+    )
