@@ -941,3 +941,76 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.regr_intercept(lf, lr), 4).alias("zipf_intercept"),
     )
+
+
+_HEAPS_CUTS = [50, 100, 150, 200, 250, 300, 350, 400, 450, 500]
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    clean AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    pts AS (
+      {" UNION ALL ".join(
+        f"SELECT CAST(count(*) AS DOUBLE) AS n_tok, "
+        f"CAST(count(DISTINCT tok) AS DOUBLE) AS vocab "
+        f"FROM clean WHERE doc_id < {c}" for c in _HEAPS_CUTS)}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(vocab), ln(n_tok)), 4) AS heaps_beta,
+           round(regr_intercept(ln(vocab), ln(n_tok)), 4) AS heaps_lnk
+    FROM pts
+    """,
+    tags=("B24", "B26", "B20"),
+    doc="Heaps'-law vocabulary-growth fit, Zipf's companion: V(N) = "
+    "K*N^beta estimated as the ln-ln OLS over 10 corpus prefixes "
+    "(docs < 50, 100, ... 500) — the signal that says whether new "
+    "data still brings new vocabulary (beta ~ 0.5 natural text) or "
+    "the corpus has saturated (template churn).  The 10 prefix "
+    "points come from ONE pass with conditional distinct aggregates; "
+    "at 100 TB each prefix's exact distinct becomes a per-prefix HLL "
+    "sketch (hll_rolling_distinct's pattern) with identical plan "
+    "shape.  Fit is the same distributed-OLS aggregate as "
+    "zipf_slope_fit.",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    agg = clean.agg(
+        *[
+            F.count(F.when(F.col("doc_id") < c, 1)).cast("double").alias(f"n_{c}")
+            for c in _HEAPS_CUTS
+        ],
+        *[
+            F.countDistinct(F.when(F.col("doc_id") < c, F.col("tok")))
+            .cast("double")
+            .alias(f"v_{c}")
+            for c in _HEAPS_CUTS
+        ],
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"n_{c}").alias("n_tok"), F.col(f"v_{c}").alias("vocab")
+                    )
+                    for c in _HEAPS_CUTS
+                ]
+            )
+        ).alias("p")
+    ).select("p.n_tok", "p.vocab")
+    return stacked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(F.log("vocab"), F.log("n_tok")), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(F.log("vocab"), F.log("n_tok")), 4).alias(
+            "heaps_lnk"
+        ),
+    )
