@@ -917,3 +917,103 @@ def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prio_at_event"
         ),
     )
+
+
+_IV_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "interval_union_minutes",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_IV_LEN_US} AS e_us,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN s_us > max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             min(s_us) AS island_start, max(e_us) AS island_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           round(sum(island_end - island_start) / 60000000.0, 4)
+             AS active_minutes
+    FROM merged GROUP BY user_id
+    """,
+    tags=("B11", "B15", "B7"),
+    doc="Interval-union coverage (uptime/billing math): every event "
+    "opens a 5-minute activity window; overlapping windows per user "
+    "merge into islands (new island when a start clears the running "
+    "max end — one ordered window pass), and the billed time is the "
+    "union length, counted once however densely events overlap.  All "
+    "arithmetic in integer microseconds (epoch_us == unix_micros), "
+    "divided to minutes only at the boundary.  One sessionization-"
+    "keyed shuffle serves the flag window, the island cumsum, AND "
+    "both aggregates — the gaps-and-islands family's continuous-"
+    "time member.",
+)
+def interval_union_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + _IV_LEN_US).alias("e_us"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(
+            F.max("e_us").over(w_prev).isNull()
+            | (F.col("s_us") > F.max("e_us").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s_us", "e_us", F.sum("new_island").over(w_cum).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("island_start"), F.max("e_us").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.round(
+            F.sum(F.col("island_end") - F.col("island_start")) / 60000000.0, 4
+        ).alias("active_minutes"),
+    )
