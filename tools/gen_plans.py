@@ -80,6 +80,9 @@ COMMENT = {
     "retrieval_ndcg_at_k": "Index-quality scoring: both rankings are 10-row TakeOrdered frames over rounded cosines, relevance joins by id, and the discounted sum plus closed-form IDCG are constant-sized arithmetic.",
     "k_anonymity_audit": "Governance gate: one partial-aggregated groupBy to |classes| rows, audit math over that frame — at 100 TB the release decision costs one aggregation.",
     "dp_noisy_counts": "Private release: counts collapse map-side; the Laplace inverse-CDF draws from a seeded hash-uniform per group, so the release is testable bit-for-bit and swaps to a CSPRNG without touching the plan.",
+    "zipf_slope_fit": "Corpus statistics at scale: token counts collapse map-side, the rank window runs on a TakeOrdered 500-row frame, and the fit is one algebraic regr_slope aggregate.",
+    "heaps_law_fit": "Ten prefix points from ONE pass of conditional distinct aggregates; at 100 TB each exact distinct swaps for a per-prefix HLL sketch with the same plan shape; the fit is the same distributed OLS.",
+    "interval_union_minutes": "One user-keyed shuffle serves the island-flag window, the cumulative island id, and both aggregates; all time math stays in integer microseconds until the final division.",
     "stream_stream_left_outer": "Watermark-finalized outer join: matches emit eagerly; unmatched purchases emit with sentinel nulls in the no-data batch once the watermark proves no click can still arrive — bounded state on an unbounded stream.",
     "training_shard_assignment": "Global random permutation without a global sort: md5 keys hash-shuffle docs uniformly across shards, per-shard windows number positions in parallel — re-runs and single-shard rebuilds reproduce byte-identical training order.",
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
