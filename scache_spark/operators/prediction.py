@@ -212,3 +212,86 @@ def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("inflation"),
     )
+
+
+@register(
+    "size_regression_theil_sen",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    per_block AS (
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
+      FROM blocks GROUP BY shuffle, map, reduce
+    ),
+    slopes AS (
+      SELECT a.shuffle,
+             CAST(b.sz - a.sz AS DOUBLE) / (b.reduce - a.reduce) AS sl
+      FROM per_block a JOIN per_block b
+        ON a.shuffle = b.shuffle AND a.reduce < b.reduce
+    ),
+    med AS (
+      SELECT shuffle,
+             quantile_cont(sl, 0.5) AS slope,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM slopes GROUP BY shuffle
+    )
+    SELECT p.shuffle,
+           round(m.slope, 4) AS slope,
+           round(quantile_cont(p.sz - m.slope * p.reduce, 0.5), 4)
+             AS intercept,
+           m.n_pairs
+    FROM per_block p JOIN med m ON p.shuffle = m.shuffle
+    GROUP BY p.shuffle, m.slope, m.n_pairs
+    """,
+    tags=("B26", "A.5", "B20"),
+    doc="Theil-Sen ROBUST size predictor — the outlier-resistant "
+    "upgrade of size_regression_fit's OLS (one straggler map's "
+    "corrupt size estimate skews an OLS fit; the median of pairwise "
+    "slopes shrugs it off, which is exactly the failure mode of the "
+    "reference's first-wave training data, sim/train.py:237-243).  "
+    "The pair space is bounded per shuffle (points are the R-per-map "
+    "aggregate, never raw blocks), the median is the interpolated "
+    "percentile both engines compute identically "
+    "(percentile_battery's proven contract), and the intercept is "
+    "the median residual at the fitted slope.",
+)
+def size_regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_block = (
+        block_view(spark, sf_dir)
+        .groupBy("shuffle", "map", "reduce")
+        .agg(F.sum("size").alias("sz"))
+    )
+    a = per_block.select(
+        "shuffle", F.col("reduce").alias("ra"), F.col("sz").alias("sa")
+    )
+    b = per_block.select(
+        F.col("shuffle").alias("shuffle_b"),
+        F.col("reduce").alias("rb"),
+        F.col("sz").alias("sb"),
+    )
+    slopes = a.join(
+        b, (F.col("shuffle") == F.col("shuffle_b")) & (F.col("ra") < F.col("rb"))
+    ).select(
+        "shuffle",
+        ((F.col("sb") - F.col("sa")).cast("double") / (F.col("rb") - F.col("ra"))).alias(
+            "sl"
+        ),
+    )
+    med = slopes.groupBy("shuffle").agg(
+        F.percentile("sl", 0.5).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return (
+        per_block.join(med, "shuffle")
+        .groupBy("shuffle", "slope", "n_pairs")
+        .agg(
+            F.round(
+                F.percentile(F.col("sz") - F.col("slope") * F.col("reduce"), 0.5), 4
+            ).alias("intercept")
+        )
+        .select(
+            "shuffle",
+            F.round("slope", 4).alias("slope"),
+            "intercept",
+            "n_pairs",
+        )
+    )
