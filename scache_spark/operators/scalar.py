@@ -1240,3 +1240,57 @@ def try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("safe_mul").isNull()).cast("long").alias("n_overflow_null"),
         F.round(F.try_sum("l_quantity"), 2).alias("qty_sum"),
     )
+
+
+@register(
+    "trimmed_winsorized_mean",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice) FILTER (
+             WHERE l_extendedprice >= lo AND l_extendedprice <= hi), 4)
+             AS trimmed_mean,
+           round(avg(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END), 4) AS winsorized_mean
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("B20", "B7", "B19"),
+    doc="Robust central tendency: 5%-trimmed mean (drop the tails) and "
+    "winsorized mean (clamp the tails) per return flag — what "
+    "monitoring dashboards use when a handful of corrupt prices "
+    "would swing a plain average.  Percentile bounds come from one "
+    "grouped aggregate and broadcast back; the second pass is "
+    "map-side conditional arithmetic.  Interpolated percentiles are "
+    "the cross-engine-proven contract (percentile_battery); only the "
+    "order-dependent averages round (4 dp).",
+)
+def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("lo"),
+        F.percentile("l_extendedprice", 0.95).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    inside = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") <= F.col("hi")
+    )
+    wins = (
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(F.when(inside, F.col("l_extendedprice"))), 4).alias(
+            "trimmed_mean"
+        ),
+        F.round(F.avg(wins), 4).alias("winsorized_mean"),
+    )
