@@ -654,3 +654,121 @@ def compaction_plan_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(_ffd_pack, "fid int, sz long, grp int")
     )
+
+
+# ---------------------------------------------------------------------------
+# LRU cache simulation (the MemoryStore eviction policy as a query)
+# ---------------------------------------------------------------------------
+
+_LRU_CAP = 16
+_LRU_TRACE = 2000
+
+
+def _lru_sim(pdf):
+    """Replay an access trace through an LRU cache of capacity 16 —
+    the reference's MemoryStore policy (access-ordered LinkedHashMap,
+    storage/memory/MemoryStore.scala:86; eviction scan
+    MemoryStore.scala:466-542).  Hit -> move to MRU; miss -> insert,
+    evict LRU beyond capacity."""
+    import pandas as pd
+
+    rows = pdf.sort_values("rn")
+    cache: list[int] = []
+    hits = 0
+    for blk in rows["block"]:
+        blk = int(blk)
+        if blk in cache:
+            hits += 1
+            cache.remove(blk)
+            cache.append(blk)
+        else:
+            cache.append(blk)
+            if len(cache) > _LRU_CAP:
+                cache.pop(0)
+    n = len(rows)
+    return pd.DataFrame(
+        {
+            "n_accesses": [n],
+            "hits": [hits],
+            "misses": [n - hits],
+            "hit_rate": [round(hits / n, 4)],
+            "final_cache_size": [len(cache)],
+        }
+    )
+
+
+@register(
+    "lru_cache_hit_sim",
+    oracle=f"""
+    WITH RECURSIVE trace AS (
+      SELECT block, CAST(rn AS INT) AS rn FROM (
+        SELECT CAST(user_id % 64 AS INT) AS block,
+               row_number() OVER (ORDER BY ts, event_id) AS rn
+        FROM events)
+      WHERE rn <= {_LRU_TRACE}
+    ),
+    sim AS (
+      SELECT 0 AS rn, 0 AS hits, CAST([] AS INT[]) AS cache
+      UNION ALL
+      SELECT t.rn,
+             s.hits + CASE WHEN list_contains(s.cache, t.block)
+                           THEN 1 ELSE 0 END,
+             CASE WHEN list_contains(s.cache, t.block)
+                  THEN list_append(
+                    [c for c in s.cache if c != t.block], t.block)
+                  WHEN len(s.cache) >= {_LRU_CAP}
+                  THEN list_append(
+                    s.cache[len(s.cache) - {_LRU_CAP} + 2:], t.block)
+                  ELSE list_append(s.cache, t.block) END AS cache
+      FROM sim s JOIN trace t ON t.rn = s.rn + 1
+    ),
+    final AS (
+      SELECT hits, cache FROM sim ORDER BY rn DESC LIMIT 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_acc FROM trace)
+    SELECT n_acc AS n_accesses,
+           CAST(hits AS BIGINT) AS hits,
+           CAST(n_acc - hits AS BIGINT) AS misses,
+           round(hits * 1.0 / n_acc, 4) AS hit_rate,
+           CAST(len(cache) AS BIGINT) AS final_cache_size
+    FROM final, n
+    """,
+    tags=("A.3", "B22", "B23"),
+    doc=f"The reference's LRU block cache as an oracle-checked "
+    f"simulation: a {_LRU_TRACE}-access trace (block = user % 64, "
+    "total-ordered by ts) replayed through a capacity-"
+    f"{_LRU_CAP} access-ordered cache — hit promotes to MRU, miss "
+    "evicts the LRU entry (storage/memory/MemoryStore.scala:86,"
+    "466-542).  The hit-rate is the number that justifies the "
+    "memory-first storage tier (A.3); Spark's own persist() gives "
+    "the same policy for real (test_persist_storage_levels), this "
+    "query makes the POLICY itself verifiable.  Same distributed "
+    "shape as the schedulers: the trace is TakeOrdered-bounded, the "
+    "sequential replay is one grouped-map task, and the oracle "
+    "carries the cache list through a recursive CTE.",
+)
+def lru_cache_hit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    trace = (
+        ev.select(
+            (F.col("user_id") % 64).cast("int").alias("block"), "ts", "event_id"
+        )
+        .orderBy("ts", "event_id")
+        .limit(_LRU_TRACE)
+        .select(
+            "block",
+            F.row_number()
+            .over(Window.orderBy("ts", "event_id"))
+            .cast("int")
+            .alias("rn"),
+        )
+    )
+    return (
+        trace.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            _lru_sim,
+            "n_accesses long, hits long, misses long, hit_rate double, "
+            "final_cache_size long",
+        )
+    )

@@ -91,7 +91,7 @@ PRIORITY: tuple[str, ...] = (
     "array_funcs",  # B17
     "token_budget_selection",  # B11/B10 distributed prefix sum
     "map_funcs_json",  # B18
-    "conditional_null",  # B19
+    "lru_cache_hit_sim",  # A.3/B22 — the MemoryStore LRU policy, verified
     "stats_summary",  # B20
     # partition control
     "partition_stats",  # B21
@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "time_bucket_rollup",  # B15 (seat ceded to wave streaming)
     "lpt_schedule",  # A.2 (seat ceded to the +locality-swap variant)
     "ann_lsh_probe",  # B25 (seat ceded to hybrid RRF fusion)
+    "conditional_null",  # B19 (seat ceded to LRU sim; B19 via join_left_outer)
     "sequence_packing_bins",
     "leakage_safe_split",
     "dedup_substring_pairs",
