@@ -295,3 +295,87 @@ def size_regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs",
         )
     )
+
+
+@register(
+    "size_prediction_conformal",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    per_block AS (
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
+      FROM blocks GROUP BY shuffle, map, reduce
+    ),
+    fit AS (
+      SELECT shuffle,
+             regr_slope(sz, reduce) AS slope,
+             regr_intercept(sz, reduce) AS intercept
+      FROM per_block WHERE map < 4 GROUP BY shuffle
+    ),
+    calib AS (
+      SELECT p.shuffle,
+             quantile_cont(abs(p.sz - (f.slope * p.reduce + f.intercept)), 0.9)
+               AS q90
+      FROM per_block p JOIN fit f ON p.shuffle = f.shuffle
+      WHERE p.map IN (4, 5)
+      GROUP BY p.shuffle
+    )
+    SELECT p.shuffle,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(c.q90, 4) AS interval_halfwidth,
+           round(avg(CASE WHEN abs(p.sz - (f.slope * p.reduce + f.intercept))
+                          <= c.q90 THEN 1.0 ELSE 0.0 END), 4) AS coverage
+    FROM per_block p
+    JOIN fit f ON p.shuffle = f.shuffle
+    JOIN calib c ON p.shuffle = c.shuffle
+    WHERE p.map >= 6
+    GROUP BY p.shuffle, c.q90
+    """,
+    tags=("B26", "A.5", "B20"),
+    doc="Split-conformal prediction intervals for the shuffle-size "
+    "predictor: fit on the first wave (map < 4), take the 90th "
+    "percentile of |residual| on a held-out calibration wave "
+    "(map 4-5) as the interval half-width, then measure empirical "
+    "coverage on the remaining maps — distribution-free uncertainty "
+    "for the reference's point predictor (sim/train.py:237-270 "
+    "scores error; a pre-scheduler acting on predictions needs the "
+    "WIDTH too, e.g. to over-provision the swap budget).  Three "
+    "small aggregates over the same per-block frame; the percentile "
+    "is the proven interpolated contract.",
+)
+def size_prediction_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_block = (
+        block_view(spark, sf_dir)
+        .groupBy("shuffle", "map", "reduce")
+        .agg(F.sum("size").alias("sz"))
+        .localCheckpoint(eager=True)
+    )
+    fit = (
+        per_block.filter(F.col("map") < 4)
+        .groupBy("shuffle")
+        .agg(
+            F.regr_slope("sz", "reduce").alias("slope"),
+            F.regr_intercept("sz", "reduce").alias("intercept"),
+        )
+    )
+    pred = F.col("slope") * F.col("reduce") + F.col("intercept")
+    calib = (
+        per_block.filter(F.col("map").isin(4, 5))
+        .join(F.broadcast(fit), "shuffle")
+        .groupBy("shuffle")
+        .agg(F.percentile(F.abs(F.col("sz") - pred), 0.9).alias("q90"))
+    )
+    test = (
+        per_block.filter(F.col("map") >= 6)
+        .join(F.broadcast(fit), "shuffle")
+        .join(F.broadcast(calib), "shuffle")
+    )
+    covered = F.when(F.abs(F.col("sz") - pred) <= F.col("q90"), 1.0).otherwise(0.0)
+    return test.groupBy("shuffle", "q90").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.avg(covered), 4).alias("coverage"),
+    ).select(
+        "shuffle",
+        "n_test",
+        F.round("q90", 4).alias("interval_halfwidth"),
+        "coverage",
+    )
