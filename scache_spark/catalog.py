@@ -27,8 +27,11 @@ TABLES = [
     "embeddings",
 ]
 
-# Small dimensions that should always broadcast in joins.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+# Dimensions whose row count does NOT grow with scale factor — the only
+# tables a hard broadcast hint is ever safe on.  customer/supplier/part
+# are SF-proportional (hundreds of GB at the 100 TB target), so their
+# join strategy is always left to the optimizer (AQE + threshold).
+BOUNDED_TABLES = {"region", "nation"}
 
 SCHEMAS: dict[str, T.StructType] = {
     "region": T.StructType(

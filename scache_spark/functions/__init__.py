@@ -11,6 +11,34 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+# ---------------------------------------------------------------------------
+# windows
+# ---------------------------------------------------------------------------
+
+
+def bounded_window(anchor: Column | str, *order_cols: Column | str) -> WindowSpec:
+    """Ordered window for a frame PROVEN bounded (top-k survivors of a
+    TakeOrdered limit, a per-day/per-source rollup, a fixed dictionary
+    — never an SF-proportional table).
+
+    Semantically identical to ``Window.orderBy(...)`` but partitioned
+    on a constant-valued expression, so the rows land in one partition
+    via a normal hash exchange instead of WindowExec's implicit global
+    collapse — same plan cost on a k-row frame, but no spurious "No
+    Partition Defined ... single partition" WARN in logs/benches, and
+    call sites document that the single partition is a deliberate
+    bounded-frame choice.  ``anchor`` is any column of the frame: the
+    partition key is ``pmod(hash(anchor), 1)`` (always 0) — it must be
+    column-derived because a bare literal is constant-folded out of
+    the window spec, reintroducing the warning.  Using this on an
+    unbounded frame is a bug: the guard is the plan linter's exchange
+    audit plus the per-query doc contract.
+    """
+    a = F.col(anchor) if isinstance(anchor, str) else anchor
+    return Window.partitionBy(F.pmod(F.hash(a), F.lit(1))).orderBy(*order_cols)
+
 
 # ---------------------------------------------------------------------------
 # hashing

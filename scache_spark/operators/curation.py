@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import hash64, sql_hash64
+from scache_spark.functions import bounded_window, hash64, sql_hash64
 from scache_spark.registry import register
 
 N_SHARDS = 16
@@ -109,7 +109,7 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(wr).cast("long").alias("rank_in_source"),
     )
-    ws = Window.orderBy("source")
+    ws = bounded_window("source", "source")
     sidx = (
         docs.select("source")
         .distinct()
@@ -179,7 +179,7 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = b.withColumn("within", F.sum("tokens").over(win))
     btot = b.groupBy("bucket").agg(F.sum("tokens").alias("btot"))
     woff = (
-        Window.orderBy(F.col("bucket").desc())
+        bounded_window("bucket", F.col("bucket").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = btot.select(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import salted_md5, word_shingles
+from scache_spark.functions import bounded_window, salted_md5, word_shingles
 from scache_spark.registry import register
 
 N_MINHASH = 8  # permutations
@@ -741,7 +741,7 @@ def setjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Vocab-sized global sort: |shingle vocab| << |corpus|, so the
     # single-partition rank window is a dictionary build, not a data
     # scan (hash-rank instead if vocab ever rivals corpus size).
-    rkt = dfc.withColumn("rk", F.row_number().over(Window.orderBy("dfc", "t")))
+    rkt = dfc.withColumn("rk", F.row_number().over(bounded_window("t", "dfc", "t")))
     docarr = (
         tok.join(rkt.select("t", "rk"), "t")
         .groupBy("doc_id")

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
+from scache_spark.functions import bounded_window
 from scache_spark.registry import register
 
 
@@ -1059,8 +1060,9 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("B6", "B7", "mining"),
     doc="Constraint audit in one result: four foreign-key orphan "
-    "checks as LEFT ANTI joins (dimension sides broadcast; the "
-    "fact-side anti join is the only shuffle) and two primary-key "
+    "checks as LEFT ANTI joins (the bounded nation dim broadcasts; "
+    "SF-proportional dims — orders/part/customer keys — shuffle, "
+    "since a forced broadcast would OOM at 100 TB) and two primary-key "
     "uniqueness checks as count-vs-distinct deltas — the "
     "expectations gate a warehouse runs before publishing a "
     "snapshot.  Every check reduces to ONE row before the union, so "
@@ -1096,8 +1098,8 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         orphans("lineitem_order_fk", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey", broadcast_dim=False)
-        .unionByName(orphans("lineitem_part_fk", li, p.select("p_partkey"), "l_partkey", "p_partkey"))
-        .unionByName(orphans("orders_customer_fk", o, c.select("c_custkey"), "o_custkey", "c_custkey"))
+        .unionByName(orphans("lineitem_part_fk", li, p.select("p_partkey"), "l_partkey", "p_partkey", broadcast_dim=False))
+        .unionByName(orphans("orders_customer_fk", o, c.select("c_custkey"), "o_custkey", "c_custkey", broadcast_dim=False))
         .unionByName(orphans("customer_nation_fk", c, n.select("n_nationkey"), "c_nationkey", "n_nationkey"))
         .unionByName(dupes_o)
         .unionByName(dupes_e)
@@ -1206,7 +1208,7 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = (
         du.select("day")
         .distinct()
-        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+        .withColumn("rn", F.row_number().over(bounded_window("day", "day")))
     )
     d, p = days.alias("d"), days.alias("p")
     pairs = d.join(

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
+from scache_spark.functions import bounded_window
 from scache_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -64,7 +65,9 @@ MIN_PAIR_ORDERS = 3
     """,
     tags=("B7", "B4", "mining"),
     doc="Market-basket co-occurrence: brand pairs sharing >= "
-    f"{MIN_PAIR_ORDERS} orders, with lift.  Scale shape: ONE shuffle "
+    f"{MIN_PAIR_ORDERS} orders, with lift.  Scale shape: the li⋈part "
+    "brand lookup joins with AQE-chosen strategy (part grows with SF "
+    "— no forced broadcast), then ONE shuffle "
     "builds per-order sorted brand baskets (collect_set dedups in "
     "the same aggregate); pairs explode from each basket in-map "
     "(bounded by basket-size², never corpus size) — no self-join, so "
@@ -77,7 +80,7 @@ def cooccurrence_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     baskets = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
@@ -453,7 +456,7 @@ def revenue_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     cust = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", F.col("n_regionkey").alias("region"))
         .agg(F.sum("o_totalprice").alias("rev"))
@@ -678,7 +681,7 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users"
         ),
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_window("day", "day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",
         "new_users",

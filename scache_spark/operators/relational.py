@@ -47,10 +47,13 @@ from scache_spark.registry import register
 )
 def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale plan: lineitem/orders are the big sides and join on their
-    # natural keys (one shuffle each, co-partitioned by AQE); customer,
-    # nation, region are dims → broadcast (no shuffle of the fact
-    # table for them).  Date filter sits on orders before the join so
-    # it prunes at the scan (PushedFilters).
+    # natural keys (one shuffle each, co-partitioned by AQE); nation
+    # and region are bounded dims → hard broadcast.  customer is
+    # SF-proportional, so its join strategy is left to the optimizer:
+    # AQE broadcasts it under the threshold at fixture scale and falls
+    # back to SMJ at 100 TB (a forced hint there would OOM the
+    # executors).  Date filter sits on orders before the join so it
+    # prunes at the scan (PushedFilters).
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -62,7 +65,7 @@ def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -294,17 +297,22 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p_brand
     """,
     tags=("B5", "B7"),
-    doc="Fact⋈dim with a forced broadcast (BroadcastBlockId analog, "
-    "/root/reference storage/BlockId.scala:67).",
+    doc="Fact⋈dim broadcast-shaped join (BroadcastBlockId analog, "
+    "/root/reference storage/BlockId.scala:67).  part is "
+    "SF-proportional, so the hint is the optimizer's (AQE/threshold "
+    "BHJ at fixture scale, SMJ at 100 TB); the hard-hint demo lives "
+    "on the truly bounded dims (flagship's nation/region).",
 )
 def broadcast_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale: part is bounded (~200M rows at SF100k would NOT broadcast;
-    # the filtered p_size<=25 slice is what ships).  Filter-first then
-    # broadcast → zero shuffle of the 100 TB fact side.
+    # Scale: part is SF-proportional, so the broadcast is left to the
+    # optimizer — AQE picks BHJ under the threshold at fixture scale
+    # (zero shuffle of the fact side, plan-asserted) and degrades to
+    # SMJ at 100 TB instead of OOMing on a forced hint.  The p_size
+    # filter still prunes before the join.
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
@@ -813,8 +821,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("B4", "B7", "B10"),
     doc="TPC-H Q3 shape: segment-filtered customers drive a 3-way join, "
-    "revenue per order, top-10.  Plan: the filtered customer dim "
-    "broadcasts, orders pre-filters on date at the scan, lineitem "
+    "revenue per order, top-10.  Plan: customer filters at the scan "
+    "(join strategy AQE's — customer grows with SF), orders "
+    "pre-filters on date at the scan, lineitem "
     "joins on its natural key — one shuffle join, then "
     "TakeOrderedAndProject (never a global sort).",
 )
@@ -830,7 +839,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -863,8 +872,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B4", "B5", "B7", "B10"),
     doc="TPC-H Q10 shape: lost-revenue ranking of customers with "
     "returned items in a 6-month window.  The returnflag filter pushes "
-    "to the lineitem scan, the date filter to orders; nation and "
-    "customer broadcast; top-20 via TakeOrderedAndProject.",
+    "to the lineitem scan, the date filter to orders; nation "
+    "(bounded) broadcasts, customer's join is AQE-chosen; top-20 via "
+    "TakeOrderedAndProject.",
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -878,7 +888,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
@@ -913,7 +923,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("B4", "B5", "B7", "B19"),
     doc="TPC-H Q14 shape: promo-type revenue share per ship month of "
-    "1996.  The part dim broadcasts, the date filter pushes to the "
+    "1996.  part joins AQE-chosen (BHJ at fixture scale, SMJ at "
+    "100 TB), the date filter pushes to the "
     "lineitem scan, and the conditional sum is a single map-side-"
     "combinable aggregate — one shuffle of 12 groups regardless of "
     "fact size.  Ratio rounded to 6dp (sum-order ulp noise scales "
@@ -927,7 +938,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
         .agg(
             F.round(
@@ -956,8 +967,9 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B4", "B6", "B7"),
     doc="TPC-H Q16 shape: how many distinct suppliers serve each "
     "(brand, size) bucket, excluding promo parts and low-balance "
-    "suppliers.  part broadcasts; the supplier exclusion is a "
-    "broadcast ANTI join (never a shuffled NOT IN); count-distinct "
+    "suppliers.  part and the low-balance supplier keys join with "
+    "AQE-chosen strategy (both grow with SF); the exclusion is an "
+    "ANTI join (never a NOT IN subquery); count-distinct "
     "shuffles only the (brand, size, suppkey) projection — the "
     "partial-dedup happens map-side.",
 )
@@ -970,9 +982,9 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(poor),
+            poor,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1009,13 +1021,13 @@ def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.round(F.avg("l_quantity"), 4).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("pk"))
+        li.join(pa, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -1043,7 +1055,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     doc="TPC-H Q18 shape: customers with large-volume orders.  The "
     "HAVING pre-aggregates lineitem by orderkey FIRST (map-side "
     "combine shrinks the shuffle to one row per order), the surviving "
-    "~1%% of orderkeys broadcast into orders/customer, and top-20 is "
+    "~1%% of orderkeys join into orders/customer (AQE broadcasts the "
+    "small side at runtime), and top-20 is "
     "TakeOrderedAndProject.  sum(l_quantity) is an integer-valued "
     "double — exact, no rounding needed.",
 )
@@ -1057,8 +1070,8 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1092,7 +1105,8 @@ def tpch_q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order, so dormancy = no order since 1999): above-average-balance "
     "customers with no recent purchase, summarized per segment.  The "
     "global average is a 1-row aggregate cross-joined as a broadcast "
-    "(never a driver collect); the NOT-IN is a broadcast ANTI join on "
+    "(never a driver collect); the NOT-IN is an ANTI join (strategy "
+    "AQE-chosen — the recent-orders slice grows with SF) on "
     "the projected, date-filtered orderkey set.  Threshold rounded to "
     "4dp so the > cut agrees across engines.",
 )
@@ -1110,7 +1124,7 @@ def tpch_q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("a"))
         .join(
-            F.broadcast(recent),
+            recent,
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
@@ -1178,10 +1192,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B4", "B5", "B7"),
     doc="TPC-H Q5 shape: revenue where the customer and the supplier "
     "share a nation — the classic star join with a cross-dimension "
-    "equality.  supplier/customer/nation broadcast; the extra "
-    "c_nationkey = s_nationkey predicate is a post-join filter on "
-    "broadcast columns, so the fact table still shuffles exactly once "
-    "(for the orders join).",
+    "equality.  nation (bounded) broadcasts; supplier/customer join "
+    "with AQE-chosen strategy; the extra c_nationkey = s_nationkey "
+    "predicate is a post-join filter, so the fact table still "
+    "shuffles exactly once (for the orders join).",
 )
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
@@ -1194,8 +1208,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import sql_vec_cosine, vec_cosine
+from scache_spark.functions import bounded_window, sql_vec_cosine, vec_cosine
 from scache_spark.operators.clustering import _SQL_ASSIGN0
 from scache_spark.operators.similarity import N_PLANES, lsh_bucket, sql_lsh_bucket
 from scache_spark.registry import register
@@ -212,7 +212,10 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each corpus vector is scored by summing 8 table entries — no "
     "float vectors are read at query time, which is the entire point "
     "of PQ at 100 TB.  The rank sorts the ROUNDED distance with "
-    "vec_id tie-break so both engines order identical doubles.",
+    "vec_id tie-break so both engines order identical doubles.  The "
+    "top-10 is orderBy+limit => TakeOrderedAndProject (per-partition "
+    "heaps merged on the driver, no single-partition corpus-wide "
+    "window); the row_number then ranks only the 10 survivors.",
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub, cents, codes = _pq_frames(spark, sf_dir)
@@ -233,11 +236,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
     )
-    w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
-    return (
-        adc.select("vec_id", "adc_d2", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 10)
-    )
+    top = adc.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc()).limit(10)
+    w = bounded_window("vec_id", F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return top.select("vec_id", "adc_d2", F.row_number().over(w).alias("rk"))
 
 
 _SQL_BUCKET = sql_lsh_bucket("embedding")
@@ -481,10 +482,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum("qd2"), 6).alias("adc_d2"))
     )
-    w = Window.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc())
-    return adc.select(
-        "vec_id", "adc_d2", F.row_number().over(w).alias("rk")
-    ).filter(F.col("rk") <= 10)
+    # TakeOrdered the (already cell-shortlisted) candidates down to 10,
+    # then rank only the survivors — no single-partition window over
+    # the shortlist (which is corpus/cells × nprobe, SF-proportional).
+    top = adc.orderBy(F.col("adc_d2").asc(), F.col("vec_id").asc()).limit(10)
+    w = bounded_window("vec_id", F.col("adc_d2").asc(), F.col("vec_id").asc())
+    return top.select("vec_id", "adc_d2", F.row_number().over(w).alias("rk"))
 
 
 # ---------------------------------------------------------------------------
@@ -703,7 +706,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_rank = bm.select(
         F.col("doc_id").alias("id"),
         F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .over(bounded_window("doc_id", F.desc("bm25"), F.asc("doc_id")))
         .cast("int")
         .alias("tr"),
     )
@@ -724,7 +727,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_rank = vec.select(
         F.col("vec_id").alias("id"),
         F.row_number()
-        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .over(bounded_window("vec_id", F.desc("cos"), F.asc("vec_id")))
         .cast("int")
         .alias("vr"),
     )
@@ -826,7 +829,7 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "irk",
             F.row_number()
-            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .over(bounded_window("vec_id", F.desc("cos"), F.asc("vec_id")))
             .cast("int"),
         )
         .select("vec_id", "irk")
@@ -838,7 +841,7 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "srk",
             F.row_number()
-            .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+            .over(bounded_window("vec_id", F.desc("cos"), F.asc("vec_id")))
             .cast("int"),
         )
         .select("vec_id", "srk")

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
+from scache_spark.functions import bounded_window
 from scache_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -826,7 +827,7 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking window then runs over 101 rows only.
     topk = pri.orderBy(F.col("q").desc(), F.col("doc_id")).limit(_PS_K + 1)
     ranked = topk.withColumn(
-        "rk", F.row_number().over(Window.orderBy(F.col("q").desc(), F.col("doc_id")))
+        "rk", F.row_number().over(bounded_window("doc_id", F.col("q").desc(), F.col("doc_id")))
     )
     tau = ranked.filter(F.col("rk") == _PS_K + 1).select(F.col("q").alias("t"))
     est = (

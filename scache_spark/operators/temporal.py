@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
+from scache_spark.functions import bounded_window
 from scache_spark.registry import register
 
 
@@ -273,7 +274,7 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_window("day", "day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         spine.join(daily, "day", "left")
         .select(
@@ -393,7 +394,7 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
-        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        bounded_window("day", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
         .rangeBetween(-6, 0)
     )
     return daily.select(

@@ -274,11 +274,13 @@ def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B24", "B10"),
     doc="Corpus heavy-hitters: top-20 tokens by frequency with document "
     "frequency — the vocabulary-stats pass of a data pipeline.  "
-    "Explode → count is fully map-side-combined; the top-k is a "
-    "TakeOrdered, not a sort.",
+    "Explode → count is fully map-side-combined; the top-k is a real "
+    "TakeOrderedAndProject (per-partition heaps — the vocabulary is "
+    "never globally sorted or single-partition-windowed); the rank "
+    "then numbers only the 20 survivors.",
 )
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from scache_spark.functions import bounded_window
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
@@ -286,10 +288,11 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.countDistinct("doc_id").cast("long").alias("df"),
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    return counts.select(
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
+    w = bounded_window("tok", F.col("n").desc(), F.col("tok").asc())
+    return top.select(
         "tok", "n", "df", F.row_number().over(w).cast("int").alias("rk")
-    ).filter(F.col("rk") <= 20)
+    )
 
 
 @register(
@@ -806,12 +809,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
     # limit(7) is TakeOrdered over the vocab; the rank-window then runs
     # on 7 rows only (never the full vocabulary).
-    from pyspark.sql.window import Window
+    from scache_spark.functions import bounded_window
 
     top7 = dfreq.orderBy(F.desc("df"), F.asc("tok")).limit(7)
     qterms = (
         top7.withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok")))
+            "rk", F.row_number().over(bounded_window("tok", F.desc("df"), F.asc("tok")))
         )
         .filter((F.col("rk") >= 3) & (F.col("rk") <= 7))
         .select("tok", "df")
@@ -920,7 +923,7 @@ _ZIPF_TOP = 500
     "machinery as size_regression_fit, reference sim/train.py:11-29).",
 )
 def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from scache_spark.functions import bounded_window
 
     freq = (
         load_table(spark, sf_dir, "documents")
@@ -932,7 +935,7 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = freq.orderBy(F.desc("f"), F.asc("tok")).limit(_ZIPF_TOP)
     ranked = top.withColumn(
         "rk",
-        F.row_number().over(Window.orderBy(F.desc("f"), F.asc("tok"))).cast("int"),
+        F.row_number().over(bounded_window("tok", F.desc("f"), F.asc("tok"))).cast("int"),
     )
     lf = F.log(F.col("f").cast("double"))
     lr = F.log(F.col("rk").cast("double"))

@@ -62,7 +62,9 @@ from scache_spark.registry import register
     "aggregate re-joined on (part, 4dp-rounded cost) — exact equality "
     "is safe because both sides compare the SAME rounded per-group "
     "min, never a re-summed float.  supplier⋈nation⋈region prune "
-    "before the big aggregate; part is filter-broadcast.",
+    "before the big aggregate; part is filter-pruned, its join "
+    "strategy left to AQE (supplier/part grow with SF — no hard "
+    "broadcast hints).",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -90,15 +92,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "n_name")
     )
     eligible = cost.join(
-        F.broadcast(s), F.col("sk") == F.col("s_suppkey")
+        s, F.col("sk") == F.col("s_suppkey")
     ).select("pk", "sk", "unit_cost", "s_acctbal", "n_name")
     best = eligible.groupBy(F.col("pk").alias("bpk")).agg(
         F.min("unit_cost").alias("min_cost")
     )
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(
-            (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
-        )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
     )
     return (
         eligible.join(
@@ -145,8 +145,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q7 shape: bilateral shipping volume between a set of "
     "nations by year (a 4-nation set instead of one ordered pair so "
     "the result is non-empty at every test SF).  The two nation "
-    "dimensions broadcast with their IN-filters applied, pruning "
-    "supplier and customer BEFORE the two big shuffle joins "
+    "bounded nation dimensions broadcast with their IN-filters "
+    "applied, pruning supplier and customer BEFORE the two big shuffle joins "
     "(lineitem⋈orders on orderkey, orders⋈customer on custkey); the "
     "shipdate range is pushed into the parquet scan.",
 )
@@ -170,7 +170,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             load_table(spark, sf_dir, "orders"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -218,14 +218,12 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 shape: one nation's market share of ECONOMY-part "
     "revenue sold into ASIA customers, by order year.  The share is a "
     "conditional-sum / total-sum in ONE aggregation pass (no second "
-    "scan, no self-join).  part (type-filtered), both nation roles, "
-    "and region broadcast; only lineitem⋈orders and orders⋈customer "
-    "shuffle.  Ratio rounds to 6dp on both engines.",
+    "scan, no self-join).  Both nation roles and region broadcast "
+    "(bounded dims); part is type-filtered with its join left to AQE "
+    "(SF-proportional).  Ratio rounds to 6dp on both engines.",
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     n1 = F.broadcast(
         load_table(spark, sf_dir, "nation")
         .join(
@@ -257,7 +255,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
@@ -294,19 +292,15 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and order year.  ps_supplycost does not exist in this schema, so "
     "cost is the documented stand-in 0.5 * p_retailprice * quantity — "
     "the arithmetic shape (revenue minus quantity-scaled cost inside "
-    "a 5-way join) is identical.  The LIKE filter prunes part before "
-    "broadcast; supplier+nation broadcast; only lineitem⋈orders "
-    "shuffles.",
+    "a 5-way join) is identical.  The LIKE filter prunes part at the "
+    "scan; nation broadcasts (bounded); part/supplier join strategy "
+    "is AQE's — they grow with SF.",
 )
 def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    )
-    s = F.broadcast(
-        load_table(spark, sf_dir, "supplier").join(
-            F.broadcast(load_table(spark, sf_dir, "nation")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
     )
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
         "p_retailprice"
@@ -355,7 +349,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines before the strict > compare, so the cut is identical.",
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = F.broadcast(
+    s = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
@@ -503,8 +497,8 @@ def tpch_q13_customer_distribution(
     "would scan lineitem twice), and an equality filter — ties all "
     "survive, exactly like the SQL.  "
     "Comparing 2dp-rounded doubles for equality is safe because both "
-    "engines round the same per-group sums; supplier broadcasts onto "
-    "the tiny winner set.",
+    "engines round the same per-group sums; the winner set is tiny, "
+    "so AQE broadcasts IT (not SF-growing supplier) at runtime.",
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
@@ -527,10 +521,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("max_rev", mx)
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
-            F.broadcast(
-                load_table(spark, sf_dir, "supplier").select(
-                    "s_suppkey", "s_name"
-                )
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_name"
             ),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
@@ -556,17 +548,16 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixes part predicates with lineitem predicates (container and "
     "shipmode clauses replaced by size/quantity ranges present in "
     "this schema).  Catalyst extracts the common part of the "
-    "disjunction: the brand IN-set prunes part to 3 brands before "
-    "broadcast, and the per-branch quantity ranges evaluate post-join "
+    "disjunction: the brand IN-set prunes part to 3 brands at the "
+    "scan (join strategy AQE-chosen — part grows with SF), and the "
+    "per-branch quantity ranges evaluate post-join "
     "in one codegen stage — no union-of-three-scans.",
 )
 def tpch_q19_disjunctive_revenue(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    p = F.broadcast(
-        load_table(spark, sf_dir, "part").filter(
-            F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
-        )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
     )
     qty = F.col("l_quantity")
     size = F.col("p_size")
@@ -617,8 +608,9 @@ def tpch_q19_disjunctive_revenue(
     doc="TPC-H Q20 shape: suppliers who moved real volume (>50 units "
     "in 1996) of '%gear%' parts — the nested IN(IN(...)) chain.  The "
     "partsupp-availqty test becomes shipped-quantity-per-(part, "
-    "supplier); the inner IN is a broadcast join against the "
-    "name-filtered part, the outer IN a LEFT SEMI join into supplier, "
+    "supplier); the inner IN is an equi join against the "
+    "name-filtered part (AQE-broadcast at fixture scale), the outer "
+    "IN a LEFT SEMI join into supplier, "
     "so no duplicate suppliers and no distinct-shuffle of the big "
     "side.  Quantity sums are integers in doubles — exact — and "
     "rounded anyway by policy.",
@@ -635,7 +627,7 @@ def tpch_q20_potential_promotion(
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("q"))
     )
-    p = F.broadcast(
+    p = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%gear%"))
         .select("p_partkey")
@@ -647,7 +639,7 @@ def tpch_q20_potential_promotion(
     )
     return (
         load_table(spark, sf_dir, "supplier")
-        .join(F.broadcast(sel), F.col("s_suppkey") == F.col("sk"), "left_semi")
+        .join(sel, F.col("s_suppkey") == F.col("sk"), "left_semi")
         .select(
             "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal")
         )
@@ -682,8 +674,8 @@ def tpch_q20_potential_promotion(
     "aggregate — distinct suppliers vs distinct LATE suppliers — "
     "then re-joined on orderkey: two shuffles total instead of two "
     "correlated self-joins of lineitem, and the rewrite is "
-    "semantically exact, not an approximation.  supplier broadcasts "
-    "onto the survivor set.",
+    "semantically exact, not an approximation.  The supplier name "
+    "join runs on the tiny survivor set (AQE picks the build side).",
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
@@ -711,10 +703,8 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(st, F.col("l_orderkey") == F.col("sok"))
         .filter((F.col("ns") > 1) & (F.col("nl") == 1))
         .join(
-            F.broadcast(
-                load_table(spark, sf_dir, "supplier").select(
-                    "s_suppkey", "s_name"
-                )
+            load_table(spark, sf_dir, "supplier").select(
+                "s_suppkey", "s_name"
             ),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
