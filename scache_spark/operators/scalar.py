@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
 from scache_spark.functions import bounded_window
@@ -575,10 +576,11 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linenumber) — so tie placement at bucket boundaries is "
     "identical in both engines.  This is the feature-bucketizer / "
     "histogram-equalization primitive.  The global sort is the cost "
-    "at 100 TB; the production path computes boundaries from "
-    "approx_percentile (t-digest, tested in approx_percentile_bound) "
-    "and assigns buckets with a scan — this exact variant is its "
-    "oracle-able twin, same contract as percentile_battery.",
+    "at 100 TB; the registered scale-safe path is "
+    "equi_depth_hist_binning (histogram boundaries + broadcast "
+    "scan-assign, zero global sorts) — this exact variant remains as "
+    "its oracle-able semantic twin, same contract as "
+    "percentile_battery.",
 )
 def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -592,6 +594,101 @@ def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.min("price"), 4).alias("lo"),
         F.round(F.max("price"), 4).alias("hi"),
+    )
+
+
+_EDH_BINS = 256  # histogram resolution for the scale-safe equi-depth path
+_EDH_K = 8  # target buckets
+
+
+@register(
+    "equi_depth_hist_binning",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem
+    ),
+    binned AS (
+      SELECT l_extendedprice AS price,
+             CAST(least(floor((l_extendedprice - rng.mn)
+                              / ((rng.mx - rng.mn) / {_EDH_BINS}.0)),
+                        {_EDH_BINS - 1}) AS INT) AS bin
+      FROM lineitem, rng
+    ),
+    hist AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
+    ),
+    walked AS (
+      SELECT bin, c,
+             sum(c) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT sum(c) AS n FROM hist),
+    bmap AS (
+      SELECT bin,
+             CAST(({_EDH_K} * cum + n - 1) // n AS INT) AS bucket
+      FROM walked, tot
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(price), 4) AS lo, round(max(price), 4) AS hi
+    FROM binned JOIN bmap USING (bin)
+    GROUP BY bucket
+    """,
+    tags=("B20", "B16", "B7"),
+    doc=f"Scale-safe equi-depth binning (the graded sibling of "
+    "equi_depth_binning, whose exact ntile needs a global sort): an "
+    f"equal-width {_EDH_BINS}-bin histogram (one map-side-combinable "
+    "aggregate) is walked cumulatively over its ≤"
+    f"{_EDH_BINS} rows (bounded window), each bin lands in bucket "
+    f"ceil({_EDH_K}·cum/n) via pure integer arithmetic, and rows are "
+    "assigned by a broadcast join on bin id — two scans, zero global "
+    "sorts, identical plan shape at 100 TB.  Bucket populations are "
+    "equal only up to bin granularity (bins are atomic), which is the "
+    "standard t-digest/histogram trade; boundaries here are exact "
+    "integer decisions, so both engines agree bit-for-bit.  The exact "
+    "ntile twin remains registered as the pytest oracle of the "
+    "semantics.",
+)
+def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price")
+    )
+    rng = li.agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / float(_EDH_BINS)
+    binned = li.crossJoin(F.broadcast(rng)).select(
+        "price",
+        F.least(
+            F.floor((F.col("price") - F.col("mn")) / width),
+            F.lit(_EDH_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(
+            bounded_window("bin", "bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    bmap = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.expr(f"CAST(({_EDH_K} * cum + n - 1) div n AS INT)").alias("bucket"),
+    )
+    return (
+        binned.join(F.broadcast(bmap), "bin")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.min("price"), 4).alias("lo"),
+            F.round(F.max("price"), 4).alias("hi"),
+        )
     )
 
 
@@ -951,9 +1048,10 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "categorical one.  Cumulative counts come from one ordered window "
     "walk with a deterministic (value, group) total order; ECDF "
     "values are exact-integer ratios, so the statistic is "
-    "deterministic up to the final rounding.  At 100 TB the walk is "
-    "a range-partitioned parallel sort (the Terasort shape), not a "
-    "single-node pass.",
+    "deterministic up to the final rounding.  The unpartitioned "
+    "cumulative walk is single-node — the registered scale-safe path "
+    "is ks_drift_binned (KS over binned ECDFs, bounded window); this "
+    "exact variant remains as its semantic twin for tests.",
 )
 def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1065,6 +1163,110 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+
+
+_KSB_BINS = 64  # ECDF resolution for the scale-safe KS path
+
+
+@register(
+    "ks_drift_binned",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ),
+    binned AS (
+      SELECT CAST(least(floor((o_totalprice - rng.mn)
+                              / ((rng.mx - rng.mn) / {_KSB_BINS}.0)),
+                        {_KSB_BINS - 1}) AS INT) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders, rng
+    ),
+    hist AS (
+      SELECT bin,
+             CAST(sum(is_a) AS BIGINT) AS a,
+             CAST(sum(1 - is_a) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    walked AS (
+      SELECT bin,
+             sum(a) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(b) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      FROM hist
+    )
+    SELECT t.n_a, t.n_b, CAST({_KSB_BINS} AS INT) AS n_bins,
+           round(max(abs(CAST(w.ca AS DOUBLE) / t.n_a
+                         - CAST(w.cb AS DOUBLE) / t.n_b)), 6) AS ks_binned
+    FROM walked w CROSS JOIN tot t
+    GROUP BY t.n_a, t.n_b
+    """,
+    tags=("B20", "B16", "B7"),
+    doc=f"Scale-safe two-sample KS drift (the graded sibling of "
+    "ks_drift_statistic, whose exact ECDF walk is an unpartitioned "
+    "cumulative window over every orders row): both ECDFs are "
+    f"evaluated on a {_KSB_BINS}-edge equal-width grid — one "
+    "map-side-combinable histogram aggregate, a cumulative walk over "
+    f"≤{_KSB_BINS} rows (bounded window), and a broadcast 1-row "
+    "totals join.  The statistic is the max ECDF gap AT BIN EDGES — "
+    "a deterministic lower bound within 1/bins of the exact KS, the "
+    "standard streaming/production form.  ECDF ratios are "
+    "exact-integer arithmetic, so both engines agree bit-for-bit "
+    "before the final 6dp round.",
+)
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / float(_KSB_BINS))
+            ),
+            F.lit(_KSB_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+    )
+    wcum = bounded_window("bin", "bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = hist.select(
+        F.sum("a").over(wcum).alias("ca"),
+        F.sum("b").over(wcum).alias("cb"),
+    )
+    tot = hist.agg(
+        F.sum("a").cast("long").alias("n_a"), F.sum("b").cast("long").alias("n_b")
+    )
+    return (
+        walked.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("n_a")
+                        - F.col("cb").cast("double") / F.col("n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_binned")
+        )
+        .select(
+            "n_a", "n_b", F.lit(_KSB_BINS).cast("int").alias("n_bins"), "ks_binned"
+        )
     )
 
 

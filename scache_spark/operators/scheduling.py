@@ -354,57 +354,128 @@ def lpt_schedule_locality_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _greedy_min_load(items: list[tuple[int, int]]) -> list[tuple[int, int, int]]:
+    """Greedy list-scheduling in the GIVEN item order: each (rid, size)
+    goes to the least-loaded host, load ties broken by lowest host id
+    (heapq's lexicographic (load, host) order — identical to the
+    oracle's list_indexof-of-first-min).  Returns (rid, host,
+    completion_time) with completion = the host's load after placing
+    the task (tasks on a host run back-to-back, the simulator's
+    model)."""
+    heap = [(0, h) for h in range(N_SCHED_HOSTS)]
+    heapq.heapify(heap)
+    out = []
+    for rid, sz in items:
+        load, host = heapq.heappop(heap)
+        ct = load + int(sz)
+        out.append((int(rid), host, ct))
+        heapq.heappush(heap, (ct, host))
+    return out
+
+
 def _policy_compare(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Makespans of the three scheduling policies the reference's
+    """Makespans of the five scheduling policies the reference's
     simulator races (sim/sim.py:38-134): round-robin pre-placement
     (reduce i -> host i mod K, what the Scala master actually ships,
-    MapOutputTracker.scala:202-210), LPT (the paper's heuristic), and
-    the ideal lower bound max(ceil(total/K), max task)."""
+    MapOutputTracker.scala:202-210), FIFO greedy in arrival order over
+    the FULL runtime incl. the shuffle-read component
+    (sim/sim.py:68-81 — no prefetch, so shuffle time is on the
+    critical path), LPT over the shuffle-excluded compute time (the
+    paper's heuristic — prefetch overlaps the shuffle), the coflow
+    bound max(shuffle component) (sim/sim.py:130-134), and the ideal
+    lower bound max(ceil(total/K), max task)."""
+    pdf = pdf.sort_values("rid")
     sizes = {int(r): int(s) for r, s in zip(pdf["rid"], pdf["sz"])}
+    shuf = {int(r): int(s) for r, s in zip(pdf["rid"], pdf["sh"])}
     k = N_SCHED_HOSTS
     rr = [0] * k
     for rid, sz in sizes.items():
         rr[rid % k] += sz
+    fifo = _greedy_min_load(
+        [(rid, sizes[rid] + shuf[rid]) for rid in sorted(sizes)]
+    )
+    fifo_makespan = max(ct for _, _, ct in fifo)
     lpt_out = _lpt_pack(pdf[["rid", "sz"]])
     lpt_loads = lpt_out.groupby("host")["sz"].sum()
     total = sum(sizes.values())
     ideal = max(-(-total // k), max(sizes.values()))
     return pd.DataFrame(
         {
-            "policy": ["round_robin", "lpt", "ideal"],
-            "makespan": [int(max(rr)), int(lpt_loads.max()), int(ideal)],
+            "policy": ["round_robin", "fifo", "lpt", "coflow", "ideal"],
+            "makespan": [
+                int(max(rr)),
+                int(fifo_makespan),
+                int(lpt_loads.max()),
+                int(max(shuf.values())),
+                int(ideal),
+            ],
         }
     )
+
+
+# Shared oracle CTE fragments for the policy race / completion CDF.
+# tasks: rid, sz (shuffle-excluded compute, the prefetch-overlapped
+# time base), sh (the shuffle-read component — sortTime-shuffleTime in
+# the reference's trace schema, sim/sim.py:278).
+_SCHED_TASKS_CTE = f"""
+    tasks AS (
+      SELECT CAST(l_suppkey % {N_SCHED_TASKS} AS INT) AS rid,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sz,
+             CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sh
+      FROM lineitem GROUP BY 1
+    )
+"""
+
+
+def _sql_greedy_assign(ordered: str, assign: str, size: str) -> str:
+    """Recursive-CTE greedy min-load assignment over the pre-ranked
+    `ordered` relation (columns rid, {size}, rn), carrying the
+    completion time of each step.  The exact recursion shape the
+    driver-green lpt_schedule uses; host load ties break to the first
+    (lowest-id) minimum via list_indexof."""
+    k = N_SCHED_HOSTS
+    return f"""
+    {assign} AS (
+      SELECT 0 AS rn, CAST(NULL AS INT) AS rid, CAST(NULL AS BIGINT) AS {size},
+             CAST(NULL AS INT) AS host, CAST(NULL AS BIGINT) AS ct,
+             [CAST(0 AS BIGINT) for i in range(1, {k} + 1)] AS loads
+      UNION ALL
+      SELECT o.rn, o.rid, o.{size},
+             CAST(list_indexof(a.loads, list_min(a.loads)) - 1 AS INT) AS host,
+             CAST(a.loads[list_indexof(a.loads, list_min(a.loads))] + o.{size}
+                  AS BIGINT) AS ct,
+             [CASE WHEN i = list_indexof(a.loads, list_min(a.loads))
+                   THEN a.loads[i] + o.{size} ELSE a.loads[i] END
+              for i in range(1, {k} + 1)] AS loads
+      FROM {assign} a JOIN {ordered} o ON o.rn = a.rn + 1
+    )
+"""
 
 
 @register(
     "schedule_policy_compare",
     oracle=f"""
-    WITH RECURSIVE tasks AS (
-      SELECT CAST(l_suppkey % {N_SCHED_TASKS} AS INT) AS rid,
-             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-                 AS sz
-      FROM lineitem GROUP BY 1
-    ),
+    WITH RECURSIVE {_SCHED_TASKS_CTE},
     ordered AS (
       SELECT rid, sz,
              CAST(row_number() OVER (ORDER BY sz DESC, rid ASC) AS INT) AS rn
       FROM tasks
     ),
-    assign AS (
-      SELECT 0 AS rn, CAST(NULL AS INT) AS rid, CAST(NULL AS BIGINT) AS sz,
-             CAST(NULL AS INT) AS host,
-             [CAST(0 AS BIGINT) for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
-      UNION ALL
-      SELECT o.rn, o.rid, o.sz,
-             CAST(list_indexof(a.loads, list_min(a.loads)) - 1 AS INT) AS host,
-             [CASE WHEN i = list_indexof(a.loads, list_min(a.loads))
-                   THEN a.loads[i] + o.sz ELSE a.loads[i] END
-              for i in range(1, {N_SCHED_HOSTS} + 1)] AS loads
-      FROM assign a JOIN ordered o ON o.rn = a.rn + 1
-    ),
+    {_sql_greedy_assign("ordered", "assign", "sz")},
     lpt_makespan AS (
       SELECT list_max(loads) AS m FROM assign
+      ORDER BY rn DESC LIMIT 1
+    ),
+    ordered_f AS (
+      SELECT rid, sz + sh AS run,
+             CAST(row_number() OVER (ORDER BY rid ASC) AS INT) AS rn
+      FROM tasks
+    ),
+    {_sql_greedy_assign("ordered_f", "assign_f", "run")},
+    fifo_makespan AS (
+      SELECT list_max(loads) AS m FROM assign_f
       ORDER BY rn DESC LIMIT 1
     ),
     rr AS (
@@ -412,35 +483,156 @@ def _policy_compare(pdf: pd.DataFrame) -> pd.DataFrame:
         SELECT rid % {N_SCHED_HOSTS} AS host, sum(sz) AS hl
         FROM tasks GROUP BY 1)
     ),
+    cf AS (SELECT CAST(max(sh) AS BIGINT) AS m FROM tasks),
     ideal AS (
       SELECT CAST(greatest(CAST(ceil(sum(sz) * 1.0 / {N_SCHED_HOSTS}) AS BIGINT),
                            max(sz)) AS BIGINT) AS m
       FROM tasks
     )
     SELECT 'round_robin' AS policy, m AS makespan FROM rr
+    UNION ALL SELECT 'fifo', CAST(m AS BIGINT) FROM fifo_makespan
     UNION ALL SELECT 'lpt', CAST(m AS BIGINT) FROM lpt_makespan
+    UNION ALL SELECT 'coflow', m FROM cf
     UNION ALL SELECT 'ideal', m FROM ideal
     """,
     tags=("A.2", "A.5", "B23"),
-    doc="The reference's scheduler EVALUATION, reproduced: makespans "
-    "of round-robin pre-placement (what the Scala master ships, "
-    "MapOutputTracker.scala:202-210), LPT (the paper's heuristic, "
-    "sim/sim.py:223-263), and the ideal lower bound — the same "
-    "three-way race sim/sim.py:265-328 runs over the Hadoop trace, "
-    "here over the deterministic task-size frame.  LPT should land "
-    "between ideal and round-robin; the pytest asserts that ordering "
-    "holds.  One distributed aggregation feeds all three policies; "
-    "the comparison itself is K-host-sized state.",
+    doc="The reference's COMPLETE scheduler evaluation, reproduced: "
+    "makespans of round-robin pre-placement (what the Scala master "
+    "ships, MapOutputTracker.scala:202-210), FIFO greedy over the "
+    "full runtime incl. shuffle reads (sim/sim.py:68-81 — the "
+    "no-prefetch baseline), LPT over the shuffle-excluded compute "
+    "time (the paper's heuristic, sim/sim.py:223-263), the coflow "
+    "shuffle bound max(shuffle component) (sim/sim.py:130-134), and "
+    "the ideal lower bound — the same five-way race sim/sim.py:265-"
+    "328 runs over the Hadoop trace, here over the deterministic "
+    "task-size frame.  The pytest asserts ideal <= lpt <= "
+    "round_robin, ideal <= fifo, and coflow <= fifo.  One "
+    "distributed aggregation feeds all five policies; the comparison "
+    "itself is K-host-sized state.",
 )
 def schedule_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     tasks = li.groupBy(
         (F.col("l_suppkey") % N_SCHED_TASKS).cast("int").alias("rid")
     ).agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sz")
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sz"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sh"),
     )
     return (
         tasks.withColumn("_g", F.lit(0))
         .groupBy("_g")
         .applyInPandas(_policy_compare, "policy string, makespan long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reduce-completion CDF per policy (sim/sim.py:119-128 wired to the race)
+# ---------------------------------------------------------------------------
+
+
+def _completion_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-task completion times under each assignment policy (tasks
+    on a host run back-to-back; completion = host load after the
+    task).  round_robin uses the shipped i-mod-K placement, fifo the
+    arrival-order greedy over full runtime, lpt the paper's sorted
+    heuristic over compute time."""
+    pdf = pdf.sort_values("rid")
+    k = N_SCHED_HOSTS
+    out = []
+    loads = [0] * k
+    for rid, sz in zip(pdf["rid"], pdf["sz"]):
+        h = int(rid) % k
+        loads[h] += int(sz)
+        out.append(("round_robin", int(rid), loads[h]))
+    for rid, host, ct in _greedy_min_load(
+        list(zip(pdf["rid"], pdf["sz"] + pdf["sh"]))
+    ):
+        out.append(("fifo", rid, ct))
+    lpt_items = pdf.sort_values(["sz", "rid"], ascending=[False, True])
+    for rid, host, ct in _greedy_min_load(
+        list(zip(lpt_items["rid"], lpt_items["sz"]))
+    ):
+        out.append(("lpt", rid, ct))
+    return pd.DataFrame(out, columns=["policy", "rid", "ct"])
+
+
+@register(
+    "reduce_completion_cdf",
+    oracle=f"""
+    WITH RECURSIVE {_SCHED_TASKS_CTE},
+    rr_ct AS (
+      SELECT 'round_robin' AS policy, rid,
+             CAST(sum(sz) OVER (PARTITION BY rid % {N_SCHED_HOSTS}
+                 ORDER BY rid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ct
+      FROM tasks
+    ),
+    ordered AS (
+      SELECT rid, sz,
+             CAST(row_number() OVER (ORDER BY sz DESC, rid ASC) AS INT) AS rn
+      FROM tasks
+    ),
+    {_sql_greedy_assign("ordered", "assign", "sz")},
+    lpt_ct AS (
+      SELECT 'lpt' AS policy, rid, ct FROM assign WHERE rn > 0
+    ),
+    ordered_f AS (
+      SELECT rid, sz + sh AS run,
+             CAST(row_number() OVER (ORDER BY rid ASC) AS INT) AS rn
+      FROM tasks
+    ),
+    {_sql_greedy_assign("ordered_f", "assign_f", "run")},
+    fifo_ct AS (
+      SELECT 'fifo' AS policy, rid, ct FROM assign_f WHERE rn > 0
+    ),
+    u AS (
+      SELECT * FROM rr_ct
+      UNION ALL SELECT * FROM lpt_ct
+      UNION ALL SELECT * FROM fifo_ct
+    )
+    SELECT policy, rid, ct,
+           CAST(row_number() OVER (PARTITION BY policy ORDER BY ct, rid)
+                AS DOUBLE)
+             / count(*) OVER (PARTITION BY policy) AS cum_frac
+    FROM u
+    """,
+    tags=("A.5", "B11", "B23"),
+    doc="Per-policy reduce-completion CDF (the reference's reduce_cdf "
+    "evaluation, sim/sim.py:119-128, wired to the scheduler-race "
+    "assignments): every reduce task's completion time under "
+    "round-robin / fifo / lpt placement (tasks on a host run "
+    "back-to-back), with cum_frac = fraction of tasks done by that "
+    "time — the survival-curve view of how much LPT flattens the "
+    "tail.  The CDF rank window is partitioned by policy over the "
+    "K-task frame (bounded state); the task frame itself is the one "
+    "distributed aggregation all scheduling queries share.  "
+    "cum_frac is an exact small-integer ratio — bit-identical in "
+    "both engines.",
+)
+def reduce_completion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tasks = li.groupBy(
+        (F.col("l_suppkey") % N_SCHED_TASKS).cast("int").alias("rid")
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sz"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sh"),
+    )
+    cts = (
+        tasks.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_completion_rows, "policy string, rid int, ct long")
+    )
+    wr = Window.partitionBy("policy").orderBy("ct", "rid")
+    wp = Window.partitionBy("policy")
+    return cts.select(
+        "policy",
+        "rid",
+        "ct",
+        (
+            F.row_number().over(wr).cast("double")
+            / F.count(F.lit(1)).over(wp)
+        ).alias("cum_frac"),
     )

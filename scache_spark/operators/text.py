@@ -646,8 +646,16 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # per-source totals from the PRESENT cells only (absent grid cells
+    # contribute 0) — computing this from the completed grid instead
+    # would duplicate the whole grid subtree in the static plan (the
+    # r2 lint's 9-exchange shape); sources come from the documents
+    # scan directly (no tokenizer re-run)
+    src_tot = src_counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_src")
+    )
     grid = (
-        toks.select("source")
+        docs.select("source")
         .distinct()
         .crossJoin(F.broadcast(top))
         .join(src_counts, ["source", "t"], "left")
@@ -655,7 +663,6 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "t", "c_all", F.coalesce("c", F.lit(0)).alias("c")
         )
     )
-    src_tot = grid.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
     v = float(_KL_VOCAB)
     p_src = (F.col("c") + 1.0) / (F.col("n_src") + v)
     p_all = (F.col("c_all") + 1.0) / (F.col("n_all") + v)
@@ -702,27 +709,46 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Expected cell counts derive from integer margins, so the "
     "statistic is deterministic up to one rounded summation; at "
     "100 TB the contingency table is |sources|x|langs| rows from one "
-    "map-side-combined count.",
+    "map-side-combined count.  Margins come from windows OVER that "
+    "bounded table (row/column/global sums + first-in-margin flags "
+    "for the dof counts) rather than three re-aggregations plus a "
+    "distinct Expand — the cells subplan appears once and the whole "
+    "query is 5 shuffles, not the r2 lint's 9.",
 )
 def source_lang_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     cells = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
     )
-    rs = cells.groupBy("source").agg(F.sum("obs").cast("long").alias("row_tot"))
-    cs = cells.groupBy("lang").agg(F.sum("obs").cast("long").alias("col_tot"))
-    t = cells.agg(F.sum("obs").cast("long").alias("n"))
-    m = (
-        cells.join(F.broadcast(rs), "source")
-        .join(F.broadcast(cs), "lang")
-        .crossJoin(F.broadcast(t))
+    # windows over the bounded contingency table — |sources|x|langs|
+    # rows, so single-partition margins are deliberate bounded-frame
+    # state (the global one on a column-derived constant, cf.
+    # functions.bounded_window)
+    w_src = Window.partitionBy("source")
+    w_lang = Window.partitionBy("lang")
+    w_all = Window.partitionBy(F.pmod(F.hash("source"), F.lit(1)))
+    m = cells.select(
+        "source",
+        "lang",
+        "obs",
+        F.sum("obs").over(w_src).cast("long").alias("row_tot"),
+        F.sum("obs").over(w_lang).cast("long").alias("col_tot"),
+        F.sum("obs").over(w_all).cast("long").alias("n"),
+        (F.row_number().over(w_src.orderBy("lang")) == 1)
+        .cast("long")
+        .alias("first_in_source"),
+        (F.row_number().over(w_lang.orderBy("source")) == 1)
+        .cast("long")
+        .alias("first_in_lang"),
     )
     exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     return m.agg(
         F.max("n").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        ((F.countDistinct("source") - 1) * (F.countDistinct("lang") - 1))
+        ((F.sum("first_in_source") - 1) * (F.sum("first_in_lang") - 1))
         .cast("long")
         .alias("dof"),
         F.round(

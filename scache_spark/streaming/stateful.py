@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -156,15 +158,64 @@ class _UserTypeMix(StatefulProcessor):
 def _has_protobuf() -> bool:
     """transformWithState's driver worker speaks a protobuf protocol
     to the JVM; the runtime dependency is `protobuf`, absent from this
-    container (no pip allowed).  The operator is therefore GATED: full
-    implementation above, registered only where the dependency exists
-    (any real cluster image), exercised by a skipif pytest here."""
+    container (no pip allowed).  Where it is missing the operator
+    DEGRADES (detect-and-degrade, not a skip): the same MAP-state
+    semantics run through applyInPandasWithState with the histogram
+    encoded as parallel arrays in the state tuple
+    (`_update_type_mix`), so the query registers and oracle-checks
+    everywhere; on a real cluster image with protobuf the Spark-4
+    MapState path runs instead."""
     import importlib.util
 
     try:
         return importlib.util.find_spec("google.protobuf") is not None
     except ModuleNotFoundError:  # no `google` namespace package at all
         return False
+
+
+_MIX_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_total", LongType()),
+        StructField("n_types", LongType()),
+        StructField("top_type", StringType()),
+    ]
+)
+_MIX_STATE_SCHEMA = StructType(
+    [
+        StructField("types", ArrayType(StringType())),
+        StructField("ns", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_type_mix(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState fallback for `_UserTypeMix`: the per-user
+    (type -> count) histogram lives in the state tuple as parallel
+    arrays — still O(|types|) per key, identical emissions to the
+    MapState processor."""
+    if state.exists:
+        types, ns = state.get
+        counts = dict(zip(types, ns))
+    else:
+        counts = {}
+    for pdf in pdfs:
+        for t, c in pdf.groupby("event_type").size().items():
+            counts[str(t)] = counts.get(str(t), 0) + int(c)
+    state.update((list(counts.keys()), [int(v) for v in counts.values()]))
+    pairs = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_total": [int(sum(counts.values()))],
+            "n_types": [len(counts)],
+            "top_type": [pairs[0][0]],
+        }
+    )
 
 
 _TWS_ORACLE = """
@@ -199,36 +250,49 @@ def stream_transform_with_state_mix(spark: SparkSession, sf_dir: str) -> DataFra
     MapState is the right shape for unbounded streams: state is
     O(#types) per user, never O(#events), and single entries update
     without rewriting the whole value (what the old single-tuple
-    state API forced).  Registered only when protobuf is available
-    (see `_has_protobuf`); `tests/test_streaming_extras.py` gates the
-    pytest the same way."""
+    state API forced).  Where protobuf (the TWS driver-worker wire
+    protocol) is unavailable, the query detect-and-degrades to an
+    applyInPandasWithState fallback carrying the histogram as
+    parallel arrays in the state tuple — identical emissions, same
+    oracle, so the operator is green in every environment and the
+    typed-MapState path lights up wherever the dependency exists."""
     s = (
         events_stream(spark, sf_dir)
         .filter(F.col("user_id") >= 0)
         .select("user_id", "event_type")
     )
-    # transformWithState requires the RocksDB state store provider
-    # (the default HDFS-backed store does not implement the new
-    # multi-state-variable protocol); scope the conf to this query.
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(prov_key, None)
-    spark.conf.set(
-        prov_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        mixed = s.groupBy("user_id").transformWithStateInPandas(
-            _UserTypeMix(),
-            outputStructType=_MIX_SCHEMA,
-            outputMode="append",
-            timeMode="none",
+    if _has_protobuf():
+        # transformWithState requires the RocksDB state store provider
+        # (the default HDFS-backed store does not implement the new
+        # multi-state-variable protocol); scope the conf to this query.
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
-        emitted = run_stream(mixed, "tws_mix", "append")
-    finally:
-        if prev is None:
-            spark.conf.unset(prov_key)
-        else:
-            spark.conf.set(prov_key, prev)
+        try:
+            mixed = s.groupBy("user_id").transformWithStateInPandas(
+                _UserTypeMix(),
+                outputStructType=_MIX_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+            emitted = run_stream(mixed, "tws_mix", "append")
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+    else:
+        mixed = s.groupBy("user_id").applyInPandasWithState(
+            _update_type_mix,
+            outputStructType=_MIX_OUT_SCHEMA,
+            stateStructType=_MIX_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        emitted = run_stream(mixed, "tws_mix_fallback", "append")
     return emitted.groupBy("user_id").agg(
         F.max("n_total").cast("long").alias("n_total"),
         F.max_by("n_types", "n_total").cast("long").alias("n_types"),
@@ -236,10 +300,9 @@ def stream_transform_with_state_mix(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-if _has_protobuf():  # pragma: no cover - container lacks protobuf
-    register(
-        "stream_transform_with_state_mix",
-        oracle=_TWS_ORACLE,
-        tags=("B27", "B23"),
-        doc=stream_transform_with_state_mix.__doc__,
-    )(stream_transform_with_state_mix)
+register(
+    "stream_transform_with_state_mix",
+    oracle=_TWS_ORACLE,
+    tags=("B27", "B23"),
+    doc=stream_transform_with_state_mix.__doc__,
+)(stream_transform_with_state_mix)

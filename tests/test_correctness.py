@@ -23,10 +23,10 @@ def test_oracle_match(spark, oracle_con, sf_dir, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    n = df.count()
-    assert n >= 0
-    assert len(df.schema.fields) > 0
+def test_every_query_is_oracle_checked():
+    """There are deliberately NO rows-only registry entries: every
+    query carries a DuckDB oracle (the driver's strongest check).  If
+    a future operator genuinely can't be SQL-expressed, it may join
+    ROWS_ONLY — then restore the parametrized run-only smoke test
+    this assertion replaced."""
+    assert ROWS_ONLY == []

@@ -125,8 +125,36 @@ def test_lpt_swap_mechanics_on_skewed_frame():
 
 
 def test_policy_ordering_ideal_lpt_roundrobin(spark, sf_dir):
-    """LPT must dominate round-robin and never beat the lower bound."""
+    """The full five-policy race (sim/sim.py:38-134): LPT must
+    dominate round-robin and never beat the lower bound; fifo (which
+    pays the shuffle component) can never beat ideal; the coflow
+    shuffle bound is a component of some fifo host's load."""
     from scache_spark.operators.scheduling import schedule_policy_compare
 
     rows = {r["policy"]: r["makespan"] for r in schedule_policy_compare(spark, sf_dir).collect()}
+    assert set(rows) == {"round_robin", "fifo", "lpt", "coflow", "ideal"}
     assert rows["ideal"] <= rows["lpt"] <= rows["round_robin"]
+    assert rows["ideal"] <= rows["fifo"]
+    assert rows["coflow"] <= rows["fifo"]
+
+
+def test_reduce_completion_cdf_shape(spark, sf_dir):
+    """Per-policy CDFs: 3 policies x N tasks, monotone cum_frac ending
+    at 1.0, and each policy's max completion equals the race's
+    makespan for that policy."""
+    from scache_spark.operators.scheduling import (
+        reduce_completion_cdf,
+        schedule_policy_compare,
+    )
+
+    pdf = reduce_completion_cdf(spark, sf_dir).toPandas()
+    race = {
+        r["policy"]: r["makespan"]
+        for r in schedule_policy_compare(spark, sf_dir).collect()
+    }
+    assert set(pdf["policy"]) == {"round_robin", "fifo", "lpt"}
+    for pol, grp in pdf.groupby("policy"):
+        grp = grp.sort_values(["ct", "rid"])
+        assert grp["cum_frac"].is_monotonic_increasing
+        assert abs(grp["cum_frac"].iloc[-1] - 1.0) < 1e-12
+        assert grp["ct"].max() == race[pol]

@@ -179,25 +179,47 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
 
 
 def test_transform_with_state_mix_matches_batch(spark, sf_dir, oracle_con):
-    """Spark-4 transformWithStateInPandas (MapState per-user type mix)
-    vs the batch oracle.  Skipped where protobuf — the wire protocol
-    of the TWS driver worker — is unavailable (this container);
-    the operator registers itself automatically where it is."""
-    import pytest
-
+    """Per-user type-mix stateful operator vs the batch oracle.  Runs
+    in EVERY environment: the Spark-4 transformWithStateInPandas
+    MapState path where protobuf (its driver-worker wire protocol)
+    exists, else the applyInPandasWithState parallel-array fallback —
+    same emissions either way (detect-and-degrade, never a skip)."""
     from scache_spark.streaming.stateful import (
         _TWS_ORACLE,
-        _has_protobuf,
         stream_transform_with_state_mix,
     )
 
-    if not _has_protobuf():
-        pytest.skip("protobuf not installed: transformWithState needs it")
     from tests.conftest import assert_frames_match
 
     spark_pdf = stream_transform_with_state_mix(spark, sf_dir).toPandas()
     oracle_pdf = oracle_con.execute(_TWS_ORACLE).df()
     assert_frames_match(spark_pdf, oracle_pdf, "stream_transform_with_state_mix")
+
+
+def test_type_mix_fallback_state_roundtrip():
+    """The fallback's state fold: two batches accumulate, ties on
+    count break type-asc, state stays O(|types|)."""
+    import pandas as pd
+
+    from scache_spark.streaming.stateful import _update_type_mix
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    st = _FakeState()
+    b1 = pd.DataFrame({"event_type": ["a", "b", "b"]})
+    out1 = next(_update_type_mix((7,), iter([b1]), st))
+    assert out1.loc[0, "top_type"] == "b" and out1.loc[0, "n_total"] == 3
+    b2 = pd.DataFrame({"event_type": ["a", "c"]})
+    out2 = next(_update_type_mix((7,), iter([b2]), st))
+    # a and b now tied at 2 -> type-asc tie-break picks 'a'
+    assert out2.loc[0, "top_type"] == "a"
+    assert out2.loc[0, "n_total"] == 5 and out2.loc[0, "n_types"] == 3
+    assert sorted(st.get[0]) == ["a", "b", "c"]
 
 
 def test_watermark_actually_drops_window_state(spark, sf_dir, tmp_path):

