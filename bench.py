@@ -47,7 +47,51 @@ HEADLINE = [
     "text_bm25_topk",
     "dedup_semantic_cells",
     "lpt_schedule_locality_swap",
+    # round-3 additions (keep appending so the shared-subset delta
+    # below stays comparable round over round)
+    "hll_rolling_distinct",
+    "equi_depth_hist_binning",
+    "ks_drift_binned",
+    "reduce_completion_cdf",
+    "stream_transform_with_state_mix",
 ]
+
+
+def _shared_with_prev(timings: dict[str, float]) -> dict:
+    """Round-over-round comparability: against the most recent
+    BENCH_r{N}.json in the repo root, the ratio of this run's total to
+    the previous run's total over the INTERSECTION of query sets
+    (<1.0 = faster).  New headline queries never distort the delta."""
+    import glob
+    import re
+
+    benches = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return {}
+    prev_path = benches[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        # the round driver wraps this script's JSON line under "parsed"
+        prev_q = prev.get("parsed", prev).get("queries", {})
+    except (OSError, ValueError, AttributeError):
+        return {}
+    shared = sorted(set(prev_q) & set(timings))
+    if not shared:
+        return {}
+    cur_total = sum(timings[q] for q in shared)
+    prev_total = sum(float(prev_q[q]) for q in shared)
+    return {
+        "shared_with_prev": round(cur_total / prev_total, 4) if prev_total else None,
+        "shared_query_count": len(shared),
+        "shared_prev_bench": os.path.basename(prev_path),
+        "shared_total_sec": round(cur_total, 3),
+        "shared_prev_total_sec": round(prev_total, 3),
+    }
 
 
 def main() -> None:
@@ -80,17 +124,15 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
     total = round(time.time() - t_all, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out.update(_shared_with_prev(timings))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -229,16 +229,22 @@ def asof_join(
     right_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts`` strictly before ``left_ts`` (per ``on`` key) — the
+    ``right_ts`` STRICTLY before ``left_ts`` (per ``on`` key) — the
     union+window plan (ONE shuffle on the key), never an inequality
     join that degenerates to a nested loop (cf.
-    ``temporal.asof_join_last_click``).  Right columns arrive as
-    ``asof_<name>``; left rows with no prior right row get nulls."""
-    lt = left.withColumn("__side", F.lit(1))
+    ``temporal.asof_join_last_click``).  Tie discipline (r2 advisor
+    finding): the left row is tagged ``__side=0`` and right ``1``, so
+    on equal timestamps the left row sorts FIRST and the
+    frame-ending-at-(-1) window cannot carry a simultaneous right row
+    — exactly the documented strictly-before contract.  (For
+    at-or-before ties, see ``asof_join_next_click``'s convention.)
+    Right columns arrive as ``asof_<name>``; left rows with no prior
+    right row get nulls."""
+    lt = left.withColumn("__side", F.lit(0))
     rt = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(1).alias("__side"),
         *[F.col(c) for c in right_cols],
     )
     lt = lt.withColumn("__ts", F.col(left_ts))
@@ -251,17 +257,17 @@ def asof_join(
     carried = unioned.select(
         "*",
         F.max(
-            F.when(F.col("__side") == 0, F.col("__ts"))
+            F.when(F.col("__side") == 1, F.col("__ts"))
         ).over(w).alias("asof_ts"),
         *[
             F.last(
-                F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True
+                F.when(F.col("__side") == 1, F.col(c)), ignorenulls=True
             ).over(w).alias(f"asof_{c}")
             for c in right_cols
         ],
     )
     drop = ["__side", "__ts", *right_cols]
-    return carried.filter(F.col("__side") == 1).drop(*drop)
+    return carried.filter(F.col("__side") == 0).drop(*drop)
 
 
 def quality_signals(df: DataFrame, text_col: str) -> DataFrame:

@@ -529,8 +529,12 @@ def blocktrace_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B27", "A.5", "B1"),
     doc="STREAMING scan of the custom Python data source "
     "(sources/blocktrace.py BlockTraceStreamReader): the block trace "
-    "arrives in map-output WAVES (16 maps per micro-batch offset), "
-    "mirroring the reference's arrival model — per-map prefetch "
+    "is offset-addressed in map-output WAVES (16 maps per offset "
+    "step; under this query's availableNow trigger all waves land in "
+    "ONE micro-batch, each wave its own input partition — "
+    "per_wave_batches=true with a processing-time trigger delivers "
+    "one wave per micro-batch instead, pytest-exercised), mirroring "
+    "the reference's arrival model — per-map prefetch "
     "triggers (storage/BlockManagerMasterEndpoint.scala:347-366) and "
     "first-wave predictor sampling (sim/train.py:237-243).  The "
     "running aggregate is per-reducer total bytes, i.e. the live "

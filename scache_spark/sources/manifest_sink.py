@@ -34,11 +34,34 @@ class PartFileCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _json_cell(v):
+    """json.dumps default= handler: the sink is exposed for arbitrary
+    schemas, so non-JSON-native cells (timestamp/date via isoformat —
+    Spark's JSON reader parses ISO back to the typed column —
+    Decimal as float, binary as hex) serialize instead of raising
+    TypeError and failing the task."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options["path"]
         self.columns = schema.fieldNames()
         self.overwrite = overwrite
+        # streaming publishers pass their epoch id; it is recorded
+        # INSIDE the committed snapshot (atomically with the version
+        # file) so batch dedup is part of the commit itself
+        bid = options.get("batch_id")
+        self.batch_id = int(bid) if bid is not None else None
 
     def write(self, rows: Iterator) -> PartFileCommit:
         os.makedirs(self.path, exist_ok=True)
@@ -49,7 +72,10 @@ class ManifestJsonlWriter(DataSourceWriter):
         tmp = part + ".inprogress"
         with open(tmp, "w") as f:
             for row in rows:
-                f.write(json.dumps(dict(zip(self.columns, row))) + "\n")
+                f.write(
+                    json.dumps(dict(zip(self.columns, row)), default=_json_cell)
+                    + "\n"
+                )
                 n += 1
         os.rename(tmp, part)
         return PartFileCommit(part, n)
@@ -73,6 +99,9 @@ class ManifestJsonlWriter(DataSourceWriter):
             "version": (versions[-1] if versions else 0) + 1,
             "files": sorted(files, key=lambda d: d["path"]),
             "total_rows": sum(e["rows"] for e in files),
+            # atomic with the snapshot: a crash can never leave a
+            # committed version whose batch id went unrecorded
+            "last_batch_id": self.batch_id,
         }
         payload = json.dumps(manifest)
         vpath = _version_path(self.path, manifest["version"])
@@ -186,22 +215,27 @@ def vacuum(path: str, retain_versions: int = 1) -> dict:
 
 def write_stream_batch(batch_df, path: str, batch_id: int) -> bool:
     """foreachBatch publisher with EXACTLY-ONCE semantics over the
-    manifest sink: each micro-batch commits one snapshot tagged with
-    its batchId; a re-delivered batch (restart replays the last
-    uncommitted epoch) is detected by its marker and SKIPPED, so the
-    table never double-counts.  Returns True if the batch published,
-    False if it was a duplicate."""
-    marker = os.path.join(path, f"_BATCH.{batch_id}.json")
-    if os.path.exists(marker):
-        return False
+    manifest sink: each micro-batch commits one snapshot carrying its
+    batchId IN the snapshot itself (written atomically with the
+    version file — never a separate post-commit marker, which would
+    leave a crash window between commit and marker where a restart
+    replays the batch and double-counts).  foreachBatch re-delivers
+    only the last uncommitted epoch on restart, so the dedup check is
+    simply: skip when the LATEST snapshot already carries this
+    batch_id.  Returns True if the batch published, False if it was a
+    duplicate."""
+    versions = _manifest_versions(path)
+    if versions:
+        with open(_version_path(path, versions[-1])) as f:
+            if json.load(f).get("last_batch_id") == batch_id:
+                return False
     spark = batch_df.sparkSession
     register_manifest_sink(spark)
-    batch_df.write.format("manifest_jsonl").option("path", path).mode(
-        "append"
-    ).save()
-    version = _manifest_versions(path)[-1]
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "version": version}, f)
-    os.rename(tmp, marker)
+    (
+        batch_df.write.format("manifest_jsonl")
+        .option("path", path)
+        .option("batch_id", str(batch_id))
+        .mode("append")
+        .save()
+    )
     return True

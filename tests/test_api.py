@@ -95,6 +95,26 @@ def test_asof_join_takes_latest_prior_row(spark):
     assert out["asof_price"].tolist() == [10.0, 50.0]
 
 
+def test_asof_join_equal_timestamp_is_not_carried(spark):
+    """Strictly-before contract (r2 advisor finding): a right row at
+    EXACTLY the left timestamp must NOT be carried — only the latest
+    right row strictly earlier."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0 + dt.timedelta(minutes=5))], ["key", "lts"])
+    right = spark.createDataFrame(
+        [
+            (1, t0, 10.0),
+            (1, t0 + dt.timedelta(minutes=5), 99.0),  # simultaneous: excluded
+        ],
+        ["key", "rts", "price"],
+    )
+    out = api.asof_join(
+        left, right, on="key", left_ts="lts", right_ts="rts",
+        right_cols=("price",),
+    ).toPandas()
+    assert out["asof_price"].tolist() == [10.0]
+
+
 def test_quality_signals_shapes(spark):
     df = spark.createDataFrame(
         [(1, "Hello World 42 !!"), (2, "plain words only here")],
