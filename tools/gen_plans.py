@@ -10,9 +10,9 @@ spark = get_session("plans")
 sf = "/root/testdata/sf0.1"
 
 COMMENT = {
-    "flagship_revenue_by_region": "One shuffle join (lineitem⋈orders, co-partitioned by AQE) + three BroadcastHashJoins for the dims + single-exchange aggregate. Date filter pushed to the orders scan.",
+    "flagship_revenue_by_region": "One shuffle join (lineitem⋈orders, co-partitioned by AQE) + BroadcastHashJoins for the dims (nation/region hard-hinted as bounded dims; customer's BHJ is AQE's threshold choice at this SF — at 100 TB it degrades to SMJ instead of OOMing) + single-exchange aggregate. Date filter pushed to the orders scan.",
     "pricing_summary": "Partial HashAggregate map-side → one tiny Exchange on the 6-value key → final aggregate. PushedFilters carries the shipdate bound into the parquet reader.",
-    "broadcast_join_parts": "Filtered part broadcast to every task; the fact side is never shuffled for the join — one Exchange total (final aggregate).",
+    "broadcast_join_parts": "Filtered part picked as the broadcast side by AQE (no hard hint — part grows with SF); the fact side is never shuffled for the join at this scale — one Exchange total (final aggregate).",
     "dedup_minhash_pairs": "Shingle+signature subtree computed once (InMemoryTableScan on reuse), band-key self-join produces candidates, exact Jaccard verified only on candidates.",
     "bloom_filter_join_prune": "Semi-join whose fact side is pre-pruned by a Catalyst-injected runtime bloom filter under shuffle-join conditions (see tests/test_plans.py).",
     "kmeans_two_rounds": "Nearest-centroid assignment is a min-struct HashAggregate (partial_min map-side): the shuffle carries n rows, not K·n as a windowed argmin would. Centroid update is one explode + (cell,pos) aggregate — K×DIM rows of state regardless of corpus size.",
@@ -75,7 +75,7 @@ COMMENT = {
     "neyman_allocation": "Sampling design from one algebraic pass: per-stratum (count, stddev) plus a broadcast normalizer yield the minimum-variance allocation; the actual sample then applies deterministic per-stratum hash rates.",
     "multimodal_audio_energy": "Audio framing: blobs decode inside mapInPandas Arrow batches and fan out to fixed 64-sample RMS windows in-batch — one scan, no shuffle, integer-exact sums with only the final sqrt rounded.",
     "try_arithmetic_battery": "Error-safe semantics: try_divide/try_multiply/try_sum degrade poisoned rows to countable NULLs inside codegen — the oracle states the expected degradation as predicates, verifying the ANSI-safety contract itself.",
-    "hll_rolling_distinct": "Windowed distinct without re-touching raw data: daily HLL sketches (one partial-agg pass) re-union per trailing window over a ~30-row frame; the exact rolling count rides the same tiny join for the in-query verdict.",
+    "hll_rolling_distinct": "Windowed distinct without re-touching raw data: ONE (day,user) distinct feeds both paths; each row/sketch explodes map-side into its <=3 calendar windows (no day-spine self-join), daily HLL sketches re-union per window, and the exact rolling count rides the same frame for the in-query verdict — 6 exchanges, down from 13.",
     "variance_partial_merge": "Chan's merge over shard partials: each half reduces to (n, mean, M2) map-side; the merge is closed-form arithmetic on six numbers per group and must equal the full-scan variance — second-moment monitors update from per-shard state.",
     "retrieval_ndcg_at_k": "Index-quality scoring: both rankings are 10-row TakeOrdered frames over rounded cosines, relevance joins by id, and the discounted sum plus closed-form IDCG are constant-sized arithmetic.",
     "k_anonymity_audit": "Governance gate: one partial-aggregated groupBy to |classes| rows, audit math over that frame — at 100 TB the release decision costs one aggregation.",
