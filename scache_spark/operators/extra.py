@@ -1303,3 +1303,75 @@ def variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(merged_mean, 4).alias("mean_price"),
         F.round(F.sqrt(merged_m2 / (n - 1)), 4).alias("std_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# skew-salted join (the hot-key mitigation pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+_SALT = 8  # fan-out for the hot keys
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                  ELSE CAST(l_orderkey % 100 AS INT) END AS k,
+             l_extendedprice
+      FROM lineitem
+    ),
+    dim AS (
+      SELECT CAST(p_partkey % 100 AS INT) AS k,
+             round(avg(p_retailprice), 4) AS avg_retail
+      FROM part GROUP BY 1
+    )
+    SELECT f.k,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS revenue,
+           max(avg_retail) AS avg_retail
+    FROM fact f JOIN dim d ON f.k = d.k
+    GROUP BY f.k
+    """,
+    tags=("B4", "B21", "B16"),
+    doc=f"Hot-key join under ~80% skew (8 of 10 orderkeys collapse "
+    "onto key 0), joined WITHOUT a skewed shuffle by SALTING: the "
+    f"fact side appends salt = pmod(hash(l_orderkey), {_SALT}) and "
+    f"the dim side replicates each key x{_SALT} map-side (posexplode "
+    "of a literal sequence), so the join keys become (k, salt) and "
+    "the hot key's rows spread across "
+    f"{_SALT} partitions instead of one straggler.  The oracle is "
+    "the PLAIN unsalted join — salting must be invisible in the "
+    "result.  This is the manual form of what AQE skew-join does for "
+    "joins (asserted in the plan test via the forced shuffle join); "
+    "the same salt-then-unsalt move is the only option for skewed "
+    "AGGREGATIONS, where AQE cannot re-split a running hash "
+    "aggregate.  The per-key aggregate after the join is itself "
+    "hot-key-safe: partial aggregation combines each salted "
+    "partition's rows before the final k-shuffle.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, 0)
+        .otherwise((F.col("l_orderkey") % 100).cast("int"))
+        .alias("k"),
+        "l_extendedprice",
+        F.pmod(F.hash("l_orderkey"), F.lit(_SALT)).alias("salt"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .groupBy((F.col("p_partkey") % 100).cast("int").alias("k"))
+        .agg(F.round(F.avg("p_retailprice"), 4).alias("avg_retail"))
+        .select(
+            "k",
+            "avg_retail",
+            F.explode(F.sequence(F.lit(0), F.lit(_SALT - 1))).alias("salt"),
+        )
+    )
+    joined = fact.join(dim.hint("shuffle_hash"), ["k", "salt"])
+    return joined.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.max("avg_retail").alias("avg_retail"),
+    )

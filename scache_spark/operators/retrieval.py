@@ -861,3 +861,154 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rel") / F.log(F.col("srk") + 1.0)) / F.lit(idcg_raw), 6
         ).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (maximal marginal relevance over the shortlist)
+# ---------------------------------------------------------------------------
+
+_MMR_CANDS = 12
+_MMR_K = 5
+_MMR_QUERY = 42  # same query vector as the RRF/IVF probes
+
+
+def _mmr_greedy(pdf):
+    """Greedy MMR over the bounded candidate frame: at each step pick
+    argmax of lambda*qcos - (1-lambda)*max_sim_to_selected (ties ->
+    lowest vec_id); identical float arithmetic to the recursive-CTE
+    oracle (0.7/0.3 double literals over 6dp-rounded cosines)."""
+    import pandas as pd
+
+    qcos = {}
+    sim = {}
+    for a, qa, b, s in zip(pdf["a"], pdf["qa"], pdf["b"], pdf["sim"]):
+        qcos[int(a)] = float(qa)
+        sim[(int(a), int(b))] = float(s)
+    chosen: list[int] = []
+    out = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for v in sorted(qcos):
+            if v in chosen:
+                continue
+            ms = max((sim[(v, c)] for c in chosen if (v, c) in sim), default=0.0)
+            score = 0.7 * qcos[v] - 0.3 * ms
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, score)
+        _, v, score = best
+        chosen.append(v)
+        out.append((rank, v, qcos[v], score))
+    return pd.DataFrame(out, columns=["rank", "vec_id", "qcos", "score"])
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QUERY}
+    ),
+    scored AS (
+      SELECT vec_id, embedding,
+             round({sql_vec_cosine("embedding", "qv")}, 6) AS qcos
+      FROM embeddings, q WHERE vec_id <> {_MMR_QUERY}
+    ),
+    base AS (
+      SELECT vec_id, embedding, qcos FROM scored
+      ORDER BY qcos DESC, vec_id ASC LIMIT {_MMR_CANDS}
+    ),
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round({sql_vec_cosine("x.embedding", "y.embedding")}, 6) AS s
+      FROM base x JOIN base y ON x.vec_id <> y.vec_id
+    ),
+    bl AS (SELECT list({{'v': vec_id, 'q': qcos}} ORDER BY vec_id) AS bl
+           FROM base),
+    pl AS (SELECT list({{'a': a, 'b': b, 's': s}} ORDER BY a, b) AS pl
+           FROM pairs),
+    sel AS (
+      SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id,
+             CAST(NULL AS DOUBLE) AS qcos, CAST(NULL AS DOUBLE) AS score,
+             CAST([] AS BIGINT[]) AS chosen
+      UNION ALL
+      SELECT s.rank + 1,
+             pick.v, pick.q, -pick.negs,
+             list_append(s.chosen, pick.v)
+      FROM (
+        SELECT s.rank,
+               list_min([
+                 {{'negs': -(CAST('0.7' AS DOUBLE) * b.q
+                            - CAST('0.3' AS DOUBLE)
+                              * coalesce(list_max(
+                                  [p.s for p in pl.pl
+                                   if p.a = b.v
+                                   AND list_contains(s.chosen, p.b)]),
+                                CAST(0 AS DOUBLE))),
+                  'v': b.v, 'q': b.q}}
+                 for b in bl.bl if NOT list_contains(s.chosen, b.v)
+               ]) AS pick,
+               s.chosen
+        FROM sel s, bl, pl
+        WHERE s.rank < {_MMR_K}
+      ) s
+    )
+    SELECT CAST(rank AS INT) AS rank, vec_id, qcos, round(score, 6) AS score
+    FROM sel WHERE rank >= 1
+    """,
+    tags=("B25", "B10", "mining"),
+    doc=f"Maximal-marginal-relevance re-ranking: the exact-cosine "
+    f"top-{_MMR_CANDS} shortlist is greedily re-ordered into "
+    f"{_MMR_K} picks maximizing 0.7*relevance - 0.3*max-similarity-"
+    "to-already-picked — the standard diversity pass a RAG retriever "
+    "runs after ANN, deduplicating near-identical hits at serving "
+    "time.  Scale shape: shortlisting is TakeOrderedAndProject over "
+    "the corpus scan; everything after (pairwise sims + the greedy "
+    "loop) runs on the bounded candidate frame in one grouped-map "
+    "task, the same small-frame-recursion contract as the LPT "
+    "scheduler; the oracle replays the greedy argmax through a "
+    "recursive CTE over carried candidate/pair lists.  All cosines "
+    "are 6dp-rounded BEFORE the greedy arithmetic, so both engines "
+    "pick identical argmaxes.",
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _MMR_QUERY).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _MMR_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(vec_cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "qcos"
+            ),
+        )
+    )
+    base = scored.orderBy(F.desc("qcos"), F.asc("vec_id")).limit(_MMR_CANDS)
+    x = base.select(
+        F.col("vec_id").alias("a"),
+        F.col("qcos").alias("qa"),
+        F.col("embedding").alias("ea"),
+    )
+    y = base.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        x.join(F.broadcast(y), F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "qa",
+            "b",
+            F.round(vec_cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    return (
+        pairs.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            _mmr_greedy, "rank int, vec_id long, qcos double, score double"
+        )
+        .select("rank", "vec_id", "qcos", F.round("score", 6).alias("score"))
+    )

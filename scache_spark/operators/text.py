@@ -1043,3 +1043,265 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaps_lnk"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters + corpus novelty decay
+# ---------------------------------------------------------------------------
+
+_REP_THRESH = {"uni": 0.30, "bi": 0.18, "tri": 0.30}
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, n,
+             unnest([array_to_string(t[i:i+n-1], ' ')
+                     for i in range(1, len(t) - n + 2)]) AS g
+      FROM toks, unnest([1, 2, 3]) AS u(n)
+    ),
+    counts AS (
+      SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY doc_id, n, g
+    ),
+    per AS (
+      SELECT doc_id, n, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM counts GROUP BY doc_id, n
+    ),
+    wide AS (
+      SELECT doc_id,
+             CAST(max(CASE WHEN n = 1 THEN top_c END) AS DOUBLE)
+               / max(CASE WHEN n = 1 THEN tot END) AS top_unigram_frac,
+             CAST(max(CASE WHEN n = 2 THEN top_c END) AS DOUBLE)
+               / max(CASE WHEN n = 2 THEN tot END) AS top_bigram_frac,
+             CAST(max(CASE WHEN n = 3 THEN tot END)
+                  - max(CASE WHEN n = 3 THEN nd END) AS DOUBLE)
+               / max(CASE WHEN n = 3 THEN tot END) AS dup_trigram_frac
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac,
+           (top_unigram_frac > {_REP_THRESH["uni"]}
+            OR top_bigram_frac > {_REP_THRESH["bi"]}
+            OR dup_trigram_frac > {_REP_THRESH["tri"]}) AS repetitive
+    FROM wide
+    """,
+    tags=("B24", "B7"),
+    doc="Gopher-style repetition filters: per document, the mass of "
+    "the single most frequent unigram and bigram, and the fraction "
+    "of trigram occurrences that are repeats — the standard screens "
+    "for degenerate/templated text in a pretraining pipeline "
+    "(adapted to newline-free fixture text; the line-dedup variants "
+    "reduce to the same explode-count shape).  ONE tokenizer pass "
+    "feeds all three n-gram sizes (a 3-element posexplode tags n "
+    "map-side — no per-n re-scan of the text), counts partial-"
+    "aggregate on (doc, n, gram), and the doc verdict is a "
+    "conditional pivot.  Every ratio is an exact small-integer "
+    "division, so the threshold flags agree bit-for-bit across "
+    "engines.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+
+    def grams(n: int):
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, n)),
+        )
+        return F.when(F.size("t") >= n, sh).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    tagged = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(F.array(grams(1), grams(2), grams(3))).alias(
+                "n0", "garr"
+            ),
+        )
+        .select(
+            "doc_id", (F.col("n0") + 1).alias("n"), F.explode("garr").alias("g")
+        )
+    )
+    counts = tagged.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per = counts.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    wide = per.groupBy("doc_id").agg(
+        (pick(1, "top_c").cast("double") / pick(1, "tot")).alias(
+            "top_unigram_frac"
+        ),
+        (pick(2, "top_c").cast("double") / pick(2, "tot")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            (pick(3, "tot") - pick(3, "nd")).cast("double") / pick(3, "tot")
+        ).alias("dup_trigram_frac"),
+    )
+    return wide.select(
+        "doc_id",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_unigram_frac") > _REP_THRESH["uni"])
+            | (F.col("top_bigram_frac") > _REP_THRESH["bi"])
+            | (F.col("dup_trigram_frac") > _REP_THRESH["tri"])
+        ).alias("repetitive"),
+    )
+
+
+_NOV_BUCKET = 50  # docs per novelty-curve bucket
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest({sql_word_shingles("t", 3)}) AS s FROM toks
+    ),
+    first_seen AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel,
+             CAST(count(*) AS BIGINT) AS total
+      FROM sh JOIN first_seen f ON sh.s = f.s
+      GROUP BY sh.doc_id
+    )
+    SELECT CAST(doc_id // {_NOV_BUCKET} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(CAST(novel AS DOUBLE) / total), 6) AS avg_novelty
+    FROM per_doc
+    GROUP BY 1
+    """,
+    tags=("B24", "B7", "mining"),
+    doc="Corpus-growth novelty decay: for each document (in doc_id "
+    "ingestion order) the fraction of its distinct trigrams never "
+    "seen in any earlier document, averaged per "
+    f"{_NOV_BUCKET}-document bucket — the 'is new data still adding "
+    "information?' curve a collection pipeline watches to decide "
+    "when a source is mined out.  First-occurrence is one "
+    "min-aggregate over the exploded shingle stream (map-side "
+    "combinable), membership is a shingle-key equi join of that "
+    "dictionary back to the stream — at 100 TB both shuffles key on "
+    "the shingle hash, uniformly distributed by construction, and "
+    "the curve output is |corpus|/bucket rows.  Per-doc ratios are "
+    "exact integer divisions; only the bucket AVERAGE (an "
+    "order-dependent float sum) is rounded.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s")
+    )
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            (F.col("doc_id") / _NOV_BUCKET)
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("novel").cast("double") / F.col("total")), 6
+            ).alias("avg_novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# source reweighting for corpus mixing
+# ---------------------------------------------------------------------------
+
+_MIX_CAP = 5.0  # max upsampling epochs before a source is flagged
+
+
+@register(
+    "source_mixing_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per
+    )
+    SELECT source, tokens, n_docs,
+           round(CAST(tokens AS DOUBLE) / all_tokens, 6) AS share,
+           round((1.0 / n_sources)
+                 / (CAST(tokens AS DOUBLE) / all_tokens), 6) AS weight,
+           ((1.0 / n_sources) / (CAST(tokens AS DOUBLE) / all_tokens)
+            > {_MIX_CAP}) AS needs_cap
+    FROM per, tot
+    """,
+    tags=("B24", "B7", "mining"),
+    doc="Source reweighting for corpus mixing: per-source token mass, "
+    "its share of the corpus, and the upsampling weight that moves "
+    "the mix to a UNIFORM target distribution (weight = target_share "
+    f"/ current_share), flagging sources needing > {_MIX_CAP} epochs "
+    "— the static form of the mixture-tuning step (DoReMi-style "
+    "methods learn the target; the plumbing is identical).  One "
+    "map-side-combinable aggregate per source + a broadcast 1-row "
+    "total: per-source state regardless of corpus size.  share and "
+    "weight are rounded (float division chains); the cap flag "
+    "compares the UNROUNDED ratio identically in both engines.",
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("long").alias("all_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    share = F.col("tokens").cast("double") / F.col("all_tokens")
+    weight = (1.0 / F.col("n_sources")) / share
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        "n_docs",
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+        (weight > _MIX_CAP).alias("needs_cap"),
+    )

@@ -458,3 +458,21 @@ def test_semantic_dedup_assignment_is_aggregate(spark, sf_dir):
         dedup_semantic_cells(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_skew_salted_join_keys_include_salt(spark, sf_dir):
+    """The salted skew join must actually shuffle on (k, salt): the
+    forced ShuffledHashJoin's partitioning expressions carry the salt
+    column, so the hot key's rows spread across _SALT partitions
+    instead of one straggler."""
+    from scache_spark.operators.extra import skew_salted_join
+
+    plan = (
+        skew_salted_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    # the join-side exchanges hash on both k and salt
+    assert "salt" in plan, plan
