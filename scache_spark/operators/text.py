@@ -1096,7 +1096,12 @@ _REP_THRESH = {"uni": 0.30, "bi": 0.18, "tri": 0.30}
     "of trigram occurrences that are repeats — the standard screens "
     "for degenerate/templated text in a pretraining pipeline "
     "(adapted to newline-free fixture text; the line-dedup variants "
-    "reduce to the same explode-count shape).  ONE tokenizer pass "
+    "reduce to the same explode-count shape).  Completes "
+    "text_repetition_ratio: that sibling computes ONLY the "
+    "duplicate-trigram fraction zero-shuffle in-array; the top-gram "
+    "MASS signals here need true per-gram counts, hence the "
+    "explode+groupBy shape — the two trigram columns must agree "
+    "exactly (pytest cross-check).  ONE tokenizer pass "
     "feeds all three n-gram sizes (a 3-element posexplode tags n "
     "map-side — no per-n re-scan of the text), counts partial-"
     "aggregate on (doc, n, gram), and the doc verdict is a "
@@ -1279,7 +1284,10 @@ _MIX_CAP = 5.0  # max upsampling epochs before a source is flagged
     "the mix to a UNIFORM target distribution (weight = target_share "
     f"/ current_share), flagging sources needing > {_MIX_CAP} epochs "
     "— the static form of the mixture-tuning step (DoReMi-style "
-    "methods learn the target; the plumbing is identical).  One "
+    "methods learn the target; the plumbing is identical).  The "
+    "UP-sampling dual of mixture_sampling_weights, which "
+    "down-samples every source to the smallest one; a real mix uses "
+    "both (cap the upsampled tail, downsample the giants).  One "
     "map-side-combinable aggregate per source + a broadcast 1-row "
     "total: per-source state regardless of corpus size.  share and "
     "weight are rounded (float division chains); the cap flag "

@@ -320,3 +320,33 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
     brute = {r["vec_id"] for r in knn_brute_cosine(spark, sf_dir).collect()}
     assert len(multi & brute) >= len(single & brute)
     assert len(multi) >= len(single)
+
+
+def test_repetition_signals_agree_with_inarray_sibling(spark, sf_dir):
+    """Two independent computations of the duplicate-trigram fraction
+    — text_repetition_ratio's zero-shuffle in-array form and
+    text_repetition_signals' explode+groupBy form — must agree
+    exactly on every document."""
+    from scache_spark.operators.text import (
+        text_repetition_ratio,
+        text_repetition_signals,
+    )
+
+    a = (
+        text_repetition_ratio(spark, sf_dir)
+        .select("doc_id", "rep_ratio")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    b = (
+        text_repetition_signals(spark, sf_dir)
+        .select("doc_id", "dup_trigram_frac")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(a) == len(b)
+    # rep_ratio is 6dp-rounded; the signals column is the exact ratio
+    diff = (a["rep_ratio"] - b["dup_trigram_frac"]).abs()
+    assert float(diff.max()) < 1e-6, diff.sort_values().tail()
