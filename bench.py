@@ -99,9 +99,24 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     _ensure_loaded()
     spark = get_session("scache-spark-bench")
-    # JVM/codegen warmup + parquet footer/reader init so q1 isn't
-    # charged session startup (no query results are precomputed)
+    # Engine warmup so q1 isn't charged session startup: JVM/codegen,
+    # parquet footer/reader init, the shuffle machinery, and the Python
+    # worker pool + Arrow serialization path (pandas UDFs lazily fork
+    # workers on first use — a fixed per-session cost, not a per-query
+    # one).  No query results are precomputed.
     spark.range(1000).count()
+    spark.range(10000).selectExpr("id % 7 k", "id v").groupBy("k").count().count()
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _warm(x):
+        return x + 1
+
+    spark.range(1000).select(_warm("id")).count()
     from scache_spark.catalog import TABLES, load_table
 
     for t in TABLES:
