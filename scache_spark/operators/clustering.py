@@ -335,3 +335,167 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("keep_id").cast("long").alias("canonical_id"),
         F.round(F.max("cos"), 6).alias("max_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve: the index-quality evaluation surface
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = (7, 42, 99)
+_NPROBES = (1, 2, 4)
+
+
+@register(
+    "ann_ivf_nprobe_recall",
+    oracle=f"""
+    WITH {_SQL_ASSIGN0},
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM assign0
+          WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+      SELECT q.q_id, a.vec_id, a.cell,
+             {_sql_l2sq("a.embedding", "q.q_emb")} AS d2q
+      FROM assign0 a, q WHERE a.vec_id <> q.q_id
+    ),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id, row_number() OVER (
+          PARTITION BY q_id ORDER BY d2q ASC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    cellrank AS (
+      SELECT q_id, cell, row_number() OVER (
+        PARTITION BY q_id ORDER BY d2c ASC, cell ASC) AS rn
+      FROM (
+        SELECT q.q_id, s.cell,
+               {_sql_l2sq("s.centroid", "q.q_emb")} AS d2c
+        FROM seeds s, q
+      )
+    ),
+    np AS (SELECT unnest(ARRAY{list(_NPROBES)}) AS nprobe),
+    probes AS (
+      SELECT np.nprobe, c.q_id, c.cell
+      FROM np JOIN cellrank c ON c.rn <= np.nprobe
+    ),
+    cand AS (
+      SELECT p.nprobe, s.q_id, s.vec_id, s.d2q
+      FROM scored s JOIN probes p
+        ON s.q_id = p.q_id AND s.cell = p.cell
+    ),
+    approx AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT nprobe, q_id, vec_id, row_number() OVER (
+          PARTITION BY nprobe, q_id ORDER BY d2q ASC, vec_id ASC) AS rn
+        FROM cand
+      ) WHERE rn <= 10
+    )
+    SELECT a.nprobe,
+           CAST(count(t.vec_id) AS BIGINT) AS hits,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand c
+            WHERE c.nprobe = a.nprobe) AS n_candidates
+    FROM approx a LEFT JOIN truth t
+      ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+    GROUP BY a.nprobe
+    """,
+    tags=("B25", "B10"),
+    doc="IVF index-quality evaluation: for 3 fixed query vectors and "
+    f"nprobe in {_NPROBES}, recall of probe-limited IVF search vs the "
+    "exact top-10 (hits = matched neighbors summed over queries; 30 = "
+    "perfect recall) plus the candidate-scan cost the probe paid — "
+    "the recall/cost trade-off curve an ANN deployment tunes, "
+    "completing the evaluation surface beside lsh_design_curve and "
+    "retrieval_ndcg_at_k.  Scale shape is the real IVF search "
+    "structure: per-(query, cell) top-10 heads first (each window "
+    "partition is ONE index shard's scan — the granularity IVF reads "
+    "anyway), then truth and every nprobe variant re-rank only the "
+    "bounded heads (<=160 rows/query); probe cost is computed from "
+    "per-cell sizes (a 16-row broadcast), never by re-scanning.",
+)
+def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = _assign(e, _centroids(spark, sf_dir)).select(
+        "vec_id", "embedding", "cell"
+    )
+    q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            _l2sq(F.col("embedding"), F.col("q_emb")).alias("d2q"),
+        )
+    )
+    # Stage 1: per-(query, cell) top-10 — the per-shard scan an IVF
+    # index performs; every later top-k re-ranks only these heads.
+    shard_w = Window.partitionBy("q_id", "cell").orderBy(
+        F.col("d2q").asc(), F.col("vec_id").asc()
+    )
+    heads = (
+        scored.withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    truth_w = Window.partitionBy("q_id").orderBy(
+        F.col("d2q").asc(), F.col("vec_id").asc()
+    )
+    truth = (
+        heads.withColumn("rn", F.row_number().over(truth_w))
+        .filter(F.col("rn") <= 10)
+        .select("q_id", "vec_id")
+    )
+    cellrank = (
+        _centroids(spark, sf_dir)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "cell",
+            _l2sq(F.col("centroid"), F.col("q_emb")).alias("d2c"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("d2c").asc(), F.col("cell").asc()
+                )
+            ),
+        )
+    )
+    np_df = spark.createDataFrame(
+        [(n,) for n in _NPROBES], "nprobe int"
+    )
+    probes = np_df.join(
+        F.broadcast(cellrank), F.col("rn") <= F.col("nprobe")
+    ).select("nprobe", "q_id", "cell")
+    approx_w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.col("d2q").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        heads.join(F.broadcast(probes), ["q_id", "cell"])
+        .withColumn("rn", F.row_number().over(approx_w))
+        .filter(F.col("rn") <= 10)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    hits = (
+        approx.join(
+            truth.withColumn("__t", F.lit(1)), ["q_id", "vec_id"], "left"
+        )
+        .groupBy("nprobe")
+        .agg(F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("hits"))
+    )
+    # Probe cost from per-cell sizes (16-row broadcast), minus the
+    # query vector itself (its own cell always ranks first).
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    n_cand = (
+        probes.join(F.broadcast(sizes), "cell", "left")
+        .groupBy("nprobe")
+        .agg(
+            (F.sum(F.coalesce(F.col("sz"), F.lit(0))) - len(_QUERY_IDS))
+            .cast("long")
+            .alias("n_candidates")
+        )
+    )
+    return hits.join(n_cand, "nprobe").select("nprobe", "hits", "n_candidates")

@@ -1,0 +1,204 @@
+"""Corpus-rewriting curation operators (north-star LLM-pipeline depth).
+
+Unlike the pairwise dedup family (`dedup.py`, which *reports*
+duplicate pairs/clusters), these operators follow the C4/RefinedWeb
+convention of REWRITING the corpus: repeated spans are removed from
+every document except the first occurrence, and importance weights
+re-score every document against a target domain (DSIR, Xie et al.
+2023, "Data Selection for Language Models via Importance Resampling"
+— public).  Both are the shapes a 100 TB pretraining pipeline runs
+corpus-wide, so the plans are pure shuffle-on-key dataflows with
+map-side-combinable aggregates and a broadcast-sized model state
+(the 256-bucket feature table), never a per-pair or driver-side pass.
+
+Analog in the reference: corpus-wide rewriting is the same
+"aggregate once, apply everywhere" shape as the reference's shuffle
+statistics plane (MapOutputTracker.scala — per-key sizes aggregated
+once, then consulted by every fetch); here the aggregated state is
+span frequencies / bucket log-ratios instead of block sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scache_spark.catalog import load_table
+from scache_spark.functions import sql_hash64, tokens
+from scache_spark.registry import register
+
+SEG_N = 5  # tokens per (non-overlapping) span
+N_BUCKETS = 256  # hashed-feature buckets for DSIR
+
+
+def _segments(df: DataFrame) -> DataFrame:
+    """(doc_id, seg_idx, seg): consecutive non-overlapping SEG_N-token
+    spans of the lowercased whitespace token stream (last span may be
+    shorter).  Built with sequence+transform+slice so it runs in
+    codegen; the oracle mirrors it with range()+list slicing."""
+    toks = tokens(F.col("text"))
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(SEG_N)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, SEG_N)),
+    )
+    return df.select(
+        "doc_id", F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+_SQL_SEGMENTS = f"""
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+             FROM documents),
+    seg AS (
+      SELECT doc_id, CAST((s - 1) / {SEG_N} AS BIGINT) AS seg_idx,
+             array_to_string(t[s:s+{SEG_N - 1}], ' ') AS seg
+      FROM toks, unnest(range(1, len(t) + 1, {SEG_N})) AS u(s)
+    )
+"""
+
+
+@register(
+    "dedup_span_rewrite",
+    oracle=f"""
+    WITH {_SQL_SEGMENTS},
+    freq AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd, min(doc_id) AS keeper
+      FROM seg GROUP BY seg
+    ),
+    marked AS (
+      SELECT s.doc_id, s.seg,
+             CASE WHEN f.nd >= 2 AND s.doc_id <> f.keeper
+                  THEN 1 ELSE 0 END AS removed
+      FROM seg s JOIN freq f ON s.seg = f.seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN removed = 0 THEN len(seg) ELSE 0 END)
+                + CASE WHEN sum(1 - removed) > 1
+                       THEN sum(1 - removed) - 1 ELSE 0 END
+                AS BIGINT) AS kept_chars
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("B24", "B13"),
+    doc="C4-style span-level corpus REWRITE: every 5-token span that "
+    "occurs in >=2 distinct documents is removed from all but the "
+    "lowest-doc_id occurrence (the deterministic 'keep first' rule); "
+    "per doc, report span/removal counts and the character length of "
+    "the rewritten text.  Differs from the pairwise dedup family: "
+    "this is the corpus-wide mutation pass C4/RefinedWeb actually "
+    "apply.  At 100 TB: one explode, one span-frequency aggregate "
+    "(map-side combinable; state = distinct spans, not pairs), one "
+    "shuffle join back on span, one per-doc aggregate — no pair "
+    "space, no window, no driver state.",
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    seg = _segments(d)
+    freq = seg.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("keeper"),
+    )
+    marked = seg.join(freq, "seg").select(
+        "doc_id",
+        "seg",
+        F.when(
+            (F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper")), 1
+        )
+        .otherwise(0)
+        .alias("removed"),
+    )
+    kept = F.sum(1 - F.col("removed"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        (
+            F.sum(
+                F.when(F.col("removed") == 0, F.length("seg")).otherwise(0)
+            )
+            + F.when(kept > 1, kept - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             {sql_hash64("w")} % {N_BUCKETS} AS bucket
+      FROM tok
+    ),
+    counts AS (
+      SELECT bucket,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t,
+             count(*) AS c_r
+      FROM feat GROUP BY bucket
+    ),
+    totals AS (
+      SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM counts
+    ),
+    ratios AS (
+      SELECT bucket,
+             ln((c_t + 1.0) / (n_t + {N_BUCKETS}))
+             - ln((c_r + 1.0) / (n_r + {N_BUCKETS})) AS logratio
+      FROM counts, totals
+    )
+    SELECT doc_id, round(sum(r.logratio), 6) AS log_weight
+    FROM feat f JOIN ratios r ON f.bucket = r.bucket
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id ASC
+    LIMIT 20
+    """,
+    tags=("B24", "B16"),
+    doc="DSIR importance weights (Xie et al. 2023): hashed-unigram "
+    f"bucket counts ({N_BUCKETS} buckets) for the target domain "
+    "(source='src0') vs the raw corpus, add-one smoothed; each doc "
+    "scores sum over tokens of ln(p_target/p_raw), and the top 20 "
+    "docs by weight are the importance-resampling shortlist.  At "
+    f"100 TB: the model state is ONE {N_BUCKETS}-row log-ratio table "
+    "(a broadcast join onto the token stream), bucket counts and the "
+    "per-doc sum are both map-side combinable, and the final top-20 "
+    "is a TakeOrdered — corpus never passes through a window or a "
+    "driver loop.  Rounded to 6 decimals (ln differs by ~1 ulp "
+    "between libm and the JVM).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id", "source", (hash64("w") % N_BUCKETS).alias("bucket")
+    )
+    counts = feat.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + N_BUCKETS))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + N_BUCKETS))
+        ).alias("logratio"),
+    )
+    scored = (
+        feat.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("logratio"), 6).alias("log_weight"))
+    )
+    return scored.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(
+        20
+    )

@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
     from scache_spark.operators import (  # noqa: F401
         blocks,
         clustering,
+        corpus,
         curation,
         dedup,
         eventlog,
