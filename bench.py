@@ -54,6 +54,9 @@ HEADLINE = [
     "ks_drift_binned",
     "reduce_completion_cdf",
     "stream_transform_with_state_mix",
+    "dedup_span_rewrite",
+    "dsir_importance_weights",
+    "ann_ivf_nprobe_recall",
 ]
 
 

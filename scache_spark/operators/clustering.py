@@ -413,8 +413,15 @@ _NPROBES = (1, 2, 4)
 )
 def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign(e, _centroids(spark, sf_dir)).select(
-        "vec_id", "embedding", "cell"
+    # The assignment subtree feeds THREE branches (query lookup, the
+    # scored scan, per-cell sizes) and the heads feed two (truth +
+    # every nprobe re-rank): materialize each once instead of paying
+    # the broadcast-argmin / shard-scan recompute per branch — the
+    # same eager-localCheckpoint pattern dedup_minhash_pairs uses.
+    assigned = (
+        _assign(e, _centroids(spark, sf_dir))
+        .select("vec_id", "embedding", "cell")
+        .localCheckpoint(eager=True)
     )
     q = assigned.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -438,6 +445,7 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(shard_w))
         .filter(F.col("rn") <= 10)
         .drop("rn")
+        .localCheckpoint(eager=True)
     )
     truth_w = Window.partitionBy("q_id").orderBy(
         F.col("d2q").asc(), F.col("vec_id").asc()

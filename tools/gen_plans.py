@@ -88,6 +88,9 @@ COMMENT = {
     "token_budget_selection": "Global ordered selection as a DISTRIBUTED prefix sum: fixed-range buckets of the sort key cumsum in parallel, a tiny bucket-total table provides offsets — same exact integers as the naive single-partition global window the oracle runs.",
     "curriculum_interleave": "Round-robin curriculum via closed-form position arithmetic (rank-1)*n_sources+source_index: per-source windows only, source index and count broadcast — mixture ratios stay stable through the epoch with no global sort.",
     "attribution_linear_split": "Linear multi-touch attribution: equi-join on user with the 30-minute window as residual filter, per-purchase click count as a window over the SAME shuffle, credit aggregate on top — one exchange chain end to end.",
+    "dedup_span_rewrite": "C4-style corpus REWRITE: one explode to (doc, span), one span-frequency aggregate (map-side combinable — state is distinct spans, never pairs), one shuffle join back on span, one per-doc aggregate. No pair space, no window, no driver state: the whole rewrite is two exchanges over integer-ish rows.",
+    "dsir_importance_weights": "DSIR importance weighting: bucket counts collapse map-side to 256 rows; the log-ratio model BROADCASTS back onto the token stream (the corpus never shuffles for scoring); per-doc sums partial-aggregate and the top-20 is TakeOrderedAndProject.",
+    "ann_ivf_nprobe_recall": "Index-quality evaluation with the real IVF search structure: per-(query, cell) shard top-10 heads first (each window partition = one shard scan), truth and every nprobe variant re-rank ONLY the bounded heads; probe cost comes from a 16-row size table, not a re-scan; reused subtrees (assignment, heads) materialize once via localCheckpoint.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
