@@ -170,35 +170,161 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between libm and the JVM).",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scache_spark.functions import hash64
+    d = load_table(spark, sf_dir, "documents")
+    scored = dsir_weights(d, F.col("source") == "src0")
+    return scored.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+
+
+_PPL_BINS = 512  # fine equal-width bins feeding the tertile map
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+              FROM toks GROUP BY tok),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+    perdoc AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             round(avg(-ln(n_tok * 1.0 / n_total)), 6) AS s
+      FROM toks JOIN vocab USING (tok), total
+      GROUP BY doc_id
+    ),
+    rng AS (SELECT min(s) AS mn, max(s) AS mx FROM perdoc),
+    binned AS (
+      SELECT doc_id, lang, s,
+             CAST(least(floor((s - mn) / ((mx - mn) / {_PPL_BINS}.0)),
+                        {_PPL_BINS - 1}) AS INT) AS bin
+      FROM perdoc, rng
+    ),
+    hist AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+    cum AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin) AS cum,
+             (SELECT sum(c) FROM hist) AS n
+      FROM hist
+    ),
+    bmap AS (
+      SELECT bin, CASE CAST((3 * cum + n - 1) // n AS INT)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+      FROM cum
+    )
+    SELECT b.bucket, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(d.s), 6) AS mean_surprisal
+    FROM binned d JOIN bmap b ON d.bin = b.bin
+    GROUP BY b.bucket, d.lang
+    """,
+    tags=("B24", "B20"),
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): each "
+    "document's unigram-LM surprisal assigns it to the head / middle "
+    "/ tail third of the corpus quality distribution, reported per "
+    "language — the standard pre-filter that keeps 'head' for "
+    "training and drops or downsamples 'tail'.  The tertile "
+    "boundaries are computed WITHOUT a global sort: surprisals land "
+    f"in {_PPL_BINS} deterministic equal-width fine bins (broadcast "
+    "min/max), the <=64-row cumulative histogram maps fine bins to "
+    "tertiles by integer arithmetic, and docs join the 64-row map "
+    "broadcast — the same scan-assign shape as "
+    "equi_depth_hist_binning, exact in both engines.",
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.functions import bounded_window
 
     d = load_table(spark, sf_dir, "documents")
-    feat = d.select(
-        "doc_id",
-        "source",
-        F.explode(tokens(F.col("text"))).alias("w"),
-    ).select(
-        "doc_id", "source", (hash64("w") % N_BUCKETS).alias("bucket")
+    toks = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    perdoc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.round(
+                F.avg(-F.log(F.col("n_tok") * 1.0 / F.col("n_total"))), 6
+            ).alias("s"),
+        )
     )
+    rng = perdoc.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / float(_PPL_BINS)
+    binned = perdoc.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "lang",
+        "s",
+        F.least(
+            F.floor((F.col("s") - F.col("mn")) / width), F.lit(_PPL_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "bin",
+        F.sum("c")
+        .over(
+            bounded_window("bin", "bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    tot = hist.agg(F.sum("c").alias("n"))
+    bmap = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.when(F.expr("CAST((3 * cum + n - 1) div n AS INT)") == 1, "head")
+        .when(F.expr("CAST((3 * cum + n - 1) div n AS INT)") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        binned.join(F.broadcast(bmap), "bin")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, is_target: Column, n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Reusable DSIR scorer: per-doc log importance weight of every
+    document in ``docs`` (columns doc_id, text) against the target
+    subset selected by ``is_target``.  Returns (doc_id, log_weight);
+    the registered query wraps it with the fixture's target predicate
+    and a TakeOrdered shortlist.  Plan shape as documented on
+    ``dsir_importance_weights``."""
+    from scache_spark.functions import hash64
+
+    feat = docs.select(
+        "doc_id",
+        is_target.alias("__t"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select("doc_id", "__t", (hash64("w") % n_buckets).alias("bucket"))
     counts = feat.groupBy("bucket").agg(
-        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
         F.count(F.lit(1)).alias("c_r"),
     )
-    totals = counts.agg(
-        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
-    )
+    totals = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
     ratios = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
-            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + N_BUCKETS))
-            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + N_BUCKETS))
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + n_buckets))
+            - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + n_buckets))
         ).alias("logratio"),
     )
-    scored = (
+    return (
         feat.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(F.round(F.sum("logratio"), 6).alias("log_weight"))
-    )
-    return scored.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc()).limit(
-        20
     )

@@ -350,3 +350,80 @@ def test_repetition_signals_agree_with_inarray_sibling(spark, sf_dir):
     # rep_ratio is 6dp-rounded; the signals column is the exact ratio
     diff = (a["rep_ratio"] - b["dup_trigram_frac"]).abs()
     assert float(diff.max()) < 1e-6, diff.sort_values().tail()
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """More probed cells can only help: hits and candidate counts must
+    be nondecreasing in nprobe, and nprobe=16 (all cells) would be
+    exact — at nprobe=4 recall must already be positive."""
+    from scache_spark.operators.clustering import ann_ivf_nprobe_recall
+
+    rows = {
+        r["nprobe"]: r
+        for r in ann_ivf_nprobe_recall(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["hits"] <= rows[2]["hits"] <= rows[4]["hits"]
+    assert rows[1]["n_candidates"] < rows[2]["n_candidates"] < rows[4]["n_candidates"]
+    assert rows[4]["hits"] > 0
+
+
+def test_span_rewrite_conservation(spark, sf_dir):
+    """Span accounting invariants: removals never exceed spans, kept
+    chars never exceed the original text length, docs with zero
+    removals keep exactly their (lowercased) text length, and at least
+    one doc has a span removed (the fixture vocabulary guarantees
+    cross-doc repeats)."""
+    import pyspark.sql.functions as F
+
+    from scache_spark.catalog import load_table
+    from scache_spark.operators.corpus import dedup_span_rewrite
+
+    out = dedup_span_rewrite(spark, sf_dir)
+    orig = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length(F.lower(F.col("text"))).alias("orig_chars")
+    )
+    j = out.join(orig, "doc_id").cache()
+    assert j.filter(F.col("n_removed") > F.col("n_spans")).count() == 0
+    assert j.filter(F.col("kept_chars") > F.col("orig_chars")).count() == 0
+    assert (
+        j.filter(
+            (F.col("n_removed") == 0)
+            & (F.col("kept_chars") != F.col("orig_chars"))
+        ).count()
+        == 0
+    )
+    assert j.filter(F.col("n_removed") > 0).count() > 0
+    j.unpersist()
+
+
+def test_dsir_weights_enrich_planted_domain(spark):
+    """On a corpus with a REAL domain signal (the fixture vocabulary is
+    uniform across sources, so the registered query's ordering there is
+    oracle-checked but statistically flat), DSIR weights must rank
+    target-vocabulary docs above background docs: plant 30 'science'
+    docs and 70 'sports' docs, mark 10 science docs as the target
+    sample, and require the top-20 by weight to be science-heavy."""
+    import pyspark.sql.functions as F
+
+    from scache_spark.operators.corpus import dsir_weights
+
+    sci = "atom laser quark photon tensor orbit plasma neutron"
+    spo = "goal match pitch score team league keeper striker"
+    rows = [
+        (i, f"{sci} {sci} atom tensor", i < 10)  # 0-29 science; 0-9 target
+        if i < 30
+        else (i, f"{spo} {spo} goal team", False)
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    top = (
+        dsir_weights(docs, F.col("is_target"))
+        .orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .collect()
+    )
+    science_in_top = sum(1 for r in top if r["doc_id"] < 30)
+    assert science_in_top == 20, science_in_top
