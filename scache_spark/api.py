@@ -34,6 +34,9 @@ __all__ = [
     "train_val_test_split",
     "bm25_score",
     "semantic_dedup",
+    "span_dedup_rewrite",
+    "dsir_score",
+    "perplexity_buckets",
 ]
 
 
@@ -467,4 +470,160 @@ def semantic_dedup(
     )
     return pairs.groupBy("dup_id", "cell").agg(
         F.min("keep_id").alias("canonical_id"), F.round(F.max("cos"), 6).alias("max_cosine")
+    )
+
+
+def span_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style corpus REWRITE: remove every ``span_tokens``-token
+    span that occurs in >= ``min_docs`` distinct documents from all
+    but the lowest-id occurrence, and return (id_col, text_col) with
+    the rewritten text (surviving spans rejoined in order).
+
+    Scale shape (cf. the oracle-checked ``corpus.dedup_span_rewrite``,
+    which reports the same pass as per-doc accounting): one explode,
+    one span-frequency aggregate whose state is distinct spans (never
+    pairs), one shuffle join back on span, one per-doc ordered
+    reassembly — no pair space, no window over the corpus.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(span_tokens)),
+        lambda s: F.concat_ws(" ", F.slice(toks, s, span_tokens)),
+    )
+    seg = df.select(
+        F.col(id_col), F.posexplode(segs).alias("__idx", "__seg")
+    )
+    freq = seg.groupBy("__seg").agg(
+        F.countDistinct(id_col).alias("__nd"),
+        F.min(id_col).alias("__keeper"),
+    )
+    kept = seg.join(freq, "__seg").filter(
+        (F.col("__nd") < min_docs) | (F.col(id_col) == F.col("__keeper"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__idx", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+        ).alias(text_col)
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weight (Xie et al. 2023) of every document
+    against the target subset selected by ``is_target``: hashed-unigram
+    bucket counts, add-one smoothed, per-doc sum of ln(p_t/p_r).
+    Returns (id_col, log_weight); rank descending and keep the head to
+    importance-resample.  Model state is one ``n_buckets``-row
+    broadcast; everything else partial-aggregates (cf. the
+    oracle-checked ``corpus.dsir_importance_weights``)."""
+    from scache_spark.functions import hash64
+
+    feat = df.select(
+        F.col(id_col),
+        is_target.alias("__t"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
+    ).select(id_col, "__t", (hash64("__w") % n_buckets).alias("__b"))
+    counts = feat.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.count(F.lit(1)).alias("__cr"),
+    )
+    totals = counts.agg(F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr"))
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__ct") + 1.0) / (F.col("__nt") + n_buckets))
+            - F.log((F.col("__cr") + 1.0) / (F.col("__nr") + n_buckets))
+        ).alias("__lr"),
+    )
+    return (
+        feat.join(F.broadcast(ratios), "__b")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__lr"), 6).alias("log_weight"))
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    fine_bins: int = 512,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score each
+    document's unigram-LM surprisal against the corpus itself and
+    assign it to the 'head' / 'middle' / 'tail' third of the
+    distribution.  Returns (id_col, surprisal, bucket).
+
+    The tertile boundaries need NO global sort: surprisals land in
+    ``fine_bins`` equal-width bins (broadcast min/max), the tiny
+    cumulative histogram maps bins to tertiles with integer
+    arithmetic, and docs join the bin->bucket map broadcast (cf. the
+    oracle-checked ``corpus.ccnet_perplexity_buckets``)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w")
+    )
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__n"))
+    total = toks.agg(F.count(F.lit(1)).alias("__nt"))
+    perdoc = (
+        toks.join(F.broadcast(vocab), "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log(F.col("__n") * 1.0 / F.col("__nt"))), 6).alias(
+                "surprisal"
+            )
+        )
+    )
+    rng = perdoc.agg(F.min("surprisal").alias("__mn"), F.max("surprisal").alias("__mx"))
+    width = (F.col("__mx") - F.col("__mn")) / float(fine_bins)
+    binned = perdoc.crossJoin(F.broadcast(rng)).select(
+        id_col,
+        "surprisal",
+        F.least(
+            F.floor((F.col("surprisal") - F.col("__mn")) / width),
+            F.lit(fine_bins - 1),
+        )
+        .cast("int")
+        .alias("__bin"),
+    )
+    hist = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
+    from scache_spark.functions import bounded_window
+
+    cum = hist.select(
+        "__bin",
+        F.sum("__c")
+        .over(
+            bounded_window("__bin", "__bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("__cum"),
+    )
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    tert = F.expr("CAST((3 * __cum + __n - 1) div __n AS INT)")
+    bmap = cum.crossJoin(F.broadcast(tot)).select(
+        "__bin",
+        F.when(tert == 1, "head").when(tert == 2, "middle").otherwise("tail").alias(
+            "bucket"
+        ),
+    )
+    return binned.join(F.broadcast(bmap), "__bin").select(
+        id_col, "surprisal", "bucket"
     )

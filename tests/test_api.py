@@ -218,3 +218,52 @@ def test_semantic_dedup_blocks_by_centroid(spark):
     assert all(
         (d >= 2) == (c >= 2) for d, c in dup_map.items() if d != 10
     )
+
+
+def test_span_dedup_rewrite_removes_shared_span_keep_first(spark):
+    shared = "alpha beta gamma delta epsilon"  # exactly one 5-token span
+    rows = [
+        (1, shared + " one two three four five"),
+        (2, shared + " six seven eight nine ten"),
+        (3, "totally unrelated words appear here only once ever more now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc", "body"])
+    out = (
+        api.span_dedup_rewrite(df, "doc", "body")
+        .toPandas()
+        .set_index("doc")["body"]
+    )
+    # doc 1 is the keeper: full text survives
+    assert out[1] == rows[0][1]
+    # doc 2 loses the shared span but keeps its tail span
+    assert out[2] == "six seven eight nine ten"
+    assert out[3] == rows[2][1]
+
+
+def test_dsir_score_separates_planted_vocabularies(spark):
+    rows = [(i, "atom laser quark photon tensor", i < 5) for i in range(10)] + [
+        (i, "goal match pitch score team", False) for i in range(10, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc long, body string, tgt boolean")
+    w = api.dsir_score(df, "doc", "body", F.col("tgt")).toPandas().set_index("doc")[
+        "log_weight"
+    ]
+    assert w[w.index < 10].min() > w[w.index >= 10].max()
+
+
+def test_perplexity_buckets_orders_by_surprisal(spark):
+    # Three surprisal levels sized 3/3/4: the common-word docs must be
+    # 'head', the mid-frequency docs 'middle', the hapax docs 'tail'
+    # (a fine bin is labeled by the tertile of its LAST element — the
+    # same convention as equi_depth_hist_binning).
+    rows = (
+        [(i, "a a a a a a") for i in range(3)]
+        + [(i, "b b b") for i in range(3, 6)]
+        + [(i, f"u{i}x u{i}y") for i in range(6, 10)]
+    )
+    df = spark.createDataFrame(rows, ["doc", "body"])
+    out = api.perplexity_buckets(df, "doc", "body").toPandas().set_index("doc")
+    assert set(out[out.index < 3]["bucket"]) == {"head"}
+    assert set(out[(out.index >= 3) & (out.index < 6)]["bucket"]) == {"middle"}
+    assert set(out[out.index >= 6]["bucket"]) == {"tail"}
+    assert out["surprisal"].loc[0] < out["surprisal"].loc[3] < out["surprisal"].loc[6]
