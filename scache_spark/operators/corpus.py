@@ -328,3 +328,204 @@ def dsir_weights(
         .groupBy("doc_id")
         .agg(F.round(F.sum("logratio"), 6).alias("log_weight"))
     )
+
+
+@register(
+    "tokenizer_fertility_stats",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(lower(text), ' ')) AS n_words,
+             list_aggregate([CAST((len(w) + 3) // 4 AS BIGINT)
+                             for w in string_split(lower(text), ' ')],
+                            'sum') AS n_sub,
+             list_aggregate([CAST(len(w) AS BIGINT)
+                             for w in string_split(lower(text), ' ')],
+                            'sum') AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+           round(sum(n_sub) * 1.0 / sum(n_words), 6) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_sub), 6) AS bytes_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("B24", "B14"),
+    doc="Tokenizer fertility audit per language: words, subword count "
+    "under a fixed-width proxy scheme (ceil(len/4) pieces per word — "
+    "the deterministic stand-in for a BPE vocabulary), fertility "
+    "(subwords per word) and bytes per subword — the per-language "
+    "cost numbers a tokenizer choice is evaluated on before a "
+    "pretraining run.  Zero token shuffle: subword and byte counts "
+    "fold INSIDE the token array with higher-order functions (one "
+    "narrow projection), so the only exchange is the |langs|-row "
+    "final aggregate.",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("n_words"),
+        fold(
+            F.transform(toks, lambda w: ((F.length(w) + 3) / 4).cast("long"))
+        ).alias("n_sub"),
+        fold(F.transform(toks, lambda w: F.length(w).cast("long"))).alias(
+            "n_chars"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subwords"),
+        F.round(F.sum("n_sub") * 1.0 / F.sum("n_words"), 6).alias("fertility"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_sub"), 6).alias(
+            "bytes_per_subword"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training rounds: tokenizer construction as a dataflow
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 2
+
+_SQL_BPE_VOCAB = """
+    vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    seq0 AS (
+      SELECT w, freq,
+             array_to_string([w[i] for i in range(1, len(w) + 1)], ' ') AS s
+      FROM vocab
+    )
+"""
+
+
+def _sql_bpe_round(prev: str, rnd: int) -> str:
+    """One unrolled BPE round over the DuckDB seq table ``prev``."""
+    return f"""
+    pairs{rnd} AS (
+      SELECT p AS pair, sum(freq) AS pf FROM (
+        SELECT freq, unnest([sy[i] || ' ' || sy[i + 1]
+                             for i in range(1, len(sy))]) AS p
+        FROM (SELECT freq, string_split(s, ' ') AS sy FROM {prev})
+      ) GROUP BY p
+    ),
+    win{rnd} AS (
+      SELECT pair, pf FROM pairs{rnd}
+      ORDER BY pf DESC, pair ASC LIMIT 1
+    ),
+    seq{rnd} AS (
+      SELECT v.w, v.freq,
+             trim(replace(replace(' ' || v.s || ' ',
+                                  ' ' || win{rnd}.pair || ' ',
+                                  ' ' || replace(win{rnd}.pair, ' ', '') || ' '),
+                          ' ' || win{rnd}.pair || ' ',
+                          ' ' || replace(win{rnd}.pair, ' ', '') || ' ')) AS s
+      FROM {prev} v, win{rnd}
+    )
+    """
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=f"""
+    WITH {_SQL_BPE_VOCAB},
+    {_sql_bpe_round("seq0", 1)},
+    {_sql_bpe_round("seq1", 2)}
+    SELECT 1 AS round, pair AS merged_pair, CAST(pf AS BIGINT) AS pair_freq
+    FROM win1
+    UNION ALL
+    SELECT 2 AS round, pair AS merged_pair, CAST(pf AS BIGINT) AS pair_freq
+    FROM win2
+    """,
+    tags=("B24", "B7"),
+    doc=f"BPE tokenizer training, first {_BPE_ROUNDS} merge rounds, as "
+    "a distributed dataflow (Sennrich et al. 2016): the corpus "
+    "collapses once to a (word, freq) vocabulary; each round counts "
+    "adjacent symbol pairs weighted by word frequency (map-side "
+    "combinable — pair space is bounded by vocabulary text, never "
+    "corpus size), picks the winner (1-row TakeOrdered, ties broken "
+    "lexicographically), and applies the merge with two sentinel-"
+    "padded literal replaces (two passes = the greedy left-to-right "
+    "BPE application, identical non-overlapping scan semantics in "
+    "both engines).  At 100 TB only the initial vocab aggregate "
+    "touches the corpus; every round runs on the vocabulary table "
+    "with the winning merge broadcast — exactly how distributed BPE "
+    "trainers iterate.",
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seq = vocab.select(
+        "w",
+        "freq",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' ')"
+        ).alias("s"),
+    )
+    outs = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            seq.select(
+                "freq",
+                F.explode(
+                    # guard: Spark's sequence(1, 0) counts DOWN, so a
+                    # 1-symbol word must short-circuit to an empty list
+                    F.expr(
+                        "CASE WHEN size(split(s, ' ')) >= 2 THEN"
+                        " transform(sequence(1, size(split(s, ' ')) - 1),"
+                        " i -> concat(element_at(split(s, ' '), i), ' ',"
+                        " element_at(split(s, ' '), i + 1)))"
+                        " ELSE array() END"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pf"))
+        )
+        win = pairs.orderBy(F.col("pf").desc(), F.col("pair").asc()).limit(1)
+        outs.append(
+            win.select(
+                F.lit(rnd).alias("round"),
+                F.col("pair").alias("merged_pair"),
+                F.col("pf").cast("long").alias("pair_freq"),
+            )
+        )
+        rep = F.concat(
+            F.lit(" "), F.regexp_replace(F.col("pair"), " ", ""), F.lit(" ")
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        merged = seq.crossJoin(
+            F.broadcast(win.select("pair"))
+        ).select(
+            "w",
+            "freq",
+            F.trim(
+                F.replace(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("s"), F.lit(" ")), pat, rep
+                    ),
+                    pat,
+                    rep,
+                )
+            ).alias("s"),
+        )
+        seq = merged
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
