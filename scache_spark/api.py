@@ -590,6 +590,10 @@ def perplexity_buckets(
                 "surprisal"
             )
         )
+        # materialized once: four downstream branches would otherwise
+        # recompute the tokenize+vocab-join subtree (cf. the registry
+        # twin ccnet_perplexity_buckets)
+        .localCheckpoint(eager=True)
     )
     rng = perdoc.agg(F.min("surprisal").alias("__mn"), F.max("surprisal").alias("__mx"))
     width = (F.col("__mx") - F.col("__mn")) / float(fine_bins)

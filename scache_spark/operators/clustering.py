@@ -489,7 +489,9 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         approx.join(
-            truth.withColumn("__t", F.lit(1)), ["q_id", "vec_id"], "left"
+            F.broadcast(truth.withColumn("__t", F.lit(1))),
+            ["q_id", "vec_id"],
+            "left",
         )
         .groupBy("nprobe")
         .agg(F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("hits"))
@@ -506,4 +508,6 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_candidates")
         )
     )
-    return hits.join(n_cand, "nprobe").select("nprobe", "hits", "n_candidates")
+    return hits.join(F.broadcast(n_cand), "nprobe").select(
+        "nprobe", "hits", "n_candidates"
+    )

@@ -243,6 +243,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    # One surprisal row per doc, MATERIALIZED once: four downstream
+    # branches (range, binning, histogram, final rollup) would each
+    # recompute the tokenize+vocab-join subtree otherwise (plan-lint
+    # counted 26 exchanges without this; ~7 with it).
     perdoc = (
         toks.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(total))
@@ -253,6 +257,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(-F.log(F.col("n_tok") * 1.0 / F.col("n_total"))), 6
             ).alias("s"),
         )
+        .localCheckpoint(eager=True)
     )
     rng = perdoc.agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / float(_PPL_BINS)
@@ -266,7 +271,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     )
-    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=True
+    )
     cum = hist.select(
         "bin",
         F.sum("c")
