@@ -1,9 +1,10 @@
 """End-to-end corpus curation demo on the composable API.
 
 Reads the documents fixture, then: quality gate -> exact dedup ->
-near-dup pair detection -> canonical survivor selection -> shard
-assignment — the whole 100 TB training-data funnel in ~40 lines of
-API calls, each stage a lazy DataFrame Catalyst optimizes across.
+cross-doc span rewrite -> perplexity tail drop -> near-dup pair
+detection -> canonical survivor selection -> DSIR domain scoring ->
+shard assignment — the whole 100 TB training-data funnel in API
+calls, each stage a lazy DataFrame Catalyst optimizes across.
 
 Run: python examples/corpus_pipeline.py [sf_dir]
 """
@@ -40,6 +41,25 @@ def main(sf_dir: str) -> None:
     # 2. exact dedup (hash-before-shuffle: text never moves)
     exact = api.exact_dedup(gated, "text", "doc_id")
     n2 = exact.count()
+
+    # 2b. CCNet-style perplexity gate on the original text: drop the
+    #     worst third of the quality distribution
+    buckets = api.perplexity_buckets(exact, "doc_id", "text")
+    exact = exact.join(
+        buckets.filter(F.col("bucket") != "tail").select("doc_id"), "doc_id"
+    )
+
+    # 2c. C4-style span rewrite: repeated cross-doc spans are removed
+    #     keep-first; the rewritten text feeds every later stage, so
+    #     quality token counts are recomputed on it
+    rewritten = api.span_dedup_rewrite(
+        exact.select("doc_id", "text"), "doc_id", "text"
+    )
+    exact = api.quality_signals(
+        rewritten.join(exact.select("doc_id", "source"), "doc_id"),
+        "text",
+    )
+    n2b = exact.count()
 
     # 3. near-dup pairs via MinHash banding, then canonical selection:
     #    keep the highest-quality doc (most tokens, min id) per pair
@@ -79,6 +99,17 @@ def main(sf_dir: str) -> None:
     )
     n3 = survivors.count()
 
+    # 3b. DSIR: score every survivor against the src0 target domain —
+    #     the weights would drive importance resampling at ingestion
+    weights = api.dsir_score(
+        survivors, "doc_id", "text", F.col("source") == "src0"
+    )
+    top_w = (
+        weights.orderBy(F.col("log_weight").desc(), F.col("doc_id").asc())
+        .limit(3)
+        .collect()
+    )
+
     # 4. deterministic shard assignment for training ingestion
     sharded = survivors.withColumn(
         "shard",
@@ -90,7 +121,9 @@ def main(sf_dir: str) -> None:
     per_shard = sharded.groupBy("shard").count().orderBy("shard")
 
     print(f"ingested={n0} quality_gated={n1} exact_deduped={n2} "
-          f"near_deduped={n3}")
+          f"span_rewritten_ppl_gated={n2b} near_deduped={n3}")
+    print("  top DSIR docs:",
+          [(r["doc_id"], r["log_weight"]) for r in top_w])
     for row in per_shard.collect():
         print(f"  shard {row['shard']}: {row['count']} docs")
 

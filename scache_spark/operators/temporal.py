@@ -1018,3 +1018,149 @@ def interval_union_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("island_end") - F.col("island_start")) / 60000000.0, 4
         ).alias("active_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# z-normalized subsequence similarity search (data-series search shape)
+# ---------------------------------------------------------------------------
+
+_SS_LEN = 7  # subsequence length (days)
+
+
+@register(
+    "tseries_subsequence_topk",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY event_type, day
+    ),
+    series AS (
+      SELECT event_type, list(total ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ),
+    qref AS (
+      SELECT vals[1:{_SS_LEN}] AS qw FROM series WHERE event_type = 'click'
+    ),
+    qstats AS (
+      SELECT qw,
+             list_aggregate(qw, 'sum') / {_SS_LEN}.0 AS qmu,
+             sqrt(list_aggregate([x * x for x in qw], 'sum') / {_SS_LEN}.0
+                  - (list_aggregate(qw, 'sum') / {_SS_LEN}.0)
+                    * (list_aggregate(qw, 'sum') / {_SS_LEN}.0)) AS qsd
+      FROM qref
+    ),
+    wins AS (
+      SELECT s.event_type, u.st,
+             s.vals[u.st:u.st + {_SS_LEN - 1}] AS win
+      FROM series s,
+           unnest(range(1, len(s.vals) - {_SS_LEN - 2})) AS u(st)
+      WHERE len(s.vals) >= {_SS_LEN}
+    ),
+    wstats AS (
+      SELECT event_type, st, win,
+             list_aggregate(win, 'sum') / {_SS_LEN}.0 AS mu,
+             sqrt(list_aggregate([x * x for x in win], 'sum') / {_SS_LEN}.0
+                  - (list_aggregate(win, 'sum') / {_SS_LEN}.0)
+                    * (list_aggregate(win, 'sum') / {_SS_LEN}.0)) AS sd
+      FROM wins
+    ),
+    scored AS (
+      SELECT w.event_type, CAST(w.st AS INT) AS start_idx,
+             round(list_aggregate(
+               [((w.win[i] - w.mu) / w.sd - (q.qw[i] - q.qmu) / q.qsd)
+                * ((w.win[i] - w.mu) / w.sd - (q.qw[i] - q.qmu) / q.qsd)
+                for i in range(1, {_SS_LEN} + 1)], 'sum'), 6) AS zdist
+      FROM wstats w, qstats q
+      WHERE w.sd > 0 AND q.qsd > 0
+        AND NOT (w.event_type = 'click' AND w.st = 1)
+    )
+    SELECT event_type, start_idx, zdist FROM scored
+    ORDER BY zdist ASC, event_type ASC, start_idx ASC
+    LIMIT 5
+    """,
+    tags=("B25", "B17", "temporal"),
+    doc="Distributed data-series similarity search (the "
+    f"REPOSE/Odyssey shape): every length-{_SS_LEN} sliding window of "
+    "each event-type's daily-total series is z-normalized and scored "
+    "by Euclidean distance against the z-normalized query pattern "
+    "(the click series' first week, broadcast 1-row); exact top-5 via "
+    "TakeOrdered, self-match excluded.  Scale: the raw stream "
+    "collapses map-side to per-(type, day) totals — per-series state "
+    "is the day count, never event count; windows and their moments "
+    "fold INSIDE the bounded array; the quadratic part is "
+    "|series|x|windows|, both bounded.  Rounded daily (4dp) and on "
+    "the distance (6dp) so both engines rank identical doubles.",
+)
+def tseries_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L = _SS_LEN
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "total"))),
+            lambda s: s["total"],
+        ).alias("vals")
+    )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _stats(win):
+        mu = _fold(win) / float(L)
+        sd = F.sqrt(_fold(F.transform(win, lambda x: x * x)) / float(L) - mu * mu)
+        return mu, sd
+
+    q = series.filter(F.col("event_type") == "click").select(
+        F.slice("vals", 1, L).alias("qw")
+    )
+    qmu, qsd = _stats(F.col("qw"))
+    q = q.select("qw", qmu.alias("qmu"), qsd.alias("qsd"))
+
+    wins = (
+        series.filter(F.size("vals") >= L)
+        .select(
+            "event_type",
+            "vals",
+            F.explode(
+                F.sequence(F.lit(1), F.size("vals") - (L - 1))
+            ).alias("st"),
+        )
+        .select("event_type", "st", F.slice("vals", F.col("st"), L).alias("win"))
+    )
+    wmu, wsd = _stats(F.col("win"))
+    wstats = wins.select("event_type", "st", "win", wmu.alias("mu"), wsd.alias("sd"))
+    scored = (
+        wstats.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("sd") > 0)
+            & (F.col("qsd") > 0)
+            & ~((F.col("event_type") == "click") & (F.col("st") == 1))
+        )
+        .select(
+            "event_type",
+            F.col("st").cast("int").alias("start_idx"),
+            F.round(
+                _fold(
+                    F.zip_with(
+                        "win",
+                        "qw",
+                        lambda x, y: (
+                            (x - F.col("mu")) / F.col("sd")
+                            - (y - F.col("qmu")) / F.col("qsd")
+                        )
+                        * (
+                            (x - F.col("mu")) / F.col("sd")
+                            - (y - F.col("qmu")) / F.col("qsd")
+                        ),
+                    )
+                ),
+                6,
+            ).alias("zdist"),
+        )
+    )
+    return scored.orderBy(
+        F.col("zdist").asc(), F.col("event_type").asc(), F.col("start_idx").asc()
+    ).limit(5)
