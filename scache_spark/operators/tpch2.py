@@ -371,11 +371,14 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val")
         )
     )
-    from pyspark.sql.window import Window
-
-    thr = F.round(F.sum("val").over(Window.partitionBy()) * 0.001, 2)
+    # Scalar threshold as a 1-row aggregate broadcast back — NOT a
+    # Window.partitionBy() over the per-partkey frame, which is
+    # SF-proportional and would single-partition at 100 TB.  Both
+    # branches hang off the same groupBy exchange, so ReuseExchange
+    # scans lineitem once.
+    tot = v.agg(F.round(F.sum("val") * 0.001, 2).alias("thr"))
     return (
-        v.withColumn("thr", thr)
+        v.crossJoin(F.broadcast(tot))
         .filter(F.col("val") > F.col("thr"))
         .select("l_partkey", "val")
     )
@@ -514,11 +517,12 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    from pyspark.sql.window import Window
-
-    mx = F.max("total_revenue").over(Window.partitionBy())
+    # Scalar max as a 1-row broadcast aggregate (the per-supplier frame
+    # is SF-proportional — a global window over it would single-
+    # partition at scale); ReuseExchange shares the groupBy shuffle.
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", mx)
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
             load_table(spark, sf_dir, "supplier").select(
