@@ -1313,3 +1313,65 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("weight"),
         (weight > _MIX_CAP).alias("needs_cap"),
     )
+
+
+@register(
+    "sentiment_lexicon_score",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             list_aggregate([CASE WHEN w IN ('fast', 'big') THEN 1
+                                  WHEN w IN ('slow', 'small') THEN -1
+                                  ELSE 0 END
+                             for w in string_split(lower(text), ' ')],
+                            'sum') AS polarity,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(polarity * 1.0 / n_tok), 6) AS mean_sentiment,
+           round(sum(CASE WHEN polarity > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS pos_frac
+    FROM scored GROUP BY source
+    """,
+    tags=("B24", "B14"),
+    doc="Lexicon-based sentiment at corpus scale (the EDBT-2016 "
+    "'Large Scale Sentiment Analysis with Spark' shape): each doc's "
+    "polarity is the sum of +1/-1 lexicon hits over its tokens, "
+    "normalized by length; per-source mean sentiment and "
+    "positive-doc fraction.  The lexicon folds INSIDE the token "
+    "array as literal IN-sets (constant-size, no lookup-table join "
+    "needed at this lexicon size; a broadcast join replaces the "
+    "literals when the lexicon outgrows the plan) — one narrow "
+    "projection, one |sources|-row aggregate, zero token shuffle.",
+)
+def sentiment_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    polarity = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.when(w.isin("fast", "big"), 1)
+            .when(w.isin("slow", "small"), -1)
+            .otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = d.select(
+        "source",
+        polarity.alias("polarity"),
+        F.size(toks).alias("n_tok"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(F.col("polarity") * 1.0 / F.col("n_tok")), 6).alias(
+            "mean_sentiment"
+        ),
+        F.round(
+            F.sum(F.when(F.col("polarity") > 0, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pos_frac"),
+    )
