@@ -427,3 +427,28 @@ def test_dsir_weights_enrich_planted_domain(spark):
     )
     science_in_top = sum(1 for r in top if r["doc_id"] < 30)
     assert science_in_top == 20, science_in_top
+
+
+def test_observation_metrics_ride_the_flagship_plan(spark, sf_dir):
+    """In-flight pipeline monitoring with zero extra passes: a
+    DataFrame Observation attached to the flagship query's lineage
+    collects row count and revenue total DURING the action — at 100 TB
+    this replaces a second audit scan of the fact table.  The observed
+    numbers must equal a recomputation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from scache_spark.operators.relational import flagship_revenue_by_region
+
+    df = flagship_revenue_by_region(spark, sf_dir)
+    obs = Observation("flagship_audit")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("groups"),
+        F.round(F.sum("revenue"), 2).alias("revenue_total"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["groups"] == n
+    expect = df.agg(F.round(F.sum("revenue"), 2).alias("t")).collect()[0]["t"]
+    assert abs(got["revenue_total"] - expect) < 1e-6
