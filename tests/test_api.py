@@ -153,6 +153,11 @@ def test_api_functions_handle_empty_frames(spark):
     assert api.minhash_pairs(empty_docs, "id", "text").count() == 0
     assert api.quality_signals(empty_docs, "text").count() == 0
     assert api.shard_assign(empty_docs, "id").count() == 0
+    assert api.span_dedup_rewrite(empty_docs, "id", "text").count() == 0
+    assert (
+        api.dsir_score(empty_docs, "id", "text", F.lit(False)).count() == 0
+    )
+    assert api.perplexity_buckets(empty_docs, "id", "text").count() == 0
 
 
 def test_shard_assign_positions_are_dense_per_shard(spark):
