@@ -174,3 +174,69 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rows_exposed_frac"),
     )
+
+
+@register(
+    "deletion_plan_partitions",
+    oracle="""
+    WITH dels AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    per_part AS (
+      SELECT e.event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN d.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM events e LEFT JOIN dels d ON e.user_id = d.user_id
+      GROUP BY e.event_type
+    )
+    SELECT event_type, n_rows, n_hits,
+           round(n_hits * 1.0 / n_rows, 6) AS hit_frac,
+           CASE WHEN n_hits = 0 THEN 'skip'
+                WHEN n_hits * 1.0 / n_rows < 0.05 THEN 'deletion_vector'
+                ELSE 'rewrite' END AS action
+    FROM per_part
+    """,
+    tags=("B21", "B6", "governance"),
+    doc="Right-to-erasure delete PLANNING (the lakehouse deletion-"
+    "vector decision): given a subject-key delete set (user_id "
+    "multiples of 97 — the GDPR request batch), each partition "
+    "reports its hit count and the cheapest compliant action — skip "
+    "untouched partitions, write a deletion vector where hits are "
+    "sparse (<5%), rewrite where dense.  The delete set joins "
+    "broadcast (request batches are small against 100 TB), hit "
+    "counting partial-aggregates per partition key, and the planning "
+    "output is one row per partition — a metadata-scale frame the "
+    "rewrite job consumes.  Complements compaction_plan_ffd (the "
+    "other table-maintenance planner) and the k-anonymity/DP release "
+    "gates on the governance side.",
+)
+def deletion_plan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    dels = (
+        e.filter(F.col("user_id") % 97 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_part = (
+        e.join(F.broadcast(dels), "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+    )
+    frac = F.col("n_hits") * 1.0 / F.col("n_rows")
+    return per_part.select(
+        "event_type",
+        "n_rows",
+        "n_hits",
+        F.round(frac, 6).alias("hit_frac"),
+        F.when(F.col("n_hits") == 0, "skip")
+        .when(frac < 0.05, "deletion_vector")
+        .otherwise("rewrite")
+        .alias("action"),
+    )
