@@ -91,6 +91,13 @@ COMMENT = {
     "dedup_span_rewrite": "C4-style corpus REWRITE: one explode to (doc, span), one span-frequency aggregate (map-side combinable — state is distinct spans, never pairs), one shuffle join back on span, one per-doc aggregate. No pair space, no window, no driver state: the whole rewrite is two exchanges over integer-ish rows.",
     "dsir_importance_weights": "DSIR importance weighting: bucket counts collapse map-side to 256 rows; the log-ratio model BROADCASTS back onto the token stream (the corpus never shuffles for scoring); per-doc sums partial-aggregate and the top-20 is TakeOrderedAndProject.",
     "ann_ivf_nprobe_recall": "Index-quality evaluation with the real IVF search structure: per-(query, cell) shard top-10 heads first (each window partition = one shard scan), truth and every nprobe variant re-rank ONLY the bounded heads; probe cost comes from a 16-row size table, not a re-scan; reused subtrees (assignment, heads) materialize once via localCheckpoint.",
+    "ccnet_perplexity_buckets": "CCNet quality bucketing with NO global sort: per-doc surprisal materializes once (vocab broadcast onto the token stream), tertile boundaries come from a 512-bin cumulative map (bounded window over the histogram), docs join the 64-row bin map broadcast — the equi_depth scan-assign shape at corpus scale.",
+    "tokenizer_fertility_stats": "Tokenizer economics with ZERO token shuffle: subword and byte counts fold inside the token array with higher-order functions (one narrow projection); the only exchange is the |langs|-row final aggregate.",
+    "bpe_merge_rounds": "Distributed BPE training: the corpus collapses ONCE to a (word,freq) vocabulary; each unrolled round counts symbol pairs map-side-combined over the vocab table, the 1-row winning merge broadcasts back, and the merge applies as two sentinel-padded replaces — per-round cost is vocabulary-sized, never corpus-sized.",
+    "tseries_subsequence_topk": "Data-series search: the raw stream collapses map-side to per-(type,day) totals, so per-series state is the DAY count; every window and its moments fold inside the bounded array; the z-distance scoring joins the 1-row broadcast query pattern and the exact top-5 is TakeOrderedAndProject.",
+    "sentiment_lexicon_score": "Lexicon sentiment with the lexicon folded INSIDE the token array as literal IN-sets — one narrow projection, one |sources|-row aggregate, zero token shuffle; a broadcast join replaces the literals when the lexicon outgrows the plan.",
+    "task_host_utilization_align": "The trace-alignment tool as one plan: TaskStart/TaskEnd JSON parse into per-task spans (one groupBy), monitor samples bucket to 60s epochs, and the span overlap is an equi-join on (host, bucket) with BETWEEN as residual — interval alignment with no BroadcastNestedLoopJoin at any scale.",
+    "deletion_plan_partitions": "Delete planning: the subject-key request batch joins BROADCAST, hit counting partial-aggregates per partition key, and the output is one metadata-scale row per partition carrying the skip / deletion-vector / rewrite decision.",
 }
 
 out = ["# PLANS — physical plans of headline queries (sf0.1, local[32])",
