@@ -379,3 +379,110 @@ def size_prediction_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q90", 4).alias("interval_halfwidth"),
         "coverage",
     )
+
+
+_CAL_BINS = 10
+
+
+@register(
+    "size_prediction_calibration",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    per_block AS (
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
+      FROM blocks GROUP BY shuffle, map, reduce
+    ),
+    train AS (SELECT * FROM per_block WHERE map < 4),
+    test  AS (SELECT * FROM per_block WHERE map >= 4),
+    fit AS (
+      SELECT shuffle,
+             regr_slope(sz, reduce) AS slope,
+             regr_intercept(sz, reduce) AS intercept
+      FROM train GROUP BY shuffle
+    ),
+    scored AS (
+      SELECT t.shuffle,
+             round(f.slope * t.reduce + f.intercept, 4) AS pred,
+             t.sz AS actual
+      FROM test t JOIN fit f ON t.shuffle = f.shuffle
+    ),
+    rng AS (
+      SELECT shuffle, min(pred) AS mn, max(pred) AS mx
+      FROM scored GROUP BY shuffle
+    ),
+    binned AS (
+      SELECT s.shuffle,
+             CAST(least(floor((s.pred - r.mn)
+                              / ((r.mx - r.mn) / {_CAL_BINS}.0)),
+                        {_CAL_BINS - 1}) AS INT) AS bin,
+             s.pred, s.actual
+      FROM scored s JOIN rng r ON s.shuffle = r.shuffle
+    ),
+    per_bin AS (
+      SELECT shuffle, bin, count(*) AS n,
+             avg(pred) AS mp, avg(actual) AS ma
+      FROM binned GROUP BY shuffle, bin
+    )
+    SELECT shuffle,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           round(sum(n * abs(mp - ma)) / sum(n), 4) AS ece,
+           round(max(abs(mp - ma)), 4) AS worst_bin_gap
+    FROM per_bin GROUP BY shuffle
+    """,
+    tags=("B26", "A.5", "B20"),
+    doc="Calibration audit of the size predictor (expected calibration "
+    f"error): first-wave-trained predictions bin into {_CAL_BINS} "
+    "equal-width buckets of predicted size (broadcast per-shuffle "
+    "min/max — no sort, no quantile pass), each bin compares mean "
+    "predicted vs mean actual bytes, and ECE is the count-weighted "
+    "mean absolute gap — the 'can the scheduler TRUST the magnitude' "
+    "complement to size_prediction_error's relative error and the "
+    "conformal intervals' coverage.  Predictions rounded to 4dp "
+    "before binning so both engines bucket identical doubles.  All "
+    "aggregates partial-combine; per-shuffle state is 10 bins.",
+)
+def size_prediction_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_block = (
+        block_view(spark, sf_dir)
+        .groupBy("shuffle", "map", "reduce")
+        .agg(F.sum("size").alias("sz"))
+    )
+    train = per_block.filter(F.col("map") < 4)
+    test = per_block.filter(F.col("map") >= 4)
+    fit = train.groupBy("shuffle").agg(
+        F.regr_slope("sz", "reduce").alias("slope"),
+        F.regr_intercept("sz", "reduce").alias("intercept"),
+    )
+    scored = test.join(F.broadcast(fit), "shuffle").select(
+        "shuffle",
+        F.round(
+            F.col("slope") * F.col("reduce") + F.col("intercept"), 4
+        ).alias("pred"),
+        F.col("sz").alias("actual"),
+    )
+    rng = scored.groupBy("shuffle").agg(
+        F.min("pred").alias("mn"), F.max("pred").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / float(_CAL_BINS)
+    binned = scored.join(F.broadcast(rng), "shuffle").select(
+        "shuffle",
+        F.least(
+            F.floor((F.col("pred") - F.col("mn")) / width),
+            F.lit(_CAL_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "pred",
+        "actual",
+    )
+    per_bin = binned.groupBy("shuffle", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("pred").alias("mp"),
+        F.avg("actual").alias("ma"),
+    )
+    gap = F.abs(F.col("mp") - F.col("ma"))
+    return per_bin.groupBy("shuffle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.round(F.sum(F.col("n") * gap) / F.sum("n"), 4).alias("ece"),
+        F.round(F.max(gap), 4).alias("worst_bin_gap"),
+    )
