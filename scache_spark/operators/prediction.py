@@ -453,12 +453,19 @@ def size_prediction_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_slope("sz", "reduce").alias("slope"),
         F.regr_intercept("sz", "reduce").alias("intercept"),
     )
-    scored = test.join(F.broadcast(fit), "shuffle").select(
-        "shuffle",
-        F.round(
-            F.col("slope") * F.col("reduce") + F.col("intercept"), 4
-        ).alias("pred"),
-        F.col("sz").alias("actual"),
+    # scored feeds both the range pass and the binning pass —
+    # materialize once instead of recomputing the block aggregation +
+    # fit join per branch (plan lint: 9 exchanges without, 4 with)
+    scored = (
+        test.join(F.broadcast(fit), "shuffle")
+        .select(
+            "shuffle",
+            F.round(
+                F.col("slope") * F.col("reduce") + F.col("intercept"), 4
+            ).alias("pred"),
+            F.col("sz").alias("actual"),
+        )
+        .localCheckpoint(eager=True)
     )
     rng = scored.groupBy("shuffle").agg(
         F.min("pred").alias("mn"), F.max("pred").alias("mx")
