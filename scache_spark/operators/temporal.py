@@ -1164,3 +1164,105 @@ def tseries_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("zdist").asc(), F.col("event_type").asc(), F.col("start_idx").asc()
     ).limit(5)
+
+
+@register(
+    "seasonal_decompose_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+      SELECT event_type, day, total,
+             round(avg(total) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend,
+             CAST(date_part('dow', day) AS INT) AS dow
+      FROM daily
+    ),
+    seasonal AS (
+      SELECT event_type, dow,
+             round(avg(total - trend), 4) AS s
+      FROM trended GROUP BY event_type, dow
+    ),
+    resid AS (
+      SELECT t.event_type, t.day,
+             round(t.total - t.trend - s.s, 4) AS r
+      FROM trended t JOIN seasonal s
+        ON t.event_type = s.event_type AND t.dow = s.dow
+    ),
+    sigma AS (
+      SELECT event_type, round(2 * stddev_pop(r), 4) AS thr
+      FROM resid GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN abs(r.r) > g.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies,
+           round(max(abs(r.r)), 4) AS max_abs_residual,
+           g.thr AS anomaly_threshold
+    FROM resid r JOIN sigma g ON r.event_type = g.event_type
+    GROUP BY r.event_type, g.thr
+    """,
+    tags=("temporal", "B11", "B20"),
+    doc="Classical seasonal decomposition with anomaly flags: daily "
+    "totals split into a 7-day centered-moving-average trend, a "
+    "day-of-week seasonal mean, and a residual; days whose |residual| "
+    "exceeds 2 sigma are anomalies (reported per type as counts).  "
+    "Scale: the raw stream collapses map-side to per-(type, day) "
+    "totals FIRST, so every window and aggregate below runs on a "
+    "calendar-bounded frame (~30 rows per type); each stage rounds "
+    "(4dp) before the next so the trend/seasonal/residual chain folds "
+    "identical doubles in both engines.",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    # trended is a calendar-bounded frame (~30 rows/type) consumed by
+    # both the seasonal-mean and residual branches — materialize once
+    # so the raw event scan happens exactly once
+    trended = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.round(F.avg("total").over(w), 4).alias("trend"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    ).localCheckpoint(eager=True)
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.round(F.avg(F.col("total") - F.col("trend")), 4).alias("s")
+    )
+    resid = trended.join(F.broadcast(seasonal), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        F.round(F.col("total") - F.col("trend") - F.col("s"), 4).alias("r"),
+    )
+    sigma = resid.groupBy("event_type").agg(
+        F.round(2 * F.stddev_pop("r"), 4).alias("thr")
+    )
+    return (
+        resid.join(F.broadcast(sigma), "event_type")
+        .groupBy("event_type", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(F.when(F.abs("r") > F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.round(F.max(F.abs("r")), 4).alias("max_abs_residual"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_anomalies",
+            "max_abs_residual",
+            F.col("thr").alias("anomaly_threshold"),
+        )
+    )
