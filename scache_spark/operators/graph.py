@@ -416,3 +416,65 @@ def bfs_levels_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         levels = expanded.localCheckpoint(eager=True)
     return levels.select("node", F.col("lvl").cast("int").alias("level"))
+
+
+@register(
+    "degree_powerlaw_fit",
+    oracle="""
+    WITH deg AS (
+      SELECT user_id,
+             CAST(count(DISTINCT event_type
+                        || '|' || CAST(date_trunc('day', ts) AS VARCHAR))
+                  AS BIGINT) AS degree
+      FROM events GROUP BY user_id
+    ),
+    dist AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_users
+      FROM deg GROUP BY degree
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_degrees,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           round(regr_slope(ln(n_users * 1.0), ln(degree * 1.0)), 4)
+               AS powerlaw_slope,
+           round(regr_r2(ln(n_users * 1.0), ln(degree * 1.0)), 4)
+               AS fit_r2
+    FROM dist
+    """,
+    tags=("B7", "B16", "graph"),
+    doc="Scale-free test of the engagement graph: each user's degree "
+    "is their distinct (event_type, day) activity-cell count; the "
+    "degree-frequency distribution gets a ln-ln OLS power-law fit "
+    "(slope + R-squared — the is-this-graph-heavy-tailed diagnostic "
+    "that decides between uniform partitioning and hub-aware "
+    "salting BEFORE running graph algorithms on it).  Scale shape: "
+    "the stream collapses to per-user degrees (partial-combined "
+    "distinct), degrees collapse to the degree histogram (bounded by "
+    "max degree — calendar x types), and the fit is one algebraic "
+    "regr aggregate: the corpus is scanned once, nothing is sorted.",
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    deg = e.groupBy("user_id").agg(
+        F.countDistinct(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.date_trunc("day", F.col("ts")).cast("string"),
+            )
+        )
+        .cast("long")
+        .alias("degree")
+    )
+    dist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    ln_n = F.log(F.col("n_users") * 1.0)
+    ln_d = F.log(F.col("degree") * 1.0)
+    return dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_degrees"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.round(F.regr_slope(ln_n, ln_d), 4).alias("powerlaw_slope"),
+        F.round(F.regr_r2(ln_n, ln_d), 4).alias("fit_r2"),
+    )
