@@ -478,3 +478,130 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_d), 4).alias("powerlaw_slope"),
         F.round(F.regr_r2(ln_n, ln_d), 4).alias("fit_r2"),
     )
+
+
+_LPA_ROUNDS = 2
+
+
+def _sql_lpa_round(prev: str, rnd: int) -> str:
+    """One synchronized majority-vote LPA round as DuckDB CTEs."""
+    return f"""
+    votes{rnd} AS (
+      SELECT e.src AS node, l.label FROM edges e
+      JOIN {prev} l ON e.dst = l.node
+      UNION ALL
+      SELECT node, label FROM {prev}
+    ),
+    counts{rnd} AS (
+      SELECT node, label, count(*) AS c FROM votes{rnd}
+      GROUP BY node, label
+    ),
+    lab{rnd} AS (
+      SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+          PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+        FROM counts{rnd}
+      ) WHERE rk = 1
+    )
+    """
+
+
+@register(
+    "community_label_propagation",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type || '|' || CAST(date_trunc('day', ts) AS VARCHAR)
+                 || '|' || CAST(user_id % 4 AS VARCHAR) AS cell,
+             user_id
+      FROM events WHERE user_id % 3 = 0
+      GROUP BY 1, 2
+    ),
+    stars AS (
+      SELECT cell, min(user_id) AS center FROM cells GROUP BY cell
+    ),
+    edges AS (
+      SELECT c.user_id AS src, s.center AS dst
+      FROM cells c JOIN stars s ON c.cell = s.cell
+      WHERE c.user_id <> s.center
+      UNION
+      SELECT s.center AS src, c.user_id AS dst
+      FROM cells c JOIN stars s ON c.cell = s.cell
+      WHERE c.user_id <> s.center
+    ),
+    lab0 AS (SELECT DISTINCT user_id AS node, user_id AS label FROM cells),
+    {_sql_lpa_round("lab0", 1)},
+    {_sql_lpa_round("lab1", 2)}
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM lab2 GROUP BY label
+    ORDER BY n_members DESC, community ASC
+    LIMIT 10
+    """,
+    tags=("graph", "B7", "B11"),
+    doc="Majority-vote label-propagation communities (Raghavan et al. "
+    f"2007), {_LPA_ROUNDS} synchronized rounds, fully deterministic: "
+    "nodes are (sampled) users, edges are STARS per activity cell (cells scoped per user_id%4 engagement cohort — the planted-structure convention the dedup family uses, so the fixture graph has genuinely disconnected communities to find) — "
+    "each member links to the cell's min user, so the edge list is "
+    "LINEAR in engagement rows (never the quadratic within-cell "
+    "clique) while preserving cell connectivity; each round votes "
+    "neighbor labels plus self, majority wins, ties to the smallest "
+    "label (mode = count aggregate + min-struct pick, partial-"
+    "combinable — no per-node collect).  Complements the min-label "
+    "connected components (dedup_clusters): LPA finds DENSE "
+    "communities, not just connectivity.  Top-10 by size via "
+    "TakeOrdered.",
+)
+def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    cells = e.select(
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("string"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("cell"),
+        "user_id",
+    ).distinct()
+    stars = cells.groupBy("cell").agg(F.min("user_id").alias("center"))
+    half = (
+        cells.join(stars, "cell")
+        .filter(F.col("user_id") != F.col("center"))
+        .select(F.col("user_id").alias("src"), F.col("center").alias("dst"))
+    )
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = cells.select(F.col("user_id").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        votes = nbr.unionByName(labels)
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        picked = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "best"
+            )
+        )
+        labels = picked.select(
+            "node", (-F.col("best.nl")).alias("label")
+        ).localCheckpoint(eager=True)
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .select(F.col("label").alias("community"), "n_members", "min_member")
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(10)
+    )
