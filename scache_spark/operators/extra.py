@@ -1375,3 +1375,148 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.max("avg_retail").alias("avg_retail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters (the frequency member of the sketch trio)
+# ---------------------------------------------------------------------------
+
+# 3 md5-derived hash rows x 256 counters = 768 cells total, independent
+# of corpus size.  Depth 3 / width 256 gives eps ~ e/256 ~ 1% of the
+# stream length as the worst-case overcount at delta ~ e^-3.
+_CMS_ROWS = 3
+_CMS_W = 256
+
+
+def _cms_cell(col: F.Column, row: int) -> F.Column:
+    """60-bit md5 hash of ``row:token`` reduced to a counter index."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % _CMS_W).cast("int")
+
+
+def _cms_cell_sql(col: str, row: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{row}:' || {col}), 1, 15))::BIGINT"
+        f" % {_CMS_W} AS INT)"
+    )
+
+
+_CMS_PROBE_SQL = ", ".join(
+    f"({_cms_cell_sql('tok', r)}, {r})" for r in range(_CMS_ROWS)
+)
+
+
+@register(
+    "heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    incs AS (
+      SELECT r.r AS r,
+             CASE r.r
+               WHEN 0 THEN {_cms_cell_sql('tok', 0)}
+               WHEN 1 THEN {_cms_cell_sql('tok', 1)}
+               ELSE {_cms_cell_sql('tok', 2)}
+             END AS cell
+      FROM toks CROSS JOIN (VALUES (0), (1), (2)) r(r)
+    ),
+    sketch AS (
+      SELECT r, cell, count(*) AS cnt FROM incs GROUP BY r, cell
+    ),
+    cand AS (
+      SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok
+      ORDER BY true_cnt DESC, tok ASC LIMIT 10
+    ),
+    probes AS (
+      SELECT tok, true_cnt,
+             CASE r.r
+               WHEN 0 THEN {_cms_cell_sql('tok', 0)}
+               WHEN 1 THEN {_cms_cell_sql('tok', 1)}
+               ELSE {_cms_cell_sql('tok', 2)}
+             END AS cell,
+             r.r AS r
+      FROM cand CROSS JOIN (VALUES (0), (1), (2)) r(r)
+    )
+    SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(min(s.cnt) AS BIGINT) AS est_cnt,
+           CAST(min(s.cnt) - true_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+    GROUP BY tok, true_cnt
+    ORDER BY true_cnt DESC, tok ASC
+    """,
+    tags=("B7", "B16", "B24"),
+    doc="Count-Min-sketch heavy hitters over the document token "
+    f"stream: {_CMS_ROWS} md5 hash rows x {_CMS_W} counters "
+    "(768 cells TOTAL, corpus-size-independent — the frequency "
+    "member of the sketch trio beside bloom_bitmap_membership and "
+    "hll_sketch_union_bound; heavy_hitters_cms_bound states the "
+    "eps-bound CONTRACT — this query's oracle replicates the full "
+    "sketch math cell-for-cell in SQL, so the estimates themselves "
+    "are cross-engine-verified).  Build increments explode in-map (3 "
+    "per occurrence) and the groupBy map-side-combines down to <=768 "
+    "partials per partition, so the shuffle ships KB regardless of "
+    "corpus size; the sketch is then BROADCAST to score the "
+    "candidate shortlist (true top-10 via vocab-bounded TakeOrdered "
+    "— the fixture's ground truth for the audit).  Estimate = min "
+    "over rows; overcount >= 0 always (the CMS guarantee, visible "
+    "in-result).  All outputs integer-exact.",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    incs = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(F.col("tok"), r).alias("cell"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("rc")
+    )
+    sketch = incs.groupBy(
+        F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cand = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+        .limit(10)
+    )
+    probes = cand.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(F.col("tok"), r).alias("cell"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.cell") == F.col("cell")),
+        )
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select(
+            "tok",
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
+    )

@@ -1266,3 +1266,83 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("thr").alias("anomaly_threshold"),
         )
     )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             sum(CAST(floor(o_totalprice) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(rev) AS total, count(*) AS n_days FROM daily
+    ),
+    walk AS (
+      SELECT day,
+             CAST(n_days AS BIGINT) * sum(rev) OVER (ORDER BY day)
+               - row_number() OVER (ORDER BY day) * total AS d,
+             n_days
+      FROM daily CROSS JOIN tot
+    )
+    SELECT CAST(rk AS INT) AS rk, day,
+           round(CAST(d AS DOUBLE) / n_days, 2) AS cusum_dollars
+    FROM (
+      SELECT day, d, n_days,
+             row_number() OVER (ORDER BY abs(d) DESC, day ASC) AS rk
+      FROM walk
+    )
+    WHERE rk <= 3
+    ORDER BY rk
+    """,
+    tags=("temporal", "B11", "B20"),
+    doc="CUSUM level-shift changepoint detection on daily order "
+    "revenue: the cumulative sum of deviations from the global mean, "
+    "S_t = sum_{i<=t}(x_i - mean), peaks exactly at a mean-shift "
+    "boundary (Page 1954); the top-3 |S_t| days are the candidate "
+    "changepoints.  Complements ewma_anomaly_flags (point spikes) "
+    "and seasonal_decompose_daily (periodic structure) — CUSUM finds "
+    "the sustained REGIME change.  Bit-exactness: revenue is floored "
+    "to integer dollars per order, and the walk is kept scaled as "
+    "D_t = n*C_t - t*T (all BIGINT — no float mean subtraction "
+    "inside the accumulation; S_t = D_t/n emerges once, by one exact "
+    "integer->double division, rounded 2dp).  Scale: orders collapse "
+    "map-side to the calendar-bounded daily frame (~2.4k rows, "
+    "SF-independent) before any window; the scalar (T, n) pair "
+    "arrives via a broadcast one-row cross join, not a global "
+    "window.  BIGINT headroom: n*T at SF=100 is ~5e18, inside int64; "
+    "beyond that, scale the walk in units of 10^3 dollars.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
+    tot = daily.agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wrow = Window.orderBy("day")
+    walk = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (
+            F.col("n_days") * F.sum("rev").over(wcum)
+            - F.row_number().over(wrow) * F.col("total")
+        ).alias("d"),
+        "n_days",
+    )
+    wrk = Window.orderBy(F.abs("d").desc(), F.col("day").asc())
+    return (
+        walk.select(
+            F.row_number().over(wrk).cast("int").alias("rk"),
+            "day",
+            F.round(F.col("d").cast("double") / F.col("n_days"), 2).alias(
+                "cusum_dollars"
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("rk")
+    )
