@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_span_rewrite",
     "dsir_importance_weights",
     "ann_ivf_nprobe_recall",
+    "community_label_propagation",
+    "heavy_hitters_cms",
 ]
 
 

@@ -482,6 +482,67 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LPA_ROUNDS = 2
 
+# Shared user-graph construction (LPA / assortativity / k-core): nodes
+# are sampled users, edges are STARS per activity cell — each member
+# links to the cell's min user, so the edge list is LINEAR in
+# engagement rows (never the quadratic within-cell clique) while
+# preserving cell connectivity.  Cells are scoped per user_id%4
+# engagement cohort (the planted-structure convention the dedup family
+# uses) so the fixture graph has genuinely disconnected communities.
+_STAR_SQL_CTES = """
+    cells AS (
+      SELECT event_type || '|' || CAST(date_trunc('day', ts) AS VARCHAR)
+                 || '|' || CAST(user_id % 4 AS VARCHAR) AS cell,
+             user_id
+      FROM events WHERE user_id % 3 = 0
+      GROUP BY 1, 2
+    ),
+    stars AS (
+      SELECT cell, min(user_id) AS center FROM cells GROUP BY cell
+    ),
+    edges AS (
+      SELECT c.user_id AS src, s.center AS dst
+      FROM cells c JOIN stars s ON c.cell = s.cell
+      WHERE c.user_id <> s.center
+      UNION
+      SELECT s.center AS src, c.user_id AS dst
+      FROM cells c JOIN stars s ON c.cell = s.cell
+      WHERE c.user_id <> s.center
+    )
+"""
+
+
+def _star_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(cells, symmetric-edge-list) of the star-per-cell user graph —
+    the Spark twin of ``_STAR_SQL_CTES``; edges come back eagerly
+    localCheckpointed because every consumer branches over them."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
+    cells = e.select(
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).cast("string"),
+            (F.col("user_id") % 4).cast("string"),
+        ).alias("cell"),
+        "user_id",
+    ).distinct()
+    stars = cells.groupBy("cell").agg(F.min("user_id").alias("center"))
+    half = (
+        cells.join(stars, "cell")
+        .filter(F.col("user_id") != F.col("center"))
+        .select(F.col("user_id").alias("src"), F.col("center").alias("dst"))
+    )
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return cells, edges
+
 
 def _sql_lpa_round(prev: str, rnd: int) -> str:
     """One synchronized majority-vote LPA round as DuckDB CTEs."""
@@ -509,25 +570,7 @@ def _sql_lpa_round(prev: str, rnd: int) -> str:
 @register(
     "community_label_propagation",
     oracle=f"""
-    WITH cells AS (
-      SELECT event_type || '|' || CAST(date_trunc('day', ts) AS VARCHAR)
-                 || '|' || CAST(user_id % 4 AS VARCHAR) AS cell,
-             user_id
-      FROM events WHERE user_id % 3 = 0
-      GROUP BY 1, 2
-    ),
-    stars AS (
-      SELECT cell, min(user_id) AS center FROM cells GROUP BY cell
-    ),
-    edges AS (
-      SELECT c.user_id AS src, s.center AS dst
-      FROM cells c JOIN stars s ON c.cell = s.cell
-      WHERE c.user_id <> s.center
-      UNION
-      SELECT s.center AS src, c.user_id AS dst
-      FROM cells c JOIN stars s ON c.cell = s.cell
-      WHERE c.user_id <> s.center
-    ),
+    WITH {_STAR_SQL_CTES},
     lab0 AS (SELECT DISTINCT user_id AS node, user_id AS label FROM cells),
     {_sql_lpa_round("lab0", 1)},
     {_sql_lpa_round("lab1", 2)}
@@ -553,29 +596,7 @@ def _sql_lpa_round(prev: str, rnd: int) -> str:
     "TakeOrdered.",
 )
 def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 3 == 0)
-    cells = e.select(
-        F.concat_ws(
-            "|",
-            F.col("event_type"),
-            F.date_trunc("day", F.col("ts")).cast("string"),
-            (F.col("user_id") % 4).cast("string"),
-        ).alias("cell"),
-        "user_id",
-    ).distinct()
-    stars = cells.groupBy("cell").agg(F.min("user_id").alias("center"))
-    half = (
-        cells.join(stars, "cell")
-        .filter(F.col("user_id") != F.col("center"))
-        .select(F.col("user_id").alias("src"), F.col("center").alias("dst"))
-    )
-    edges = (
-        half.unionByName(
-            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    cells, edges = _star_graph(spark, sf_dir)
     labels = cells.select(F.col("user_id").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -605,3 +626,167 @@ def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), F.col("community").asc())
         .limit(10)
     )
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_STAR_SQL_CTES},
+    deg AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ds.d) AS sx, sum(dd.d) AS sy,
+             sum(ds.d * ds.d) AS sxx, sum(dd.d * dd.d) AS syy,
+             sum(ds.d * dd.d) AS sxy
+      FROM edges e
+      JOIN deg ds ON e.src = ds.node
+      JOIN deg dd ON e.dst = dd.node
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(n / 2 AS BIGINT) AS n_edges,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                     * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                THEN round((CAST(n AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
+                                  * (CAST(n AS DOUBLE) * syy
+                                     - CAST(sy AS DOUBLE) * sy)), 6)
+           END AS assortativity
+    FROM sums
+    """,
+    tags=("graph", "B7", "B16"),
+    doc="Degree-assortativity coefficient (Newman 2002) of the "
+    "star-per-cell user graph: Pearson correlation of endpoint "
+    "degrees over the symmetric edge list — negative for hub-spoke "
+    "topologies (hubs attach to leaves), positive for peer-to-peer "
+    "mixing.  With degree_powerlaw_fit this is the second number a "
+    "partitioner wants before laying out a 100 TB graph: power-law "
+    "says hubs EXIST, assortativity says whether hubs touch hubs "
+    "(edge-cut partitioning dies) or only leaves (vertex-cut on the "
+    "hub side suffices).  Scale: the degree table is node-linear and "
+    "joins the edge list on its natural keys (two hash joins, AQE "
+    "strategy); Pearson is the CLOSED FORM from six integer sums "
+    "(one partial-combinable aggregate — bit-exact accumulation, no "
+    "float fold order to differ across engines), combined in double "
+    "once with an explicit zero-variance guard (a constant-degree "
+    "graph has no defined assortativity — NULL, never a "
+    "divide-by-zero under ANSI mode).",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _star_graph(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    sums = (
+        edges.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d_src").alias("sx"),
+            F.sum("d_dst").alias("sy"),
+            F.sum(F.col("d_src") * F.col("d_src")).alias("sxx"),
+            F.sum(F.col("d_dst") * F.col("d_dst")).alias("syy"),
+            F.sum(F.col("d_src") * F.col("d_dst")).alias("sxy"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    vx = n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = n_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        sums.select(
+            (F.col("n") / 2).cast("long").alias("n_edges"),
+            F.when(vx * vy > 0, F.round(cov / F.sqrt(vx * vy), 6)).alias(
+                "assortativity"
+            ),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_edges", "assortativity")
+    )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _sql_kcore_round(prev: str, rnd: int) -> str:
+    """One peel round (drop nodes with degree < k, induce) as CTEs."""
+    return f"""
+    keep{rnd} AS (
+      SELECT src AS node FROM {prev} GROUP BY src
+      HAVING count(*) >= {_KCORE_K}
+    ),
+    g{rnd} AS (
+      SELECT e.src, e.dst FROM {prev} e
+      WHERE e.src IN (SELECT node FROM keep{rnd})
+        AND e.dst IN (SELECT node FROM keep{rnd})
+    )
+    """
+
+
+@register(
+    "kcore_peeling",
+    oracle=f"""
+    WITH {_STAR_SQL_CTES},
+    {_sql_kcore_round("edges", 1)},
+    {_sql_kcore_round("g1", 2)},
+    {_sql_kcore_round("g2", 3)}
+    SELECT * FROM (
+      SELECT 1 AS round, CAST((SELECT count(*) FROM keep1) AS BIGINT)
+                 AS n_nodes,
+             CAST((SELECT count(*) / 2 FROM g1) AS BIGINT) AS n_edges
+      UNION ALL
+      SELECT 2, CAST((SELECT count(*) FROM keep2) AS BIGINT),
+             CAST((SELECT count(*) / 2 FROM g2) AS BIGINT)
+      UNION ALL
+      SELECT 3, CAST((SELECT count(*) FROM keep3) AS BIGINT),
+             CAST((SELECT count(*) / 2 FROM g3) AS BIGINT)
+    ) ORDER BY round
+    """,
+    tags=("graph", "B6", "B7"),
+    doc=f"k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} synchronized "
+    "rounds) over the star-per-cell user graph: each round drops "
+    "every node whose induced degree fell below k and re-induces the "
+    "subgraph — the distributed peeling loop behind web-graph spam "
+    "fringes and dense-subgraph mining (Batagelj-Zaversnik made "
+    "iterative).  Emits the shrinking (nodes, edges) profile per "
+    "round; convergence (row i == row i+1) means the 2-core is "
+    "exact, not approximate.  Scale: a round is one node-linear "
+    "degree aggregate plus two LEFT-SEMI joins of the edge list "
+    "against the survivor set (never a window, never a collect); "
+    "rounds are bounded a-priori, the same unrolled-fixed-point "
+    "contract as pagerank_event_graph and bfs_levels_event_graph.  "
+    "All outputs integer-exact.",
+)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, edges = _star_graph(spark, sf_dir)
+    g = edges
+    out = None
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            g.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        g = (
+            g.join(keep, g["src"] == keep["node"], "left_semi")
+            .join(keep, F.col("dst") == keep["node"], "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        row = (
+            keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                g.agg((F.count(F.lit(1)) / 2).cast("long").alias("n_edges"))
+            )
+            .select(F.lit(rnd).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")

@@ -1497,3 +1497,174 @@ def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(wins), 4).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B20 — Benford first-digit audit & categorical mutual information
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / n_total, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round(
+             (CAST(n AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit))
+             * (CAST(n AS DOUBLE) / n_total - log10(1.0 + 1.0 / digit))
+             / log10(1.0 + 1.0 / digit) * n_total, 4) AS chi2_term
+    FROM obs
+    ORDER BY digit
+    """,
+    tags=("B20", "B16", "B14"),
+    doc="Benford's-law first-significant-digit audit of order totals "
+    "— the classic synthetic-data / fraud screen (a generated or "
+    "tampered amount column deviates from P(d)=log10(1+1/d); TPC-H "
+    "prices are near-uniform sums, so the fixture VISIBLY fails "
+    "Benford — the screen working as intended).  Per-digit observed "
+    "share vs Benford share plus the chi-square contribution, so the "
+    "offending digit is identifiable, not just the total statistic.  "
+    "Bit-exactness: the first digit comes from the BIGINT's decimal "
+    "string (floor -> cast -> substr), never floor(log10(x)) whose "
+    "power-of-ten ulp behavior differs per libm; shares divide "
+    "integer counts once.  Scale: one map-side-combinable 9-group "
+    "aggregate; the total rides a window over the 9-row frame.",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "n_total",
+            F.sum("n").over(Window.partitionBy()).cast("long"),
+        )
+    )
+    share = F.col("n").cast("double") / F.col("n_total")
+    bens = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("obs_share"),
+        F.round(bens, 6).alias("benford_share"),
+        F.round(
+            (share - bens) * (share - bens) / bens * F.col("n_total"), 4
+        ).alias("chi2_term"),
+    ).orderBy("digit")
+
+
+@register(
+    "mutual_information_categorical",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(count(*) AS BIGINT) AS nxy
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, nxy,
+             CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx,
+             CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny,
+             CAST(sum(nxy) OVER () AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(CAST(nxy AS DOUBLE) / n
+                     * ln(CAST(nxy AS DOUBLE) * n
+                          / (CAST(nx AS DOUBLE) * ny))), 6) AS mi_nats,
+           round(-sum(CASE WHEN rx = 1 THEN CAST(nx AS DOUBLE) / n
+                            * ln(CAST(nx AS DOUBLE) / n) ELSE 0 END), 6)
+               AS h_x_nats,
+           round(-sum(CASE WHEN ry = 1 THEN CAST(ny AS DOUBLE) / n
+                            * ln(CAST(ny AS DOUBLE) / n) ELSE 0 END), 6)
+               AS h_y_nats
+    FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY x ORDER BY y) AS rx,
+             row_number() OVER (PARTITION BY y ORDER BY x) AS ry
+      FROM m
+    )
+    """,
+    tags=("B20", "B7", "B16"),
+    doc="Mutual information (nats) between order priority and order "
+    "status, with the marginal entropies for normalization — the "
+    "information-theoretic dependence screen complementing the "
+    "chi-square test (source_lang_chisq): chi2 asks 'is there ANY "
+    "association?', MI measures HOW MANY bits one column reveals "
+    "about the other (feature-redundancy pruning input).  Scale: one "
+    "map-side-combined |X|x|Y| contingency aggregate; margins ride "
+    "windows over that bounded frame (the source_lang_chisq pattern "
+    "— cells subplan appears once); entropy terms count each margin "
+    "exactly once via first-in-margin flags.  All logs fold integer "
+    "ratios; round 6 clears libm-vs-JVM ln ulps.",
+)
+def mutual_information_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    )
+    w_x = Window.partitionBy("x")
+    w_y = Window.partitionBy("y")
+    w_all = Window.partitionBy(F.pmod(F.hash("x"), F.lit(1)))
+    m = cells.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(w_x).cast("long").alias("nx"),
+        F.sum("nxy").over(w_y).cast("long").alias("ny"),
+        F.sum("nxy").over(w_all).cast("long").alias("n"),
+        (F.row_number().over(w_x.orderBy("y"))).alias("rx"),
+        (F.row_number().over(w_y.orderBy("x"))).alias("ry"),
+    )
+    nxy_d = F.col("nxy").cast("double")
+    nx_d = F.col("nx").cast("double")
+    ny_d = F.col("ny").cast("double")
+    return m.agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(
+            F.sum(nxy_d / F.col("n") * F.log(nxy_d * F.col("n") / (nx_d * ny_d))),
+            6,
+        ).alias("mi_nats"),
+        F.round(
+            -F.sum(
+                F.when(
+                    F.col("rx") == 1,
+                    nx_d / F.col("n") * F.log(nx_d / F.col("n")),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("h_x_nats"),
+        F.round(
+            -F.sum(
+                F.when(
+                    F.col("ry") == 1,
+                    ny_d / F.col("n") * F.log(ny_d / F.col("n")),
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("h_y_nats"),
+    )

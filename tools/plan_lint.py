@@ -39,6 +39,11 @@ EAGER = {
     "pagerank_event_graph",
     "triangle_count_transitions",
     "bfs_levels_event_graph",
+    # star-graph family: _star_graph eagerly checkpoints the edge
+    # list, and the iterative members checkpoint per round
+    "community_label_propagation",
+    "degree_assortativity",
+    "kcore_peeling",
 }
 
 MAX_EXCHANGES = 8
