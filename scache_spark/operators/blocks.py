@@ -776,3 +776,134 @@ def lru_cache_hit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "final_cache_size long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-admission audit (the SizeEstimator / MemoryStore decision)
+# ---------------------------------------------------------------------------
+
+# JVM in-memory width model, the flat-object subset of the reference's
+# reflective walker (util/SizeEstimator.scala:209-247 field sizes;
+# storage/memory/MemoryStore.scala admits a block only if the estimate
+# fits): fixed-width primitives by JVM slot, strings as a 40-byte
+# object (header + fields + char-array header) plus their UTF-8 bytes,
+# arrays as a 16-byte header plus 4 bytes per float element, 16 bytes
+# of per-row object overhead.
+_ROW_OVERHEAD = 16
+_STR_OVERHEAD = 40
+_ARR_OVERHEAD = 16
+_AUTOBROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _size_sql_exprs() -> dict[str, str]:
+    """Per-table DuckDB row-size expressions, generated from the one
+    catalog schema (pure strings — safe at import time)."""
+    from scache_spark.catalog import SCHEMAS
+
+    out = {}
+    for tname, schema in SCHEMAS.items():
+        terms = [str(_ROW_OVERHEAD)]
+        for field in schema.fields:
+            t = field.dataType.typeName()
+            if t in ("integer", "float", "date"):
+                terms.append("4")
+            elif t in ("long", "double", "timestamp"):
+                terms.append("8")
+            elif t == "string":
+                terms.append(
+                    f"{_STR_OVERHEAD} + coalesce(strlen({field.name}), 0)"
+                )
+            elif t == "array":
+                terms.append(
+                    f"{_ARR_OVERHEAD} + 4 * coalesce(len({field.name}), 0)"
+                )
+            else:  # pragma: no cover - catalog only uses the above
+                raise ValueError(f"unmodeled type {t} in {tname}")
+        out[tname] = " + ".join(terms)
+    return out
+
+
+def _size_col(tname: str):
+    """The Spark twin of ``_size_sql_exprs()[tname]`` — built lazily
+    because column construction needs an active session."""
+    from scache_spark.catalog import SCHEMAS
+
+    col = F.lit(_ROW_OVERHEAD)
+    for field in SCHEMAS[tname].fields:
+        t = field.dataType.typeName()
+        if t in ("integer", "float", "date"):
+            col = col + F.lit(4)
+        elif t in ("long", "double", "timestamp"):
+            col = col + F.lit(8)
+        elif t == "string":
+            col = col + (
+                F.lit(_STR_OVERHEAD)
+                + F.coalesce(F.octet_length(field.name), F.lit(0))
+            )
+        elif t == "array":
+            col = col + (
+                F.lit(_ARR_OVERHEAD)
+                + 4 * F.coalesce(F.size(field.name), F.lit(0))
+            )
+        else:  # pragma: no cover - catalog only uses the above
+            raise ValueError(f"unmodeled type {t} in {tname}")
+    return col.cast("long")
+
+
+_SIZE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST({sql} AS BIGINT) AS w FROM {t}"
+    for t, sql in sorted(_size_sql_exprs().items())
+)
+
+
+@register(
+    "broadcast_decision_audit",
+    oracle=f"""
+    SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(w) AS BIGINT) AS est_bytes,
+           sum(w) <= {_AUTOBROADCAST_BYTES} AS broadcastable
+    FROM (
+{_SIZE_ORACLE}
+    ) GROUP BY table_name ORDER BY table_name
+    """,
+    tags=("B22", "B5", "A.2"),
+    doc="Broadcast-admission audit: estimated JVM in-memory footprint "
+    "of every catalog table under a SizeEstimator-style width model "
+    "(util/SizeEstimator.scala:209-247 — fixed slots per primitive, "
+    "40B + UTF-8 bytes per string, 16B + 4B/elem per float array, "
+    "16B row overhead) versus the 64 MB autoBroadcast threshold — "
+    "the same estimate-then-admit decision the reference's "
+    "MemoryStore makes before caching a block and the exact input "
+    "to this repo's BOUNDED_TABLES policy (catalog.py): region/"
+    "nation stay broadcastable at every SF while customer/part/"
+    "supplier visibly grow toward the threshold, which is WHY their "
+    "hints are left to AQE.  Scale: every table scan collapses to "
+    "(table_name, width) in-map, the union feeds ONE map-side-"
+    "combinable 10-group aggregate — a single exchange carrying one "
+    "partial per (partition, table), the row data never shuffles.  "
+    "Integer-exact.",
+)
+def broadcast_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    widths = None
+    for tname in sorted(_size_sql_exprs()):
+        df = load_table(spark, sf_dir, tname).select(
+            F.lit(tname).alias("table_name"),
+            _size_col(tname).alias("w"),
+        )
+        widths = df if widths is None else widths.unionByName(df)
+    return (
+        widths.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("w").cast("long").alias("est_bytes"),
+        )
+        .select(
+            "table_name",
+            "n_rows",
+            "est_bytes",
+            (F.col("est_bytes") <= _AUTOBROADCAST_BYTES).alias(
+                "broadcastable"
+            ),
+        )
+        .orderBy("table_name")
+    )

@@ -1346,3 +1346,92 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("rk")
     )
+
+
+_ACF_LAGS = 7
+
+
+@register(
+    "autocorrelation_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             sum(CAST(floor(o_totalprice) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mu FROM daily
+    ),
+    resid AS (
+      SELECT day, rev - mu AS r,
+             {", ".join(
+                 f"lead(rev - mu, {k}) OVER (ORDER BY day) AS r{k}"
+                 for k in range(1, _ACF_LAGS + 1))}
+      FROM daily CROSS JOIN m
+    ),
+    sums AS (
+      SELECT sum(r * r) AS den,
+             {", ".join(
+                 f"sum(r * r{k}) AS num{k}"
+                 for k in range(1, _ACF_LAGS + 1))}
+      FROM resid
+    )
+    SELECT lag, round(CAST(num AS DOUBLE) / den, 6) AS acf
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT {k} AS lag, num{k} AS num, den FROM sums"
+          for k in range(1, _ACF_LAGS + 1))}
+    ) ORDER BY lag
+    """,
+    tags=("temporal", "B11", "B20"),
+    doc=f"Autocorrelation function (correlogram) of daily order "
+    f"revenue at lags 1..{_ACF_LAGS}: r_k = Σ(x_t-μ)(x_t+k-μ) / "
+    "Σ(x_t-μ)² — the numeric detector for the weekly cycle that "
+    "seasonal_decompose_daily models structurally, and the lag "
+    "picker for ewma/Holt smoothing constants (the uniform TPC-H "
+    "order stream is white noise, so the fixture correlogram reads "
+    "~0 at every lag — the null case, correctly).  Bit-exactness: "
+    "revenue floors to integer dollars and μ to the integer-floored "
+    "mean (bias < $1 on ~$10M days), so residuals, all 8 product "
+    "sums and the denominator are pure BIGINT — the only float op "
+    "is one division per lag, rounded 6dp.  Scale: orders collapse "
+    "map-side to the calendar-bounded daily frame; the 7 lead "
+    "columns ride ONE window pass over it; the result folds to a "
+    "single row of sums unpivoted to 7 rows.",
+)
+def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
+    m = daily.agg(
+        F.floor(F.sum("rev") / F.count(F.lit(1))).cast("long").alias("mu")
+    )
+    w = Window.orderBy("day")
+    resid = daily.crossJoin(F.broadcast(m)).select(
+        (F.col("rev") - F.col("mu")).alias("r"),
+        *[
+            F.lead(F.col("rev") - F.col("mu"), k).over(w).alias(f"r{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    sums = resid.agg(
+        F.sum(F.col("r") * F.col("r")).alias("den"),
+        *[
+            F.sum(F.col("r") * F.col(f"r{k}")).alias(f"num{k}")
+            for k in range(1, _ACF_LAGS + 1)
+        ],
+    )
+    stacked = sums.select(
+        F.expr(
+            "stack("
+            + str(_ACF_LAGS)
+            + ", "
+            + ", ".join(f"{k}, num{k}" for k in range(1, _ACF_LAGS + 1))
+            + ") AS (lag, num)"
+        ),
+        "den",
+    )
+    return stacked.select(
+        "lag", F.round(F.col("num").cast("double") / F.col("den"), 6).alias("acf")
+    ).orderBy("lag")
