@@ -37,6 +37,8 @@ __all__ = [
     "span_dedup_rewrite",
     "dsir_score",
     "perplexity_buckets",
+    "cms_sketch",
+    "cms_estimate",
 ]
 
 
@@ -630,4 +632,87 @@ def perplexity_buckets(
     )
     return binned.join(F.broadcast(bmap), "__bin").select(
         id_col, "surprisal", "bucket"
+    )
+
+
+def _cms_cell(col: Column, row: int, width: int) -> Column:
+    """md5-derived counter index for one sketch row (the same hash
+    family the registry's ``heavy_hitters_cms`` oracle replicates)."""
+    h = F.conv(
+        F.substring(salted_md5(col.cast("string"), row), 1, 15), 16, 10
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, rows: int = 3, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch of a key stream: ``(r, cell, cnt)``.
+
+    Scale shape: the ``rows`` increments per occurrence explode
+    in-map and the aggregate map-side-combines down to at most
+    ``rows * width`` partials per partition — the shuffle ships KB
+    regardless of stream size, and two sketches built with the same
+    (rows, width) MERGE by summing matching cells (so shards sign
+    independently, cf. ``minhash_merge_property``).  Worst-case
+    overcount is ~e/width of the stream length at confidence
+    1 - e^-rows (Cormode-Muthukrishnan 2005).
+    """
+    incs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(F.col(key_col), r, width).alias("cell"),
+                    )
+                    for r in range(rows)
+                ]
+            )
+        ).alias("rc")
+    )
+    return incs.groupBy(
+        F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    rows: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Frequency estimates (``est_cnt`` column appended to ``keys``)
+    from a ``cms_sketch`` built with the same (rows, width).
+
+    The sketch is at most ``rows * width`` cells → BROADCAST; the
+    probe is a map-side join + min-over-rows aggregate grouped by
+    the key frame's columns.  Estimates are one-sided:
+    est_cnt >= true count, always.  Keys absent from the stream may
+    still read > 0 (hash collisions) — the CMS contract.
+    """
+    probe_cols = keys.columns
+    probes = keys.select(
+        *probe_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(F.col(key_col), r, width).alias("cell"),
+                    )
+                    for r in range(rows)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("rc.r") == F.col("r")) & (F.col("rc.cell") == F.col("cell")),
+            "left",
+        )
+        .groupBy(*probe_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )

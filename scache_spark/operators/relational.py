@@ -1413,3 +1413,63 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_date_so_far").isNull()
         | (F.col("o_orderdate") > F.col("best_date_so_far"))
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register(
+    "sql_scripting_threshold_report",
+    oracle="""
+    WITH scalars AS (
+      SELECT CAST(floor(avg(o_totalprice)) AS BIGINT) AS thr,
+             CASE WHEN count(*) > 1000 THEN 'large' ELSE 'small' END
+                 AS size_label
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_above,
+           CAST(max(thr) AS BIGINT) AS threshold_dollars,
+           max(size_label) AS size_label
+    FROM orders CROSS JOIN scalars
+    WHERE o_totalprice > thr
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("B1", "B19", "B7"),
+    doc="Spark 4 SQL scripting (BEGIN..END, SPARK-48338) as a "
+    "first-class surface: a DECLARE'd scalar threshold SET from one "
+    "aggregate, an IF/ELSE branch labeling corpus size, and a final "
+    "report consuming both — the multi-statement parameterized-"
+    "report shape that previously needed driver-side Python glue.  "
+    "Each statement still compiles to a normal Catalyst plan (the "
+    "variables bind as literals), so pushdown/AQE apply per "
+    "statement; the scalar comes back floored to integer dollars so "
+    "the threshold comparison and the output are engine-exact.  "
+    "Oracle: the same logic as one plain-SQL CTE (the script is "
+    "sugar, not new semantics).",
+)
+def sql_scripting_threshold_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr BIGINT;
+          DECLARE size_label STRING;
+          SET thr = (SELECT CAST(floor(avg(o_totalprice)) AS BIGINT)
+                     FROM orders);
+          IF (SELECT count(*) FROM orders) > 1000 THEN
+            SET size_label = 'large';
+          ELSE
+            SET size_label = 'small';
+          END IF;
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n_above,
+                 thr AS threshold_dollars,
+                 size_label
+          FROM orders
+          WHERE o_totalprice > thr
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority;
+        END
+        """
+    )

@@ -272,3 +272,38 @@ def test_perplexity_buckets_orders_by_surprisal(spark):
     assert set(out[(out.index >= 3) & (out.index < 6)]["bucket"]) == {"middle"}
     assert set(out[out.index >= 6]["bucket"]) == {"tail"}
     assert out["surprisal"].loc[0] < out["surprisal"].loc[3] < out["surprisal"].loc[6]
+
+
+def test_cms_sketch_estimates_are_one_sided_and_tight(spark):
+    # planted frequencies: 'hot' x50, 20 singletons — the estimate
+    # must never undercount (CMS guarantee) and, at 3x256 cells for a
+    # 70-element stream, must overcount 'hot' by less than the
+    # eps-bound e/width * N ~ 1
+    rows = [("hot",)] * 50 + [(f"cold{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    sketch = api.cms_sketch(df, "k")
+    assert sketch.agg(F.sum("cnt")).collect()[0][0] == 3 * 70
+    keys = df.distinct()
+    est = api.cms_estimate(sketch, keys, "k").toPandas().set_index("k")["est_cnt"]
+    true = {"hot": 50, **{f"cold{i}": 1 for i in range(20)}}
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+    assert est["hot"] <= 50 + 3
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    # shard-independence: sketch(A) + sketch(B) cell-summed equals
+    # sketch(A union B) — the property that lets 1000 executors sign
+    # independently and union their KB-sized sketches
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 2, "k string")
+    b = spark.createDataFrame([("x",)] * 3 + [("z",)] * 4, "k string")
+    merged = (
+        api.cms_sketch(a, "k")
+        .unionByName(api.cms_sketch(b, "k"))
+        .groupBy("r", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = api.cms_sketch(a.unionByName(b), "k")
+    m = merged.toPandas().set_index(["r", "cell"]).sort_index()
+    d = direct.toPandas().set_index(["r", "cell"]).sort_index()
+    assert m["cnt"].to_dict() == d["cnt"].to_dict()

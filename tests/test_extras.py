@@ -452,3 +452,25 @@ def test_observation_metrics_ride_the_flagship_plan(spark, sf_dir):
     assert got["groups"] == n
     expect = df.agg(F.round(F.sum("revenue"), 2).alias("t")).collect()[0]["t"]
     assert abs(got["revenue_total"] - expect) < 1e-6
+
+
+def test_kcore_profile_shrinks_monotonically(spark, sf_dir):
+    # peeling can only remove: (nodes, edges) must be non-increasing
+    # round over round, and an unchanged consecutive pair proves the
+    # 2-core converged exactly (the in-result contract the doc states)
+    from scache_spark.operators.graph import kcore_peeling
+
+    rows = kcore_peeling(spark, sf_dir).collect()
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+
+
+def test_assortativity_is_negative_for_star_topology(spark):
+    # star-per-cell construction is hub-spoke by design: high-degree
+    # centers attach to degree-1 leaves, so Newman's coefficient must
+    # come out negative on any sf dir with real cell structure
+    from scache_spark.operators.graph import degree_assortativity
+
+    row = degree_assortativity(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row.assortativity is not None and row.assortativity < 0
