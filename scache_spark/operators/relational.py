@@ -1473,3 +1473,51 @@ def sql_scripting_threshold_report(
         END
         """
     )
+
+
+# One recursive-CTE text executed VERBATIM by both engines: min-hop
+# reachability from 'view' over the event-type transition graph, run
+# to a guarded fixpoint (the hops < 6 bound caps path length; the
+# node set is |event_types|, so the frontier is dimension-bounded).
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT prev AS src, event_type AS dst
+      FROM seq WHERE prev IS NOT NULL
+    ),
+    reach(node, hops) AS (
+      SELECT 'view', 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 6
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops
+    FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register(
+    "recursive_cte_reachability",
+    oracle=_RECURSIVE_REACH_SQL,
+    tags=("B1", "B4", "B7"),
+    doc="Spark 4 recursive CTE (WITH RECURSIVE, SPARK-24497) executed "
+    "as ONE SQL text that DuckDB runs verbatim as its own oracle — "
+    "min-hop reachability from the 'view' node over the event-type "
+    "transition graph, iterated to a guarded fixpoint by the ENGINE "
+    "rather than a hand-unrolled driver loop (contrast "
+    "bfs_levels_event_graph / pagerank_event_graph, whose iteration "
+    "count is compiled into the plan).  The recursion guard bounds "
+    "path length at 6 and the node set is |event_types|, so every "
+    "frontier is dimension-bounded; at 100 TB the one corpus-scale "
+    "shuffle is the sessionization window building the edge list — "
+    "each recursive step joins frames that fit in memory.",
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_REACH_SQL)

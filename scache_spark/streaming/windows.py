@@ -805,3 +805,68 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("hour_start"), "n_attributed"
     )
     return run_stream(res, "join_then_window", "append")
+
+
+@register(
+    "statestore_dedup_audit",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_state_keys,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events WHERE user_id % 7 = 0
+    """,
+    tags=("B27", "B22", "B20"),
+    doc="Spark 4 state-store READER (format 'statestore', "
+    "SPARK-45511): a dropDuplicates stream runs to completion, then "
+    "its checkpoint state is opened as a plain batch DataFrame and "
+    "audited — the state keys must be exactly the distinct sampled "
+    "users the batch oracle computes.  This is the ops surface the "
+    "reference's BlockManager debugging endpoints approximate "
+    "(storage/BlockManagerMaster.scala getMemoryStatus): state that "
+    "was previously a black box inside RocksDB/HDFS files becomes "
+    "queryable for capacity planning — THE tool for diagnosing the "
+    "unbounded-state growth this query deliberately exhibits (no "
+    "watermark on the dedup; production uses "
+    "dropDuplicatesWithinWatermark, cf. "
+    "stream_dedup_within_watermark, and this reader is how the "
+    "difference is MEASURED).  The audit aggregate runs on the state "
+    "files directly — the stream is not replayed.",
+)
+def statestore_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ckpt = os.path.join(_STAGE_ROOT, f"ckpt_audit_{next(_SINK_COUNTER)}")
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(
+            (F.col("event_id") != FLUSH_EVENT_ID)
+            & (F.col("user_id") % 7 == 0)
+        )
+        .dropDuplicates(["user_id"])
+    )
+    sink = f"statestore_audit_{next(_SINK_COUNTER)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            s.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        if not finished:
+            q.stop()
+            raise RuntimeError(f"state-audit stream still running after 600s")
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_state_keys"),
+        F.min("key.user_id").cast("long").alias("min_user"),
+        F.max("key.user_id").cast("long").alias("max_user"),
+    )
