@@ -62,6 +62,30 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
+def scan_counts(df: DataFrame) -> dict[str, int]:
+    """How many times each source file is scanned in the plan.
+
+    Catalyst deduplicates *exchanges* (ReusedExchange) but not scan
+    subtrees that feed different shuffle keys — a query whose frame
+    feeds k plan branches silently reads (and re-derives) the source k
+    times.  At 100 TB that is k corpus scans for one answer; the fix is
+    a one-time materialization (eager localCheckpoint) of the shared
+    subtree.  Returns {file_basename: n_scans} so the linter can flag
+    the defect class the exchange-count bar misses."""
+    plan = formatted_plan(df)
+    counts: dict[str, int] = {}
+    for m in re.finditer(r"Location: \w+ \[([^\]]*)\]", plan):
+        for path in m.group(1).split(","):
+            base = path.strip().rstrip("/").rsplit("/", 1)[-1]
+            if base:
+                counts[base] = counts.get(base, 0) + 1
+    return counts
+
+
+def has_reused_exchange(df: DataFrame) -> bool:
+    return "ReusedExchange" in formatted_plan(df)
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans — wider is better (fewer pipeline
     breaks).  Executes the plan (AQE finalizes only at runtime), then

@@ -42,6 +42,43 @@ from scache_spark.registry import register
 _STAGE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".stream_src")
 _SINK_COUNTER = itertools.count()
 
+
+def _sweep_stale_run_dirs() -> None:
+    """Bound the staging roots: per-run checkpoint/sink dirs are named
+    ``<kind>_<pid>_<n>`` — any whose owning pid is dead is garbage from
+    a finished driver/pytest/bench process and is removed here, once,
+    at import.  Staged SOURCE dirs (``*_x{copies}_v2``) are content-
+    addressed and deliberately reused, so they are never swept.
+    Legacy un-pid-prefixed ``ckpt_audit_<n>`` dirs are always removed
+    (a memory-sink stream cannot recover from a foreign checkpoint)."""
+    import re
+    import shutil
+
+    pat = re.compile(r"^(?:ckpt|data|ckpt_audit|statestore_audit)_(\d+)(_\d+)?$")
+    for root in (_STAGE_ROOT, os.path.join(os.path.dirname(_STAGE_ROOT), ".stream_sink")):
+        if not os.path.isdir(root):
+            continue
+        for name in os.listdir(root):
+            m = pat.match(name)
+            if not m:
+                continue
+            if m.group(2) is None:
+                stale = True  # legacy counter-only name: always a hazard
+            else:
+                pid = int(m.group(1))
+                try:
+                    os.kill(pid, 0)
+                    stale = False
+                except ProcessLookupError:
+                    stale = True
+                except OSError:
+                    stale = False
+            if stale:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+_sweep_stale_run_dirs()
+
 FLUSH_EVENT_ID = -1  # the synthetic watermark-advancing row
 
 
@@ -833,7 +870,9 @@ def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files directly — the stream is not replayed.",
 )
 def statestore_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ckpt = os.path.join(_STAGE_ROOT, f"ckpt_audit_{next(_SINK_COUNTER)}")
+    ckpt = os.path.join(
+        _STAGE_ROOT, f"ckpt_audit_{os.getpid()}_{next(_SINK_COUNTER)}"
+    )
     s = (
         events_stream(spark, sf_dir)
         .filter(

@@ -47,6 +47,11 @@ EAGER = {
 }
 
 MAX_EXCHANGES = 8
+MAX_SAME_FILE_SCANS = 2
+# Queries whose >2 scans of one file are justified in-plan (reviewed;
+# keep this list EMPTY unless a scan is provably bounded or cheaper
+# than materialization — justify in a comment per entry).
+RESCAN_OK: set[str] = set()
 
 
 def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
@@ -71,6 +76,15 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
         nex = plans.exchange_count(df)
         if nex > MAX_EXCHANGES:
             issues.append(f"EXCHANGES={nex}")
+        # Redundant-scan rule (r3 judge item 3): >2 FileScans of the
+        # same fixture file with no ReusedExchange means the plan
+        # re-reads (and re-derives) a shared subtree per branch — the
+        # text_bm25_topk defect class.  Fix with eager localCheckpoint
+        # on the shared frame, or justify in RESCAN_OK below.
+        if name not in RESCAN_OK and "ReusedExchange" not in p:
+            for base, n in plans.scan_counts(df).items():
+                if n > MAX_SAME_FILE_SCANS:
+                    issues.append(f"RESCAN={base}x{n}")
         if issues:
             flagged[name] = issues
     return flagged
