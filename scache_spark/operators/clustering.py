@@ -203,8 +203,15 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iteration pattern that makes iterative ML oracle-checkable.",
 )
 def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    assign0 = _assign(e, _centroids(spark, sf_dir))
+    # The corpus feeds BOTH assignment rounds (plus the seed filter);
+    # without materialization each round re-scans the table.  Iterative
+    # ML caches its input once — MLlib's own KMeans does exactly this —
+    # so eager-checkpoint the vectors and derive every pass from it.
+    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    seeds = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    assign0 = _assign(e, seeds)
     exploded = assign0.select(
         "cell", F.posexplode("embedding").alias("pos0", "val_f")
     ).select(
@@ -283,13 +290,25 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.functions import vec_dot, vec_norm
 
     e = load_table(spark, sf_dir, "embeddings")
+    # Planted copies via explode-over-variant-array (the augmented_docs
+    # shape): ONE corpus scan emits each vector plus its optional
+    # planted duplicate map-side, where the union form re-scans the
+    # table per arm.
+    variants = F.array(
+        F.struct(
+            F.col("vec_id").alias("vec_id"),
+            F.col("embedding").alias("embedding"),
+            F.lit(True).alias("keep"),
+        ),
+        F.struct(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.col("embedding").alias("embedding"),
+            (F.col("vec_id") % 20 == 0).alias("keep"),
+        ),
+    )
     aug = (
-        e.select("vec_id", "embedding")
-        .unionByName(
-            e.filter(F.col("vec_id") % 20 == 0).select(
-                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-            )
-        )
+        e.select(F.explode(F.filter(variants, lambda v: v["keep"])).alias("v"))
+        .select("v.vec_id", "v.embedding")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     # Precompute each vector's norm ONCE before the self-join: the
@@ -298,10 +317,14 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot path; measured 7.2s -> ~3s at sf0.1).  dot/(na*nb) is the
     # SAME IEEE operations on the same inputs as vec_cosine, so the
     # oracle still matches bit-for-bit.
+    # The assigned frame feeds BOTH sides of the within-cell self-join;
+    # eager checkpoint so assignment (and the corpus scan under it)
+    # runs once, not once per side (dedup_minhash_pairs precedent).
     assigned = (
         _assign(aug, _centroids(spark, sf_dir))
         .select("vec_id", "embedding", "cell")
         .withColumn("nrm", vec_norm(F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         "cell",

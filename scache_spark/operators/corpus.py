@@ -318,10 +318,14 @@ def dsir_weights(
         is_target.alias("__t"),
         F.explode(tokens(F.col("text"))).alias("w"),
     ).select("doc_id", "__t", (hash64("w") % n_buckets).alias("bucket"))
+    # The bucket-count model state (n_buckets rows) feeds both the
+    # totals and the ratio map; checkpoint it so the corpus hashing
+    # pass runs once for the model, once for scoring — never three
+    # times (the scoring pass over feat is unavoidable second use).
     counts = feat.groupBy("bucket").agg(
         F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
         F.count(F.lit(1)).alias("c_r"),
-    )
+    ).localCheckpoint(eager=True)
     totals = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
     ratios = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
@@ -476,6 +480,10 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    # The vocabulary table is the iteration state: each round reads it
+    # twice (pair counts + merge rewrite) and the next round builds on
+    # the rewrite.  Checkpoint per round — vocab-sized state, and the
+    # corpus scan under it runs exactly once (was once per branch).
     seq = vocab.select(
         "w",
         "freq",
@@ -483,7 +491,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(transform(sequence(1, length(w)),"
             " i -> substring(w, i, 1)), ' ')"
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     outs = []
     for rnd in range(1, _BPE_ROUNDS + 1):
         pairs = (
@@ -531,7 +539,7 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        seq = merged
+        seq = merged.localCheckpoint(eager=True)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

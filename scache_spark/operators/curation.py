@@ -110,12 +110,15 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("long").alias("rank_in_source"),
     )
     ws = bounded_window("source", "source")
+    # The tiny source-index map feeds the count AND the final join;
+    # checkpoint it so the distinct-sources scan runs once.
     sidx = (
         docs.select("source")
         .distinct()
         .select(
             "source", (F.row_number().over(ws) - 1).cast("long").alias("si")
         )
+        .localCheckpoint(eager=True)
     )
     n = sidx.agg(F.count(F.lit(1)).cast("long").alias("s_total"))
     return (

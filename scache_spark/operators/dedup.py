@@ -61,22 +61,78 @@ _SHINGLE_SQL = (
 
 
 def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ planted exact copies ∪ planted near-dups."""
+    """documents ∪ planted exact copies ∪ planted near-dups.
+
+    Expressed as explode-over-variant-array rather than a 3-way union:
+    a union of three filtered branches of the same table plans THREE
+    FileScans of the corpus (Catalyst does not merge scan subtrees
+    across union arms), while this shape reads each row ONCE and emits
+    its 1-3 variants map-side — no re-scan, no materialization, and
+    every downstream dedup query inherits the single-scan plan."""
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.lower("text").alias("text"), "source"
     )
-    exact = base.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
-    )
     toks = F.split(F.col("text"), " ")
-    near = base.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-        ).alias("text"),
-        "source",
+    near_text = F.concat_ws(
+        " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     )
-    return base.unionByName(exact).unionByName(near)
+    variants = F.array(
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("text").alias("text"),
+            F.col("source").alias("source"),
+            F.lit(True).alias("keep"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.col("text").alias("text"),
+            F.col("source").alias("source"),
+            (F.col("doc_id") % 10 == 0).alias("keep"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            near_text.alias("text"),
+            F.col("source").alias("source"),
+            (F.col("doc_id") % 10 == 5).alias("keep"),
+        ),
+    )
+    return (
+        base.select(
+            F.explode(F.filter(variants, lambda v: v["keep"])).alias("v")
+        )
+        .select("v.doc_id", "v.text", "v.source")
+    )
+
+
+def augmented_vectors(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> DataFrame:
+    """embeddings ∪ planted exact copies (vec_id % 20 == 0, +100000).
+
+    Explode-over-variant-array, not union: one FileScan emits each
+    vector plus its optional planted copy map-side (see
+    augmented_docs for the rationale)."""
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def _variant(id_expr, keep_expr):
+        fields = [id_expr.alias("vec_id"), F.col("embedding").alias("embedding")]
+        if with_label:
+            fields.append(F.col("label").alias("label"))
+        fields.append(keep_expr.alias("keep"))
+        return F.struct(*fields)
+
+    variants = F.array(
+        _variant(F.col("vec_id"), F.lit(True)),
+        _variant(F.col("vec_id") + 100000, F.col("vec_id") % 20 == 0),
+    )
+    return (
+        e.select(F.explode(F.filter(variants, lambda v: v["keep"])).alias("v"))
+        .select(*[f"v.{c}" for c in cols])
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    # ^ fan out: the embeddings file scans as 1-3 splits, starving the
+    # cosine-heavy block joins of parallelism (same as shingled_docs)
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,15 +551,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.functions import vec_cosine
 
-    e = load_table(spark, sf_dir, "embeddings")
-    aug = e.unionByName(
-        e.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
-        )
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    # ^ fan out: the embeddings file scans as 1-3 splits, starving the
-    # cosine-heavy label-block join of parallelism (same pattern as
-    # shingled_docs)
+    # Single-scan augmentation; checkpoint because aug feeds BOTH
+    # sides of the label-block self-join.
+    aug = augmented_vectors(spark, sf_dir, with_label=True).localCheckpoint(
+        eager=True
+    )
     a = aug.select(
         F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
@@ -567,15 +619,12 @@ from scache_spark.operators.similarity import (  # noqa: E402
     "against the label-blocked baseline.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    aug = e.select("vec_id", "embedding").unionByName(
-        e.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-        )
-    ).repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    aug = augmented_vectors(spark, sf_dir)
+    # bucketed feeds both sides of the bucket self-join — materialize
+    # so the scan + hyperplane hashing run once.
     bucketed = aug.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     a = bucketed.select(
         F.col("bucket"),
         F.col("vec_id").alias("vec_a"),
@@ -663,7 +712,9 @@ def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Candidate windows are a small fraction of all windows; joining
     # melted against them first keeps the pair self-join input tiny.
-    hits = melted.join(rare, "w")
+    # Checkpoint hits (small by construction) so its two self-join
+    # sides don't each re-derive the corpus-sized melted frame.
+    hits = melted.join(rare, "w").localCheckpoint(eager=True)
     a = hits.select("w", F.col("doc_id").alias("doc_a"))
     b = hits.select(F.col("w").alias("wb"), F.col("doc_id").alias("doc_b"))
     return (
@@ -922,11 +973,19 @@ BAND_CAP = 8  # max docs per (band_id, band_hash) bucket before demotion
     "runs before any pair materializes.",
 )
 def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_docs(spark, sf_dir)
-    sigs = sh.select("doc_id", "sh", *_signature_cols())
+    # Two materializations, mirroring dedup_minhash_pairs: the shingle
+    # frame (feeds the minhash AND the two verification joins) and the
+    # LEAN band melt (doc_id, band_id, band_hash — no shingle payload),
+    # which feeds the cap count plus both self-join sides.  Shingles
+    # travel into the pair space only for surviving candidates.
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sigs = sh.select("doc_id", *_signature_cols())
     melted = sigs.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -935,7 +994,7 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_hash"),
-    )
+    ).localCheckpoint(eager=True)
     keep = (
         melted.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -944,14 +1003,10 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = melted.join(keep, ["band_id", "band_hash"])
     a = capped.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-        "band_id",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
     )
     b = capped.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
         F.col("band_id").alias("band_id_b"),
         F.col("band_hash").alias("band_hash_b"),
     )
@@ -962,13 +1017,20 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("band_hash") == F.col("band_hash_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    verified = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= 0.5
     )
 

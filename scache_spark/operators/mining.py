@@ -820,11 +820,18 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.col("text")), " "))
         ).alias("tok"),
     )
+    # vocab (TakeOrdered head) feeds the probe plus two final joins;
+    # vtoks feeds BOTH self-join sides.  Checkpoint each so the corpus
+    # tokenizes once, not once per branch (was 7 FileScans).
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    vocab = df.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(
-        PMI_VOCAB
+    vocab = (
+        df.orderBy(F.col("df").desc(), F.col("tok").asc())
+        .limit(PMI_VOCAB)
+        .localCheckpoint(eager=True)
     )
-    vtoks = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    vtoks = toks.join(F.broadcast(vocab.select("tok")), "tok").localCheckpoint(
+        eager=True
+    )
     n = docs.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     a = vtoks.select("doc_id", F.col("tok").alias("tok_a"))
     b = vtoks.select("doc_id", F.col("tok").alias("tok_b"))

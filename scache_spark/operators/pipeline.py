@@ -734,8 +734,13 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.operators.dedup import augmented_docs
 
-    hashed = augmented_docs(spark, sf_dir).select(
-        "doc_id", F.md5("text").alias("h")
+    # hashed (lean doc_id+digest) feeds the cluster map AND the assign
+    # join; assign feeds the leak check AND the final split counts.
+    # Checkpoint both so the corpus hashes once and the join runs once.
+    hashed = (
+        augmented_docs(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("h"))
+        .localCheckpoint(eager=True)
     )
     clusters = hashed.groupBy("h").agg(F.min("doc_id").alias("rep"))
     m = (
@@ -752,6 +757,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "split"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     leaky = (
         assign.groupBy("rep")
@@ -809,8 +815,13 @@ _NEG_K = 4  # negatives drawn per query document
 )
 def contrastive_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select("doc_id", F.md5("text").alias("h"))
-    bound = docs.agg((F.max("doc_id") + 1).alias("n"))
+    # hashed feeds the query sample, the id-bound, and the existence
+    # probe — checkpoint the lean (doc_id, digest) frame so the corpus
+    # hashes once (bound derives from it instead of re-scanning).
+    hashed = docs.select("doc_id", F.md5("text").alias("h")).localCheckpoint(
+        eager=True
+    )
+    bound = hashed.agg((F.max("doc_id") + 1).alias("n"))
     queries = hashed.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("h").alias("qh")
     )

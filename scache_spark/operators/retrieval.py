@@ -87,7 +87,7 @@ _PQ_CTES = f"""
 
 
 def _pq_frames(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(corpus, centroids, codes) — the shared PQ build.
 
@@ -99,8 +99,12 @@ def _pq_frames(
     subvector via a map-side-combinable min(struct) aggregation
     (never a row_number window: the shuffle carries one row per
     (vec, m), not K).
+
+    Pass ``e`` (e.g. a checkpointed embeddings frame) to derive the
+    build from an already-materialized corpus instead of re-scanning.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sub = e.select(
         "vec_id",
@@ -370,8 +374,13 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    dist = e.join(F.broadcast(cents), "label").select(
-        "vec_id", "label", d2.alias("d2")
+    # dist feeds the per-label stats AND the final z-score join;
+    # checkpoint the lean (vec_id, label, d2) frame so the corpus isn't
+    # re-scanned and re-scored per branch.
+    dist = (
+        e.join(F.broadcast(cents), "label")
+        .select("vec_id", "label", d2.alias("d2"))
+        .localCheckpoint(eager=True)
     )
     stats = dist.groupBy("label").agg(
         F.avg("d2").alias("mu_d"), F.stddev_samp("d2").alias("sd_d")
@@ -438,10 +447,16 @@ IVF_PROBE = 2
     "scan, shuffle, and score all shrink together.",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scache_spark.operators.clustering import _assign, _centroids
+    from scache_spark.operators.clustering import K, _assign
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cents_ivf = _centroids(spark, sf_dir)
+    # The corpus feeds FOUR build branches (IVF assignment, IVF seeds,
+    # PQ subvectors, PQ training rows) — an index build is a multi-pass
+    # algorithm, so materialize the vectors once (the MLlib posture)
+    # and derive every pass from the checkpoint.
+    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    cents_ivf = e.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
     assigned = _assign(e, cents_ivf)
     # query's IVF_PROBE nearest cells: rescore the query against all
     # K centroids (K rows) and keep the best IVF_PROBE
@@ -464,7 +479,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id")
     )
-    sub, cents_pq, codes = _pq_frames(spark, sf_dir)
+    sub, cents_pq, codes = _pq_frames(spark, sf_dir, e=e)
     q = sub.filter(F.col("vec_id") == 0).select(
         "m", F.col("svec").alias("qvec")
     )
@@ -545,11 +560,12 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
     "so >= comparisons against exact literal thresholds agree.",
 )
 def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    aug = e.unionByName(
-        e.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
-        )
+    from scache_spark.operators.dedup import augmented_vectors
+
+    # Single-scan augmentation, checkpointed: aug feeds both self-join
+    # sides AND the planted-total count below.
+    aug = augmented_vectors(spark, sf_dir, with_label=True).localCheckpoint(
+        eager=True
     )
     a = aug.select(
         F.col("vec_id").alias("vec_a"),
@@ -582,7 +598,10 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_GRID], ["threshold"]
     )
-    planted = e.filter(F.col("vec_id") % 20 == 0).agg(
+    # Planted copies carry vec_id >= 100000 by the augmentation
+    # convention, so the ground-truth total comes from the checkpointed
+    # aug frame — no extra corpus scan.
+    planted = aug.filter(F.col("vec_id") >= 100000).agg(
         F.count(F.lit(1)).cast("long").alias("n_planted_total")
     )
     hits = F.sum(F.when(F.col("is_planted"), 1).otherwise(0)).cast("long")

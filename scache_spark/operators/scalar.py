@@ -923,9 +923,11 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition heaps, no global sort/window over the corpus); the
     # ranking window then runs over 101 rows only.
     topk = pri.orderBy(F.col("q").desc(), F.col("doc_id")).limit(_PS_K + 1)
+    # 101-row frame feeding tau, the HT estimate, and the final select
+    # — checkpoint so the corpus-wide TakeOrdered runs once.
     ranked = topk.withColumn(
         "rk", F.row_number().over(bounded_window("doc_id", F.col("q").desc(), F.col("doc_id")))
-    )
+    ).localCheckpoint(eager=True)
     tau = ranked.filter(F.col("rk") == _PS_K + 1).select(F.col("q").alias("t"))
     est = (
         ranked.filter(F.col("rk") <= _PS_K)

@@ -425,21 +425,21 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "unigram_lm_surprisal",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-      FROM documents
+    WITH tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
     ),
-    vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
-              FROM toks GROUP BY tok),
-    total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
-    scored AS (
-      SELECT t.doc_id, -ln(v.n_tok * 1.0 / total.n_total) AS surprisal
-      FROM toks t JOIN vocab v ON t.tok = v.tok, total
-    )
+    vocab AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n_tok
+              FROM tf GROUP BY tok),
+    total AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM vocab)
     SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(surprisal), 6) AS avg_surprisal
-    FROM scored GROUP BY doc_id
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * -ln(v.n_tok * 1.0 / total.n_total))
+                 / sum(tf), 6) AS avg_surprisal
+    FROM tf JOIN vocab v USING (tok), total
+    GROUP BY doc_id
     """,
     tags=("B24", "B16"),
     doc="Unigram-LM quality score: per-document mean token surprisal "
@@ -455,19 +455,31 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
-    total = toks.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    scored = (
-        toks.join(F.broadcast(vocab), "tok")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            (-F.log(F.col("n_tok") * 1.0 / F.col("n_total"))).alias("surprisal"),
-        )
+    # Aggregate to (doc_id, tok, tf) FIRST and checkpoint: vocabulary,
+    # corpus total, and the weighted per-doc mean all derive from tf,
+    # so the corpus tokenizes once (was 3 FileScans) and the surprisal
+    # join touches tf-sized rows, not one row per token occurrence —
+    # a corpus-length-to-postings-size shrink of the scored join at
+    # 100 TB.  The mean is the tf-weighted form (identical arithmetic
+    # to the oracle's).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+    vocab = tf.groupBy("tok").agg(F.sum("tf").cast("long").alias("n_tok"))
+    total = vocab.agg(F.sum("n_tok").cast("long").alias("n_total"))
+    surprisal = -F.log(F.col("n_tok") * 1.0 / F.col("n_total"))
+    return (
+        tf.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * surprisal) / F.sum("tf"), 6
+            ).alias("avg_surprisal"),
+        )
     )
 
 
@@ -642,17 +654,24 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("t")
     )
+    # top is a TakeOrdered vocab head (_KL_VOCAB rows) feeding FOUR
+    # consumers (tot_all, the src_counts probe, the grid cross, the
+    # final p_all term) — checkpoint it so the corpus-wide token count
+    # runs once.  src_counts (sources x vocab, bounded) likewise feeds
+    # the grid and the per-source totals.
     top = (
         toks.groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
         .orderBy(F.col("c_all").desc(), F.col("t").asc())
         .limit(_KL_VOCAB)
+        .localCheckpoint(eager=True)
     )
     tot_all = top.agg(F.sum("c_all").cast("long").alias("n_all"))
     src_counts = (
         toks.join(F.broadcast(top.select("t")), "t")
         .groupBy("source", "t")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     # per-source totals from the PRESENT cells only (absent grid cells
     # contribute 0) — computing this from the completed grid instead

@@ -72,10 +72,36 @@ def scan_counts(df: DataFrame) -> dict[str, int]:
     a one-time materialization (eager localCheckpoint) of the shared
     subtree.  Returns {file_basename: n_scans} so the linter can flag
     the defect class the exchange-count bar misses."""
-    plan = formatted_plan(df)
+    return _scan_counts_from_plan(formatted_plan(df), broad_only=False)
+
+
+def broad_scan_counts(df: DataFrame) -> dict[str, int]:
+    """Like scan_counts but counts only BROAD scans — those without an
+    equality/IN filter pushed into the reader.  A scan with a pushed
+    point predicate (``vec_id = 42``, a query-vector lookup) reads a
+    bounded slice via row-group pruning and is *cheaper* at 100 TB than
+    materializing the table to avoid it; it is a different subtree,
+    not a redundant recompute, so the redundant-scan lint ignores it."""
+    return _scan_counts_from_plan(formatted_plan(df), broad_only=True)
+
+
+_POINT_PUSH = re.compile(r"\b(?:EqualTo|In)\(")
+
+
+def _scan_counts_from_plan(plan: str, broad_only: bool) -> dict[str, int]:
     counts: dict[str, int] = {}
-    for m in re.finditer(r"Location: \w+ \[([^\]]*)\]", plan):
-        for path in m.group(1).split(","):
+    # formatted mode: each scan node is a "(n) Scan ..." block whose
+    # Location/PushedFilters lines follow before the next blank line.
+    for block in re.split(r"\n\s*\n", plan):
+        if not re.match(r"\(\d+\) Scan ", block.lstrip()):
+            continue
+        loc = re.search(r"Location: \w+ \[([^\]]*)\]", block)
+        if not loc:
+            continue
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        if broad_only and pushed and _POINT_PUSH.search(pushed.group(1)):
+            continue
+        for path in loc.group(1).split(","):
             base = path.strip().rstrip("/").rsplit("/", 1)[-1]
             if base:
                 counts[base] = counts.get(base, 0) + 1
