@@ -418,10 +418,13 @@ def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         F.lit("events.user_id").alias("side"), F.col("user_id").alias("k")
     )
+    # The per-key count table feeds the side stats AND the top-key
+    # probe — checkpoint so both fact scans run once, not per branch.
     per_key = (
         o.unionByName(e)
         .groupBy("side", "k")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
     stats = per_key.groupBy("side").agg(
         F.sum("c").cast("long").alias("n_rows"),

@@ -327,10 +327,12 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
+    # <=bins-row table feeding the totals AND the WoE terms —
+    # checkpoint so the orders scan (and min/max pass) runs once.
     cells = binned.groupBy("bin").agg(
         F.sum("y").cast("long").alias("n_pos"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum("n_pos").cast("long").alias("tp"),
         F.sum("n_neg").cast("long").alias("tn"),

@@ -203,27 +203,27 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") % 50 == 0
     )
     tid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
-    # render BOTH event types, as a real log file interleaves them
-    starts = li.select(
-        F.format_string(
-            '{"Event":"SparkListenerTaskStart","Task Info":{"Task ID":%d,'
-            '"Host":"host-%d.cluster.local","Launch Time":%d}}',
-            tid,
-            (F.col("l_suppkey") % 5).cast("int"),
-            (1000 + tid % 500).cast("long"),
-        ).alias("line")
+    # render BOTH event types, as a real log file interleaves them —
+    # emitted from ONE scan via explode (a union of two rendered arms
+    # would re-scan lineitem per arm)
+    start_line = F.format_string(
+        '{"Event":"SparkListenerTaskStart","Task Info":{"Task ID":%d,'
+        '"Host":"host-%d.cluster.local","Launch Time":%d}}',
+        tid,
+        (F.col("l_suppkey") % 5).cast("int"),
+        (1000 + tid % 500).cast("long"),
     )
-    ends = li.select(
-        F.format_string(
-            '{"Event":"SparkListenerTaskEnd","Task Info":{"Task ID":%d,'
-            '"Host":"host-%d.cluster.local"},'
-            '"Task Metrics":{"Run Time":%d}}',
-            tid,
-            (F.col("l_suppkey") % 5).cast("int"),
-            F.floor(F.col("l_quantity") * 10).cast("long"),
-        ).alias("line")
+    end_line = F.format_string(
+        '{"Event":"SparkListenerTaskEnd","Task Info":{"Task ID":%d,'
+        '"Host":"host-%d.cluster.local"},'
+        '"Task Metrics":{"Run Time":%d}}',
+        tid,
+        (F.col("l_suppkey") % 5).cast("int"),
+        F.floor(F.col("l_quantity") * 10).cast("long"),
     )
-    lines = starts.unionByName(ends)
+    lines = li.select(
+        F.explode(F.array(start_line, end_line)).alias("line")
+    )
     ev = F.get_json_object("line", "$.Event")
     parsed = lines.select(
         ev.alias("event"),
@@ -253,6 +253,9 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "task_id", "host_num", "t0", (F.col("t0") + F.col("run_time")).alias("t1")
         )
+        # spans feed the bucket explode AND the per-host task stats —
+        # checkpoint (task-count rows) so the log parse runs once
+        .localCheckpoint(eager=True)
     )
     monitor = (
         load_table(spark, sf_dir, "events")
@@ -289,6 +292,11 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host_num",
         "n_tasks",
         "avg_task_seconds",
-        "n_aligned_samples",
+        # a host with tasks but no overlapping monitor samples is a
+        # COUNT of 0 (the oracle's correlated count(*)), not NULL;
+        # avg_util stays NULL in both engines
+        F.coalesce("n_aligned_samples", F.lit(0).cast("long")).alias(
+            "n_aligned_samples"
+        ),
         "avg_util_during_tasks",
     )

@@ -175,17 +175,26 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        (F.col("o_totalprice") * 1.10).alias("new_price"),
-        F.lit("P").alias("new_status"),
+    # The change feed (updates ∪ inserts) derives from ONE scan via
+    # explode-over-variant-array (the augmented_docs shape) — a union
+    # of two filtered arms would re-scan orders per arm.
+    variants = F.array(
+        F.struct(
+            F.col("o_orderkey").alias("o_orderkey"),
+            (F.col("o_totalprice") * 1.10).alias("new_price"),
+            F.lit("P").alias("new_status"),
+            (F.col("o_orderkey") % 7 == 0).alias("keep"),
+        ),
+        F.struct(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            F.col("o_totalprice").alias("new_price"),
+            F.lit("O").alias("new_status"),
+            (F.col("o_orderkey") % 31 == 0).alias("keep"),
+        ),
     )
-    inserts = o.filter(F.col("o_orderkey") % 31 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-        F.col("o_totalprice").alias("new_price"),
-        F.lit("O").alias("new_status"),
-    )
-    changes = updates.unionByName(inserts)
+    changes = o.select(
+        F.explode(F.filter(variants, lambda v: v["keep"])).alias("v")
+    ).select("v.o_orderkey", "v.new_price", "v.new_status")
     t = o.select("o_orderkey", "o_totalprice", "o_orderstatus").alias("t")
     c = changes.alias("c")
     return t.join(c, F.col("t.o_orderkey") == F.col("c.o_orderkey"), "full").select(
@@ -797,11 +806,15 @@ def _bloom_bit_sql(col: str, salt: int) -> str:
 )
 def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _BLOOM_BITS_PER_WORD
+    # build feeds the bit explode AND the ground-truth join; the word
+    # bitmap feeds both probe-side lookups — checkpoint each so the
+    # orders scan + distinct run once.
     build = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # both hash positions exploded from ONE pass over the build side —
     # a unionAll of two selects would duplicate the whole build
@@ -815,7 +828,7 @@ def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {w} AS INT))")
         ).alias("bits")
-    )
+    ).localCheckpoint(eager=True)
     pr = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("k"))
@@ -902,22 +915,27 @@ def bloom_bitmap_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     a = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
-    b = (
-        o.filter(F.col("o_orderkey") % 13 != 0)
-        .select(
-            "o_orderkey",
+    # Snapshot B's two arms (surviving rows + planted inserts) emit
+    # from ONE scan via explode-over-variant-array — a union would
+    # re-scan orders per arm.
+    b_variants = F.array(
+        F.struct(
+            F.col("o_orderkey").alias("o_orderkey"),
             (
                 F.col("o_totalprice")
                 * F.when(F.col("o_orderkey") % 11 == 0, 1.05).otherwise(1.0)
             ).alias("price"),
-        )
-        .unionByName(
-            o.filter(F.col("o_orderkey") % 17 == 0).select(
-                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
-                F.col("o_totalprice").alias("price"),
-            )
-        )
+            (F.col("o_orderkey") % 13 != 0).alias("keep"),
+        ),
+        F.struct(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_orderkey") % 17 == 0).alias("keep"),
+        ),
     )
+    b = o.select(
+        F.explode(F.filter(b_variants, lambda v: v["keep"])).alias("v")
+    ).select("v.o_orderkey", "v.price")
     aj = a.select(
         F.col("o_orderkey").alias("ka"), F.col("price").alias("price_a")
     )

@@ -79,10 +79,14 @@ MIN_PAIR_ORDERS = 3
 def cooccurrence_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # The basket table is the working set of every downstream branch
+    # (brand marginals, order total, pair generation); checkpoint so
+    # the lineitem-part join builds it once, not once per branch.
     baskets = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint(eager=True)
     )
     items = baskets.select(
         "l_orderkey", F.explode("bs").alias("p_brand")
@@ -516,9 +520,13 @@ def revenue_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
-    ).distinct()
+    # The user-day set feeds the size table AND both self-join sides —
+    # checkpoint so the events scan + distinct run once, not 4x.
+    days = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = days.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
     b = days.select(
         (F.col("day") - F.expr("INTERVAL 1 DAY")).alias("day_prev"),

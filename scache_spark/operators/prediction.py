@@ -255,10 +255,13 @@ def join_size_histogram_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the median residual at the fitted slope.",
 )
 def size_regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (shuffle, map, reduce) cells feed both slope-pair sides AND the
+    # intercept pass — checkpoint so the fact scan runs once.
     per_block = (
         block_view(spark, sf_dir)
         .groupBy("shuffle", "map", "reduce")
         .agg(F.sum("size").alias("sz"))
+        .localCheckpoint(eager=True)
     )
     a = per_block.select(
         "shuffle", F.col("reduce").alias("ra"), F.col("sz").alias("sa")

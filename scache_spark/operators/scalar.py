@@ -616,24 +616,22 @@ _EDH_K = 8  # target buckets
       FROM lineitem, rng
     ),
     hist AS (
-      SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
+      SELECT bin, CAST(count(*) AS BIGINT) AS c,
+             min(price) AS mn_p, max(price) AS mx_p
+      FROM binned GROUP BY bin
     ),
     walked AS (
-      SELECT bin, c,
+      SELECT bin, c, mn_p, mx_p,
              sum(c) OVER (ORDER BY bin
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM hist
     ),
-    tot AS (SELECT sum(c) AS n FROM hist),
-    bmap AS (
-      SELECT bin,
-             CAST(({_EDH_K} * cum + n - 1) // n AS INT) AS bucket
-      FROM walked, tot
-    )
-    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
-           round(min(price), 4) AS lo, round(max(price), 4) AS hi
-    FROM binned JOIN bmap USING (bin)
-    GROUP BY bucket
+    tot AS (SELECT sum(c) AS n FROM hist)
+    SELECT CAST(({_EDH_K} * cum + n - 1) // n AS INT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(min(mn_p), 4) AS lo, round(max(mx_p), 4) AS hi
+    FROM walked, tot
+    GROUP BY 1
     """,
     tags=("B20", "B16", "B7"),
     doc=f"Scale-safe equi-depth binning (the graded sibling of "
@@ -665,9 +663,27 @@ def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin"),
     )
-    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # The histogram carries per-bin min/max alongside the count, so the
+    # final per-bucket rollup derives ENTIRELY from the <=256-row hist
+    # (min-of-mins == min; exact integer/branchless decisions) — the
+    # corpus is never re-joined against the bucket map.  One data scan
+    # for the range, one for the histogram; everything after is
+    # bin-resolution work.  hist is checkpointed: it feeds the
+    # cumulative walk, the total, and the rollup.
+    hist = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("price").alias("mn_p"),
+            F.max("price").alias("mx_p"),
+        )
+        .localCheckpoint(eager=True)
+    )
     cum = hist.select(
         "bin",
+        "c",
+        "mn_p",
+        "mx_p",
         F.sum("c")
         .over(
             bounded_window("bin", "bin").rowsBetween(
@@ -677,17 +693,17 @@ def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum"),
     )
     tot = hist.agg(F.sum("c").alias("n"))
-    bmap = cum.crossJoin(F.broadcast(tot)).select(
-        "bin",
-        F.expr(f"CAST(({_EDH_K} * cum + n - 1) div n AS INT)").alias("bucket"),
-    )
     return (
-        binned.join(F.broadcast(bmap), "bin")
-        .groupBy("bucket")
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"CAST(({_EDH_K} * cum + n - 1) div n AS INT)").alias(
+                "bucket"
+            )
+        )
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.min("price"), 4).alias("lo"),
-            F.round(F.max("price"), 4).alias("hi"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.round(F.min("mn_p"), 4).alias("lo"),
+            F.round(F.max("mx_p"), 4).alias("hi"),
         )
     )
 
@@ -864,6 +880,27 @@ _PS_K = 100  # sample size
 _TWO60 = float(1 << 60)
 
 
+def _priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized top-(K+1) priority frame — split out so the
+    plan test can assert the TakeOrderedAndProject shape (per-partition
+    heaps, no global sort/window over the corpus) before the query
+    checkpoints it."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        + 1
+    ) / F.lit(_TWO60)
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        (F.col("n_chars").cast("double") / u).alias("q"),
+    )
+    return pri.orderBy(F.col("q").desc(), F.col("doc_id")).limit(_PS_K + 1)
+
+
+
+
 @register(
     "weighted_priority_sample",
     oracle=f"""
@@ -906,23 +943,7 @@ _TWO60 = float(1 << 60)
     "full sort) and the audit aggregates are map-side combined.",
 )
 def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        + 1
-    ) / F.lit(_TWO60)
-    pri = docs.select(
-        "doc_id",
-        F.col("n_chars").cast("double").alias("w"),
-        (F.col("n_chars").cast("double") / u).alias("q"),
-    )
-    from pyspark.sql.window import Window
-
-    # Top-(K+1) via orderBy+limit => TakeOrderedAndProject (per-
-    # partition heaps, no global sort/window over the corpus); the
-    # ranking window then runs over 101 rows only.
-    topk = pri.orderBy(F.col("q").desc(), F.col("doc_id")).limit(_PS_K + 1)
+    topk = _priority_topk(spark, sf_dir)
     # 101-row frame feeding tau, the HT estimate, and the final select
     # — checkpoint so the corpus-wide TakeOrdered runs once.
     ranked = topk.withColumn(
@@ -938,7 +959,10 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_total")
         )
     )
-    totals = docs.agg(F.sum("n_chars").cast("long").alias("true_total_chars"))
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum("n_chars").cast("long").alias("true_total_chars"))
+    )
     return (
         est.crossJoin(F.broadcast(tau))
         .crossJoin(F.broadcast(totals))
@@ -994,12 +1018,26 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extraction.",
 )
 def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact MAD is inherently multi-pass (medians have no partial
+    # aggregate): pass 1 per-type medians, pass 2 deviation medians,
+    # pass 3 the outlier report.  Checkpoint the two TINY per-type
+    # model frames so each pass scans the data exactly once — without
+    # this the lineage replays pass 1 under pass 2 and both under
+    # pass 3 (4 FileScans for 3 logical passes).
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    med = (
+        ev.groupBy("event_type")
+        .agg(F.median("value").alias("med"))
+        .localCheckpoint(eager=True)
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    mad = (
+        dev.groupBy("event_type")
+        .agg(F.median("adev").alias("mad"))
+        .localCheckpoint(eager=True)
+    )
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1151,10 +1189,13 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
     )
+    # <=10-row histogram feeding the totals AND the psi terms —
+    # checkpoint so the orders scan (and the min/max pass under it)
+    # runs once, not once per consumer.
     cells = binned.groupBy("bin").agg(
         F.sum("is_a").cast("long").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
-    )
+    ).localCheckpoint(eager=True)
     tot = cells.agg(
         F.sum("n_a").cast("long").alias("ta"), F.sum("n_b").cast("long").alias("tb")
     )
@@ -1238,10 +1279,12 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_a"),
     )
+    # <=64-row histogram feeding the ECDF walk AND the totals —
+    # checkpoint so the orders scan runs once, not once per consumer.
     hist = binned.groupBy("bin").agg(
         F.sum("is_a").cast("long").alias("a"),
         F.sum(1 - F.col("is_a")).cast("long").alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     wcum = bounded_window("bin", "bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

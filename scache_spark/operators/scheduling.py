@@ -151,9 +151,15 @@ def expected_reduce_size_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     # first-wave stats AND the global byte total both derive from
     # that small frame (total as an unpartitioned window), so the
     # 100 TB input is scanned exactly once
-    cells = b.groupBy("map", "reduce").agg(
-        F.sum("size").alias("mr")
-    ).withColumn("all_bytes", F.sum("mr").over(Window.partitionBy()))
+    cells = (
+        b.groupBy("map", "reduce")
+        .agg(F.sum("size").alias("mr"))
+        .withColumn("all_bytes", F.sum("mr").over(Window.partitionBy()))
+        # checkpoint: the cell grid feeds the first-wave filter, its
+        # per-map totals, the reduce-id grid, and the probe join —
+        # without it the fact scan replays per branch
+        .localCheckpoint(eager=True)
+    )
     fw = cells.filter(F.col("map") < 4)
     fw_tot = fw.groupBy("map").agg(F.sum("mr").alias("mt"))
     grid = fw.select("map").distinct().crossJoin(

@@ -138,14 +138,17 @@ def test_event_log_parse_is_narrow_until_agg(spark, sf_dir):
 
 def test_tfidf_single_job_no_driver_count(spark, sf_dir):
     """The corpus count must be part of the plan (broadcast 1-row
-    aggregate), not a separate driver-side .count() job."""
+    aggregate over the materialized tf frame), not a separate
+    driver-side .count() job: the final plan reads the tf checkpoint
+    — the single corpus tokenize — and never documents.parquet.
+    (Job-count is not asserted: AQE materializes each checkpoint
+    query stage as its own job.)"""
     from scache_spark.operators.text import text_tfidf_top_terms
 
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    df = text_tfidf_top_terms(spark, sf_dir)  # build only — no action
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert after == before, "building the tfidf plan ran a Spark job"
+    df = text_tfidf_top_terms(spark, sf_dir)
+    assert plans.scan_counts(df).get("documents.parquet", 0) == 0, (
+        "final tfidf plan re-scans the corpus instead of the checkpoint"
+    )
     assert "BroadcastNestedLoopJoin" in plans.formatted_plan(df) or (
         "BroadcastExchange" in plans.formatted_plan(df)
     )
@@ -276,11 +279,19 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
 
 def test_priority_sample_is_take_ordered(spark, sf_dir):
     """Top-(k+1) priorities must run as TakeOrderedAndProject
-    (per-partition heaps), not a global sort or corpus-wide window."""
-    from scache_spark.operators.scalar import weighted_priority_sample
+    (per-partition heaps), not a global sort or corpus-wide window.
+    Asserted on the pre-checkpoint frame (the query materializes it
+    once for its three consumers, which truncates the visible plan)."""
+    from scache_spark.operators.scalar import (
+        _priority_topk,
+        weighted_priority_sample,
+    )
 
-    p = plans.formatted_plan(weighted_priority_sample(spark, sf_dir))
+    p = plans.formatted_plan(_priority_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
+    # and the materialized query never re-reads the corpus for ranking
+    final = weighted_priority_sample(spark, sf_dir)
+    assert plans.scan_counts(final).get("documents.parquet", 0) <= 1
 
 
 def test_bloom_bitmap_probe_is_broadcast_only(spark, sf_dir):

@@ -51,7 +51,15 @@ MAX_SAME_FILE_SCANS = 2
 # Queries whose >2 scans of one file are justified in-plan (reviewed;
 # keep this list EMPTY unless a scan is provably bounded or cheaper
 # than materialization — justify in a comment per entry).
-RESCAN_OK: set[str] = set()
+RESCAN_OK: set[str] = {
+    # Six INDEPENDENT constraint checks batched into one 6-row result;
+    # orders appears in three of them with three DIFFERENT pruned
+    # column sets (o_orderkey as join dim / o_custkey as fact key /
+    # o_orderkey for PK uniqueness).  A shared materialization would
+    # read the union of the columns and cache a fact table to save
+    # column-pruned scans — strictly more IO than the three scans.
+    "referential_integrity_audit",
+}
 
 
 def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
@@ -82,7 +90,7 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
         # text_bm25_topk defect class.  Fix with eager localCheckpoint
         # on the shared frame, or justify in RESCAN_OK below.
         if name not in RESCAN_OK and "ReusedExchange" not in p:
-            for base, n in plans.scan_counts(df).items():
+            for base, n in plans.broad_scan_counts(df).items():
                 if n > MAX_SAME_FILE_SCANS:
                     issues.append(f"RESCAN={base}x{n}")
         if issues:
