@@ -509,7 +509,7 @@ def span_dedup_rewrite(
     kept = seg.join(freq, "__seg").filter(
         (F.col("__nd") < min_docs) | (F.col(id_col) == F.col("__keeper"))
     )
-    return kept.groupBy(id_col).agg(
+    rewritten = kept.groupBy(id_col).agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -517,6 +517,13 @@ def span_dedup_rewrite(
                 lambda s: s["__seg"],
             ),
         ).alias(text_col)
+    )
+    # A document whose EVERY span was removed has no surviving rows in
+    # kept — left-join the rewrite back onto the input ids so such docs
+    # come back with empty text instead of silently vanishing from
+    # downstream inner joins.
+    return df.select(id_col).join(rewritten, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 
@@ -598,7 +605,14 @@ def perplexity_buckets(
         .localCheckpoint(eager=True)
     )
     rng = perdoc.agg(F.min("surprisal").alias("__mn"), F.max("surprisal").alias("__mx"))
-    width = (F.col("__mx") - F.col("__mn")) / float(fine_bins)
+    # degenerate distribution guard: with mn == mx a zero bin width
+    # divides 0/0 (non-ANSI NULL, collapsed to the last bin => every
+    # doc silently 'tail'); the epsilon floor keeps the arithmetic
+    # finite, and the __deg flag short-circuits the single-value case
+    # to 'head' (a corpus with one quality level IS its own head)
+    width = F.greatest(
+        (F.col("__mx") - F.col("__mn")), F.lit(1e-12)
+    ) / float(fine_bins)
     binned = perdoc.crossJoin(F.broadcast(rng)).select(
         id_col,
         "surprisal",
@@ -608,6 +622,7 @@ def perplexity_buckets(
         )
         .cast("int")
         .alias("__bin"),
+        (F.col("__mx") == F.col("__mn")).alias("__deg"),
     )
     hist = binned.groupBy("__bin").agg(F.count(F.lit(1)).alias("__c"))
     from scache_spark.functions import bounded_window
@@ -631,7 +646,9 @@ def perplexity_buckets(
         ),
     )
     return binned.join(F.broadcast(bmap), "__bin").select(
-        id_col, "surprisal", "bucket"
+        id_col,
+        "surprisal",
+        F.when(F.col("__deg"), "head").otherwise(F.col("bucket")).alias("bucket"),
     )
 
 
@@ -691,6 +708,11 @@ def cms_estimate(
     the key frame's columns.  Estimates are one-sided:
     est_cnt >= true count, always.  Keys absent from the stream may
     still read > 0 (hash collisions) — the CMS contract.
+
+    ``keys`` rows are expected DISTINCT over its columns (the final
+    groupBy collapses duplicates); the sketch's columns are aliased to
+    reserved ``__cms_*`` names before the join, so a keys frame may
+    freely carry columns named r / cell / cnt.
     """
     probe_cols = keys.columns
     probes = keys.select(
@@ -707,12 +729,18 @@ def cms_estimate(
             )
         ).alias("rc"),
     )
+    sk = sketch.select(
+        F.col("r").alias("__cms_r"),
+        F.col("cell").alias("__cms_cell"),
+        F.col("cnt").alias("__cms_cnt"),
+    )
     return (
         probes.join(
-            F.broadcast(sketch),
-            (F.col("rc.r") == F.col("r")) & (F.col("rc.cell") == F.col("cell")),
+            F.broadcast(sk),
+            (F.col("rc.r") == F.col("__cms_r"))
+            & (F.col("rc.cell") == F.col("__cms_cell")),
             "left",
         )
         .groupBy(*probe_cols)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .agg(F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias("est_cnt"))
     )

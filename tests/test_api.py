@@ -245,6 +245,22 @@ def test_span_dedup_rewrite_removes_shared_span_keep_first(spark):
     assert out[3] == rows[2][1]
 
 
+def test_span_dedup_rewrite_keeps_fully_deduplicated_docs(spark):
+    # doc 2 is an exact copy of doc 1: its ONLY span is removed, but
+    # the doc must still come back (empty text), not vanish from the
+    # result — downstream inner joins would otherwise lose it silently
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame([(1, shared), (2, shared)], ["doc", "body"])
+    out = (
+        api.span_dedup_rewrite(df, "doc", "body")
+        .toPandas()
+        .set_index("doc")["body"]
+    )
+    assert len(out) == 2
+    assert out[1] == shared
+    assert out[2] == ""
+
+
 def test_dsir_score_separates_planted_vocabularies(spark):
     rows = [(i, "atom laser quark photon tensor", i < 5) for i in range(10)] + [
         (i, "goal match pitch score team", False) for i in range(10, 40)
@@ -272,6 +288,28 @@ def test_perplexity_buckets_orders_by_surprisal(spark):
     assert set(out[(out.index >= 3) & (out.index < 6)]["bucket"]) == {"middle"}
     assert set(out[out.index >= 6]["bucket"]) == {"tail"}
     assert out["surprisal"].loc[0] < out["surprisal"].loc[3] < out["surprisal"].loc[6]
+
+
+def test_perplexity_buckets_degenerate_distribution_is_head(spark):
+    # every doc has IDENTICAL surprisal (mn == mx): the epsilon-floored
+    # bin width must land them all in bin 0 -> bucket 'head', never the
+    # NULL-collapsed 'tail' a 0/0 division would produce
+    df = spark.createDataFrame([(i, "a a a") for i in range(4)], ["doc", "body"])
+    out = api.perplexity_buckets(df, "doc", "body").toPandas()
+    assert len(out) == 4
+    assert set(out["bucket"]) == {"head"}
+
+
+def test_cms_estimate_tolerates_reserved_column_names(spark):
+    # a keys frame already carrying r / cell / cnt columns must not
+    # collide with the broadcast sketch's columns
+    stream = spark.createDataFrame([("x",)] * 7 + [("y",)] * 2, "k string")
+    sketch = api.cms_sketch(stream, "k")
+    keys = spark.createDataFrame(
+        [("x", 1, 2, 3), ("y", 4, 5, 6)], ["k", "r", "cell", "cnt"]
+    )
+    est = api.cms_estimate(sketch, keys, "k").toPandas().set_index("k")["est_cnt"]
+    assert est["x"] >= 7 and est["y"] >= 2
 
 
 def test_cms_sketch_estimates_are_one_sided_and_tight(spark):
