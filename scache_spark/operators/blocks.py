@@ -85,6 +85,125 @@ def block_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mapstatus_highly_compressed",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    cells AS (
+      SELECT shuffle, map, reduce, CAST(sum(size) AS BIGINT) AS sz
+      FROM blocks
+      WHERE (shuffle + map + reduce) % 5 <> 0
+      GROUP BY shuffle, map, reduce
+    ),
+    grid AS (
+      SELECT DISTINCT c.shuffle, c.map, r.reduce
+      FROM cells c CROSS JOIN
+           (SELECT unnest(generate_series(0, 3)) AS reduce) r
+    ),
+    full_grid AS (
+      SELECT g.shuffle, g.map, g.reduce, coalesce(c.sz, 0) AS sz
+      FROM grid g LEFT JOIN cells c
+        ON g.shuffle = c.shuffle AND g.map = c.map AND g.reduce = c.reduce
+    ),
+    status AS (
+      SELECT shuffle, map,
+             CAST(sum(CASE WHEN sz > 0 THEN 1 ELSE 0 END) AS INT)
+                 AS n_nonempty,
+             CAST(sum(sz) AS BIGINT) AS total_bytes,
+             CAST(bit_or(CASE WHEN sz = 0
+                              THEN (CAST(1 AS BIGINT) << reduce)
+                              ELSE 0 END) AS BIGINT) AS empty_bitmap
+      FROM full_grid GROUP BY shuffle, map
+    ),
+    avgd AS (
+      SELECT shuffle, map, n_nonempty, empty_bitmap,
+             CASE WHEN n_nonempty > 0
+                  THEN total_bytes // n_nonempty ELSE 0 END AS avg_size
+      FROM status
+    )
+    SELECT a.shuffle, a.map, a.n_nonempty, a.avg_size, a.empty_bitmap,
+           CAST(sum(abs(f.sz - CASE WHEN f.sz > 0 THEN a.avg_size
+                                    ELSE 0 END)) AS BIGINT)
+               AS decode_abs_err
+    FROM full_grid f
+    JOIN avgd a ON f.shuffle = a.shuffle AND f.map = a.map
+    GROUP BY a.shuffle, a.map, a.n_nonempty, a.avg_size, a.empty_bitmap
+    """,
+    tags=("A.2", "B7", "B16", "B18"),
+    doc="HighlyCompressedMapStatus analog (scheduler/MapStatus.scala:"
+    "132-199): for reducer counts past 2000 the reference stops "
+    "shipping one log1.1 byte per block and keeps only the average "
+    "non-empty block size plus a RoaringBitmap of EMPTY reduce ids "
+    "(getSizeForBlock returns 0 for bitmap members, avgSize "
+    "otherwise; avg = totalSize / numNonEmptyBlocks in integer "
+    "division, MapStatus.scala:171-196).  This query computes that "
+    "status per (shuffle, map) over the block view — emptiness is "
+    "planted deterministically ((shuffle+map+reduce) % 5 == 0 cells "
+    "are dropped) so the bitmap is provably non-trivial — packing "
+    "the bitmap into a 64-bit word via bit_or(1 << reduce) (the "
+    "R<=64 fixture's RoaringBitmap container) and reporting "
+    "decode_abs_err, the total bytes by which avg-size decoding "
+    "misstates true sizes: the precision/size trade the reference "
+    "accepts at >2000 reducers, now measurable per map.  All-integer "
+    "arithmetic, engine-exact; partial-aggregatable throughout.",
+)
+def mapstatus_highly_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        block_view(spark, sf_dir)
+        .filter((F.col("shuffle") + F.col("map") + F.col("reduce")) % 5 != 0)
+        .groupBy("shuffle", "map", "reduce")
+        .agg(F.sum("size").cast("long").alias("sz"))
+        # <=128-cell frame feeding the grid, the status aggregate, and
+        # the decode-error pass — checkpoint so the fact scan runs once
+        .localCheckpoint(eager=True)
+    )
+    grid = (
+        cells.select("shuffle", "map")
+        .distinct()
+        .crossJoin(
+            spark.range(4).select(F.col("id").cast("int").alias("reduce"))
+        )
+    )
+    full_grid = grid.join(cells, ["shuffle", "map", "reduce"], "left").select(
+        "shuffle", "map", "reduce", F.coalesce("sz", F.lit(0)).alias("sz")
+    )
+    status = full_grid.groupBy("shuffle", "map").agg(
+        F.sum(F.when(F.col("sz") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_nonempty"),
+        F.sum("sz").cast("long").alias("total_bytes"),
+        F.bit_or(
+            F.when(
+                F.col("sz") == 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), reduce)"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("long")
+        .alias("empty_bitmap"),
+    )
+    avgd = status.select(
+        "shuffle",
+        "map",
+        "n_nonempty",
+        "empty_bitmap",
+        F.when(
+            F.col("n_nonempty") > 0,
+            F.expr("total_bytes div n_nonempty"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("avg_size"),
+    )
+    decoded = F.when(F.col("sz") > 0, F.col("avg_size")).otherwise(F.lit(0))
+    return (
+        full_grid.join(F.broadcast(avgd), ["shuffle", "map"])
+        .groupBy("shuffle", "map", "n_nonempty", "avg_size", "empty_bitmap")
+        .agg(
+            F.sum(F.abs(F.col("sz") - decoded)).cast("long").alias("decode_abs_err")
+        )
+    )
+
+
+@register(
     "block_topk_per_shuffle",
     oracle=f"""
     WITH blocks AS ({_BLOCK_VIEW_SQL}),

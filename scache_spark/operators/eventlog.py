@@ -300,3 +300,275 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "avg_util_during_tasks",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hadoop attempt.csv trace parsing (sim/sim.py:278's other input leg)
+# ---------------------------------------------------------------------------
+
+_ATT_SCHEMA = (
+    "jtid BIGINT, jobid INT, tasktype STRING, taskid BIGINT, attempt INT,"
+    " startTime STRING, shuffleTime STRING, sortTime STRING,"
+    " finishTime STRING, status STRING, rack STRING, hostname STRING"
+)
+_ATT_MIN_TASKS = 6  # sim.py:289-292 drops jobs with < 6 reduce attempts
+
+
+def _render_attempt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One attempt.csv record per sampled lineitem row, with planted
+    empty time/status fields (the NA cells sim.py's ``deal_na_int``
+    converts to -1) and planted failed attempts (status 1)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    jtid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    start = (1000 + jtid % 500).cast("long")
+    shuf = start + F.floor(F.col("l_quantity") * 5).cast("long")
+    sort = shuf + F.floor(F.col("l_discount") * 100).cast("long")
+    fin = sort + F.floor(F.col("l_tax") * 200).cast("long") + 10
+    na_t = F.col("l_suppkey") % 11 == 0  # shuffle/sort columns blank
+    na_f = F.col("l_suppkey") % 13 == 0  # finish column blank
+    return li.select(
+        F.format_string(
+            "%d,%d,%s,%d,0,%d,%s,%s,%s,%s,/rack-%d,node%d",
+            jtid,
+            (F.col("l_orderkey") % 8).cast("int"),
+            F.when(F.col("l_linenumber") % 2 == 0, "r").otherwise("m"),
+            F.col("l_partkey").cast("long"),
+            start,
+            F.when(na_t, "").otherwise(shuf.cast("string")),
+            F.when(na_t, "").otherwise(sort.cast("string")),
+            F.when(na_f, "").otherwise(fin.cast("string")),
+            F.when(F.col("l_suppkey") % 17 == 0, "1").otherwise("0"),
+            (F.col("l_suppkey") % 3).cast("int"),
+            (F.col("l_suppkey") % 5).cast("int"),
+        ).alias("line")
+    )
+
+
+@register(
+    "hadoop_attempt_trace_parse",
+    oracle=f"""
+    WITH raw AS (
+      SELECT l_orderkey * 10 + l_linenumber AS jtid,
+             CAST(l_orderkey % 8 AS INT) AS jobid,
+             CASE WHEN l_linenumber % 2 = 0 THEN 'r' ELSE 'm' END AS tasktype,
+             CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500 AS BIGINT)
+                 AS start_t,
+             CASE WHEN l_suppkey % 11 = 0 THEN -1
+                  ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
+                            + floor(l_quantity * 5) AS BIGINT) END AS shuf_t,
+             CASE WHEN l_suppkey % 11 = 0 THEN -1
+                  ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
+                            + floor(l_quantity * 5)
+                            + floor(l_discount * 100) AS BIGINT) END AS sort_t,
+             CASE WHEN l_suppkey % 13 = 0 THEN -1
+                  ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
+                            + floor(l_quantity * 5) + floor(l_discount * 100)
+                            + floor(l_tax * 200) + 10 AS BIGINT) END AS fin_t,
+             CASE WHEN l_suppkey % 17 = 0 THEN 1 ELSE 0 END AS status
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    ),
+    dedup AS (
+      -- the fixture repeats (orderkey, linenumber) pairs: keep one
+      -- record per attempt id, max-fields (same regroup as the Spark
+      -- plan after the CSV parse)
+      SELECT jtid, jobid, tasktype,
+             max(start_t) AS start_t, max(shuf_t) AS shuf_t,
+             max(sort_t) AS sort_t, max(fin_t) AS fin_t,
+             max(status) AS status
+      FROM raw GROUP BY 1, 2, 3
+    ),
+    reduces AS (
+      SELECT * FROM dedup WHERE tasktype = 'r' AND status = 0
+    ),
+    complete AS (
+      SELECT * FROM reduces
+      WHERE shuf_t <> -1 AND sort_t <> -1 AND fin_t <> -1
+    )
+    SELECT r.jobid,
+           CAST(count(*) AS BIGINT) AS n_reduce_tasks,
+           CAST(count(*) - (SELECT count(*) FROM complete c
+                            WHERE c.jobid = r.jobid) AS BIGINT)
+               AS n_incomplete,
+           (SELECT CAST(sum(fin_t - start_t - (sort_t - shuf_t)) AS BIGINT)
+            FROM complete c WHERE c.jobid = r.jobid) AS total_run_time,
+           (SELECT CAST(max(sort_t - shuf_t) AS BIGINT)
+            FROM complete c WHERE c.jobid = r.jobid) AS coflow_bottleneck,
+           (SELECT round(avg((sort_t - shuf_t) * 1.0 / (fin_t - start_t)), 6)
+            FROM complete c WHERE c.jobid = r.jobid) AS avg_shuffle_frac
+    FROM reduces r
+    GROUP BY r.jobid
+    HAVING count(*) >= {_ATT_MIN_TASKS}
+    """,
+    tags=("B14", "B18", "A.5"),
+    doc="Hadoop attempt-trace mining (sim/sim.py:278-292's OTHER log "
+    "leg, beside the Spark event logs event_log_parse covers): render "
+    "attempt.csv records [jtid, jobid, tasktype, taskid, attempt, "
+    "startTime, shuffleTime, sortTime, finishTime, status, rack, "
+    "hostname] with planted BLANK time cells and failed attempts, "
+    "parse them back with from_csv, apply deal_na_int's blank->-1 "
+    "convention (sim.py:21-25), keep reduce attempts with status 0 "
+    "(sim.py:40), drop jobs with fewer than 6 of them (sim.py:289-"
+    "292), and emit per job exactly the quantities the scheduler race "
+    "consumes: shuffle-free run time sum/[via max] (fin - start - "
+    "(sort - shuf), sim.py:44-46), the coflow bottleneck max(sort - "
+    "shuf) (sim.py:131-134) and reduce_cdf's mean shuffle fraction "
+    "(sim.py:119-128).  Incomplete records (any -1 time) are counted "
+    "but excluded from the time stats — the cleaning every consumer "
+    "of this trace performs.  One scan, narrow parse, one small "
+    "aggregate.",
+)
+def hadoop_attempt_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _render_attempt_csv(spark, sf_dir)
+    rec = lines.select(
+        F.from_csv(F.col("line"), _ATT_SCHEMA).alias("r")
+    ).select("r.*")
+    na = lambda c: F.coalesce(  # noqa: E731 — deal_na_int, sim.py:21-25
+        F.col(c).cast("long"), F.lit(-1).cast("long")
+    )
+    typed = rec.select(
+        "jtid",
+        "jobid",
+        "tasktype",
+        F.col("startTime").cast("long").alias("start_t"),
+        na("shuffleTime").alias("shuf_t"),
+        na("sortTime").alias("sort_t"),
+        na("finishTime").alias("fin_t"),
+        na("status").cast("int").alias("status"),
+    )
+    dedup = typed.groupBy("jtid", "jobid", "tasktype").agg(
+        F.max("start_t").alias("start_t"),
+        F.max("shuf_t").alias("shuf_t"),
+        F.max("sort_t").alias("sort_t"),
+        F.max("fin_t").alias("fin_t"),
+        F.max("status").alias("status"),
+    )
+    reduces = dedup.filter((F.col("tasktype") == "r") & (F.col("status") == 0))
+    complete = (
+        (F.col("shuf_t") != -1) & (F.col("sort_t") != -1) & (F.col("fin_t") != -1)
+    )
+    shuffle_t = F.col("sort_t") - F.col("shuf_t")
+    run_t = F.col("fin_t") - F.col("start_t") - shuffle_t
+    return (
+        reduces.groupBy("jobid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reduce_tasks"),
+            F.sum(F.when(~complete, 1).otherwise(0))
+            .cast("long")
+            .alias("n_incomplete"),
+            F.sum(F.when(complete, run_t)).cast("long").alias("total_run_time"),
+            F.max(F.when(complete, shuffle_t))
+            .cast("long")
+            .alias("coflow_bottleneck"),
+            F.round(
+                F.avg(
+                    F.when(
+                        complete,
+                        shuffle_t * 1.0 / (F.col("fin_t") - F.col("start_t")),
+                    )
+                ),
+                6,
+            ).alias("avg_shuffle_frac"),
+        )
+        .filter(F.col("n_reduce_tasks") >= _ATT_MIN_TASKS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BlockManager "Added" executor-log parsing (sim/train.py:64-90 parse_log)
+# ---------------------------------------------------------------------------
+
+
+def _render_blockmanager_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved BlockManagerInfo log lines — an Added line per
+    sampled block plus a Removed line the parser must skip, emitted
+    from ONE scan via explode.  Token positions replicate what
+    parse_log indexes: split(' ')[5] = block id, [9] = host,
+    [11] = size (sim/train.py:69-80)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    block = F.format_string(
+        "scache_%d_%d_%d_%d",
+        (F.col("l_orderkey") % 4).cast("int"),  # jobid
+        (F.col("l_partkey") % 2).cast("int"),  # shuffleid
+        (F.col("l_partkey") % 8).cast("int"),  # mapid
+        (F.col("l_suppkey") % 4).cast("int"),  # reduceid
+    )
+    host = F.format_string("host-%d", (F.col("l_suppkey") % 5).cast("int"))
+    size = F.format_string(
+        "%d.0", F.floor(F.col("l_extendedprice") * 100).cast("long")
+    )
+    added = F.format_string(
+        "17/01/01 00:00:00 INFO BlockManagerInfo: Added %s in memory on %s (size %s B)",
+        block,
+        host,
+        size,
+    )
+    removed = F.format_string(
+        "17/01/01 00:00:01 INFO BlockManagerInfo: Removed %s on %s (size %s B)",
+        block,
+        host,
+        size,
+    )
+    return li.select(F.explode(F.array(added, removed)).alias("line"))
+
+
+@register(
+    "blockmanager_added_log_parse",
+    oracle="""
+    WITH blocks AS (
+      SELECT CAST(l_orderkey % 4 AS INT) AS jobid,
+             CAST(l_partkey % 2 AS INT) AS shuffleid,
+             CAST(l_partkey % 8 AS INT) AS mapid,
+             CAST(l_suppkey % 4 AS INT) AS reduceid,
+             CAST(l_suppkey % 5 AS INT) AS hostid,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS size
+      FROM lineitem WHERE l_orderkey % 50 = 0
+    )
+    SELECT jobid, shuffleid, hostid,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(count(DISTINCT reduceid) AS BIGINT) AS n_reduces,
+           CAST(sum(size) AS BIGINT) AS total_size
+    FROM blocks GROUP BY jobid, shuffleid, hostid
+    """,
+    tags=("B14", "B18", "A.5"),
+    doc="parse_log as one plan (sim/train.py:64-90): BlockManagerInfo "
+    "'Added' lines split on spaces — token[5] is the block id "
+    "scache_<job>_<shuffle>_<map>_<reduce>, token[9] the host, "
+    "token[11] the size — non-Added lines skipped exactly as the "
+    "reference's 'Added' substring guard does, and the "
+    "[jobid, shuffleid, mapid, host, reduceid, size] frame aggregated "
+    "per (job, shuffle, host) — the per-host reduce-size matrix the "
+    "scheduler race and size-prediction trainers consume.  One "
+    "deviation, documented: the reference numbers hosts by dict "
+    "first-appearance order (scan-order-dependent, irreproducible "
+    "distributed); here the host ordinal is parsed from the name — "
+    "any stable host->id map serves the same role.  One scan, narrow "
+    "line parse, one aggregate.",
+)
+def blockmanager_added_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = _render_blockmanager_log(spark, sf_dir)
+    toks = F.split(F.col("line"), " ")
+    parsed = (
+        lines.filter(F.col("line").contains("Added"))
+        .select(
+            F.split(F.element_at(toks, 6), "_").alias("ids"),
+            F.element_at(toks, 10).alias("host"),
+            F.element_at(toks, 12).alias("size_s"),
+        )
+        .select(
+            F.element_at("ids", 2).cast("int").alias("jobid"),
+            F.element_at("ids", 3).cast("int").alias("shuffleid"),
+            F.element_at("ids", 4).cast("int").alias("mapid"),
+            F.element_at("ids", 5).cast("int").alias("reduceid"),
+            F.regexp_extract("host", r"host-(\d+)", 1).cast("int").alias("hostid"),
+            F.col("size_s").cast("double").alias("size"),
+        )
+    )
+    return parsed.groupBy("jobid", "shuffleid", "hostid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.countDistinct("reduceid").cast("long").alias("n_reduces"),
+        F.sum("size").cast("long").alias("total_size"),
+    )
