@@ -59,6 +59,13 @@ HEADLINE = [
     "ann_ivf_nprobe_recall",
     "community_label_propagation",
     "heavy_hitters_cms",
+    # round-4 additions (appended — the shared-subset delta stays
+    # comparable; minima-of-reps keeps them from stealing warm-up)
+    "hybrid_rrf_retrieval",
+    "schedule_policy_compare",
+    "mapstatus_highly_compressed",
+    "hadoop_attempt_trace_parse",
+    "leakage_safe_split",
 ]
 
 
