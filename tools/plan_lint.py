@@ -31,20 +31,12 @@ from scache_spark.registry import REGISTRY, _ensure_loaded
 from scache_spark.session import get_session
 
 SKIP_PREFIXES = ("stream_",)
-# Queries that legitimately execute work at plan-build time (iterative
-# loops with localCheckpoint, foreachBatch replays).
-EAGER = {
-    "dedup_clusters",
-    "dedup_canonical_by_quality",
-    "pagerank_event_graph",
-    "triangle_count_transitions",
-    "bfs_levels_event_graph",
-    # star-graph family: _star_graph eagerly checkpoints the edge
-    # list, and the iterative members checkpoint per round
-    "community_label_propagation",
-    "degree_assortativity",
-    "kcore_peeling",
-}
+# Queries that execute work at plan-build time (iterative loops with
+# per-round localCheckpoint) still produce a final plan worth linting
+# — since r4 made eager materialization the norm for every multi-
+# branch query, NOTHING is exempt from the plan checks; this set is
+# kept only as documentation of the heaviest build-time executors.
+EAGER: set[str] = set()
 
 MAX_EXCHANGES = 8
 MAX_SAME_FILE_SCANS = 2
