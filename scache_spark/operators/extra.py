@@ -966,6 +966,166 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental aggregate maintenance (IVM: apply a CDC delta, don't recompute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_agg_apply_delta",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pri,
+             o_totalprice * CASE WHEN o_orderkey % 11 = 0
+                                 THEN 1.05 ELSE 1.0 END AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS k, o_orderpriority AS pri,
+             o_totalprice AS price
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    base_agg AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n, sum(price) AS total
+      FROM a GROUP BY pri
+    ),
+    diff AS (
+      SELECT coalesce(a.pri, b.pri) AS pri,
+             CASE WHEN a.k IS NULL THEN 1
+                  WHEN b.k IS NULL THEN -1 ELSE 0 END AS dn,
+             coalesce(b.price, 0) - coalesce(a.price, 0) AS dtotal
+      FROM a FULL JOIN b ON a.k = b.k
+      WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price
+    ),
+    delta AS (
+      SELECT pri, CAST(sum(dn) AS BIGINT) AS dn, sum(dtotal) AS dtotal
+      FROM diff GROUP BY pri
+    ),
+    maintained AS (
+      SELECT coalesce(g.pri, d.pri) AS pri,
+             coalesce(g.n, 0) + coalesce(d.dn, 0) AS n_orders,
+             coalesce(g.total, 0) + coalesce(d.dtotal, 0) AS total_incr
+      FROM base_agg g FULL JOIN delta d ON g.pri = d.pri
+    ),
+    direct AS (
+      SELECT pri, CAST(count(*) AS BIGINT) AS n_direct,
+             sum(price) AS total_direct
+      FROM b GROUP BY pri
+    )
+    SELECT m.pri AS o_orderpriority,
+           CAST(m.n_orders AS BIGINT) AS n_orders,
+           round(m.total_incr, 4) AS total_price,
+           (m.n_orders = d.n_direct
+            AND abs(m.total_incr - d.total_direct) < 1e-4) AS matches_recompute
+    FROM maintained m JOIN direct d ON m.pri = d.pri
+    """,
+    tags=("B7", "B4", "B19"),
+    doc="Incremental view maintenance: a pre-aggregated table (count + "
+    "sum per priority over snapshot A) is brought up to date by "
+    "APPLYING the CDC delta — inserts +1/+price, deletes -1/-price, "
+    "updates +(new-old) — instead of re-aggregating the snapshot, the "
+    "pattern that turns a 100 TB nightly recompute into a delta-sized "
+    "merge — the update/delete-capable sibling of the insert-only "
+    "incremental_agg_maintenance (count/sum are self-maintainable; min/max are "
+    "not — they need the base table on deletes, which is why "
+    "production IVM keeps them separate).  The same planted mutations "
+    "as cdc_snapshot_diff define snapshot B; matches_recompute "
+    "verifies IN-QUERY that the maintained aggregate equals the "
+    "direct recompute (float tolerance 1e-4 — the two sides sum "
+    "different operand sets, so only ulp-scale drift is legitimate).  "
+    "Snapshots A and B are each ONE scan (B via variant-array "
+    "emission), checkpointed lean because each feeds two consumers.",
+)
+def cdc_agg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    ).localCheckpoint(eager=True)
+    b_variants = F.array(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            (
+                F.col("o_totalprice")
+                * F.when(F.col("o_orderkey") % 11 == 0, 1.05).otherwise(1.0)
+            ).alias("price"),
+            (F.col("o_orderkey") % 13 != 0).alias("keep"),
+        ),
+        F.struct(
+            (F.col("o_orderkey") + 20000000).alias("k"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_orderkey") % 17 == 0).alias("keep"),
+        ),
+    )
+    b = (
+        o.select(F.explode(F.filter(b_variants, lambda v: v["keep"])).alias("v"))
+        .select("v.k", "v.pri", "v.price")
+        .localCheckpoint(eager=True)
+    )
+    base_agg = a.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("price").alias("total"),
+    )
+    aj = a.select(
+        F.col("k").alias("ka"), F.col("pri").alias("pri_a"), F.col("price").alias("pa")
+    )
+    bj = b.select(
+        F.col("k").alias("kb"), F.col("pri").alias("pri_b"), F.col("price").alias("pb")
+    )
+    diff = (
+        aj.join(bj, F.col("ka") == F.col("kb"), "full")
+        .filter(
+            F.col("ka").isNull()
+            | F.col("kb").isNull()
+            | (F.col("pa") != F.col("pb"))
+        )
+        .select(
+            F.coalesce("pri_a", "pri_b").alias("pri"),
+            F.when(F.col("ka").isNull(), 1)
+            .when(F.col("kb").isNull(), -1)
+            .otherwise(0)
+            .alias("dn"),
+            (F.coalesce("pb", F.lit(0.0)) - F.coalesce("pa", F.lit(0.0))).alias(
+                "dtotal"
+            ),
+        )
+    )
+    delta = diff.groupBy("pri").agg(
+        F.sum("dn").cast("long").alias("dn"), F.sum("dtotal").alias("dtotal")
+    )
+    maintained = (
+        base_agg.join(delta, "pri", "full")
+        .select(
+            "pri",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_orders"
+            ),
+            (
+                F.coalesce("total", F.lit(0.0)) + F.coalesce("dtotal", F.lit(0.0))
+            ).alias("total_incr"),
+        )
+    )
+    direct = b.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_direct"),
+        F.sum("price").alias("total_direct"),
+    )
+    return maintained.join(direct, "pri").select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("total_incr", 4).alias("total_price"),
+        (
+            (F.col("n_orders") == F.col("n_direct"))
+            & (F.abs(F.col("total_incr") - F.col("total_direct")) < 1e-4)
+        ).alias("matches_recompute"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # HLL sketch mergeability (re-aggregatable distinct counts)
 # ---------------------------------------------------------------------------
 
