@@ -487,3 +487,43 @@ def test_skew_salted_join_keys_include_salt(spark, sf_dir):
     assert "ShuffledHashJoin" in plan, plan
     # the join-side exchanges hash on both k and salt
     assert "salt" in plan, plan
+
+
+def test_mapstatus_compressed_plan_is_checkpoint_fed(spark, sf_dir):
+    """The >2000-reducer MapStatus twin derives everything from the
+    checkpointed <=128-cell frame: the final plan must not re-scan
+    lineitem, and the decode-error join must be broadcast."""
+    from scache_spark.operators.blocks import mapstatus_highly_compressed
+
+    df = mapstatus_highly_compressed(spark, sf_dir)
+    assert plans.scan_counts(df).get("lineitem.parquet", 0) == 0
+    assert plans.has_broadcast_join(df)
+
+
+def test_trace_parsers_single_scan(spark, sf_dir):
+    """Both trace-mining queries are render->parse->aggregate over ONE
+    fact scan — no branch may re-read the source."""
+    from scache_spark.operators.eventlog import (
+        blockmanager_added_log_parse,
+        hadoop_attempt_trace_parse,
+    )
+
+    for fn in (hadoop_attempt_trace_parse, blockmanager_added_log_parse):
+        df = fn(spark, sf_dir)
+        assert plans.scan_counts(df).get("lineitem.parquet", 0) == 1, fn.__name__
+
+
+def test_attempt_parser_handles_blank_fields(spark, sf_dir):
+    """deal_na_int semantics: blank CSV cells parse to -1 and are
+    counted as incomplete, never silently dropped or crashed on."""
+    from scache_spark.operators.eventlog import hadoop_attempt_trace_parse
+
+    out = hadoop_attempt_trace_parse(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["n_reduce_tasks"] >= 6).all()
+    # complete-row stats are physically sensible: positive shuffle-free
+    # runtimes, shuffle fraction inside (0, 1) — blank-parsed -1 cells
+    # leaking into the arithmetic would violate both
+    assert (out["total_run_time"] > 0).all()
+    assert ((out["avg_shuffle_frac"] > 0) & (out["avg_shuffle_frac"] < 1)).all()
+    assert (out["n_incomplete"] >= 0).all()
