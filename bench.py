@@ -146,7 +146,7 @@ def main() -> None:
     # floor; observed run-to-run noise on this box is ±15%).  Each rep
     # rebuilds the plan from scratch (fn() inside the timed region), so
     # eager-checkpoint materialization costs are always counted.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]

@@ -48,9 +48,15 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic seed centroids: the first K vectors by id."""
-    e = load_table(spark, sf_dir, "embeddings")
+def _centroids(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """Deterministic seed centroids: the first K vectors by id.  Pass
+    ``e`` (e.g. an already-checkpointed embeddings frame) to derive
+    the seeds from it instead of a fresh scan — keeps the seeding
+    rule defined HERE only."""
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings")
     return e.filter(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
@@ -208,10 +214,7 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ML caches its input once — MLlib's own KMeans does exactly this —
     # so eager-checkpoint the vectors and derive every pass from it.
     e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
-    seeds = e.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
-    )
-    assign0 = _assign(e, seeds)
+    assign0 = _assign(e, _centroids(spark, sf_dir, e=e))
     exploded = assign0.select(
         "cell", F.posexplode("embedding").alias("pos0", "val_f")
     ).select(

@@ -539,7 +539,13 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("s"),
         )
-        seq = merged.localCheckpoint(eager=True)
+        # the final round's rewrite feeds nothing (outs holds only the
+        # per-round winners) — don't pay a dead materialization job
+        seq = (
+            merged.localCheckpoint(eager=True)
+            if rnd < _BPE_ROUNDS
+            else merged
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

@@ -111,20 +111,26 @@ def augmented_vectors(
 
     Explode-over-variant-array, not union: one FileScan emits each
     vector plus its optional planted copy map-side (see
-    augmented_docs for the rationale)."""
+    augmented_docs for the rationale).  The output carries an
+    ``is_planted`` marker so consumers can count/filter the planted
+    ground truth without re-deriving the planting predicate (the
+    id-range heuristic ``vec_id >= 100000`` breaks once the base
+    table outgrows the offset)."""
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    cols.append("is_planted")
     e = load_table(spark, sf_dir, "embeddings")
 
-    def _variant(id_expr, keep_expr):
+    def _variant(id_expr, keep_expr, planted):
         fields = [id_expr.alias("vec_id"), F.col("embedding").alias("embedding")]
         if with_label:
             fields.append(F.col("label").alias("label"))
+        fields.append(F.lit(planted).alias("is_planted"))
         fields.append(keep_expr.alias("keep"))
         return F.struct(*fields)
 
     variants = F.array(
-        _variant(F.col("vec_id"), F.lit(True)),
-        _variant(F.col("vec_id") + 100000, F.col("vec_id") % 20 == 0),
+        _variant(F.col("vec_id"), F.lit(True), False),
+        _variant(F.col("vec_id") + 100000, F.col("vec_id") % 20 == 0, True),
     )
     return (
         e.select(F.explode(F.filter(variants, lambda v: v["keep"])).alias("v"))

@@ -447,16 +447,14 @@ IVF_PROBE = 2
     "scan, shuffle, and score all shrink together.",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scache_spark.operators.clustering import K, _assign
+    from scache_spark.operators.clustering import _assign, _centroids
 
     # The corpus feeds FOUR build branches (IVF assignment, IVF seeds,
     # PQ subvectors, PQ training rows) — an index build is a multi-pass
     # algorithm, so materialize the vectors once (the MLlib posture)
     # and derive every pass from the checkpoint.
     e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
-    cents_ivf = e.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
-    )
+    cents_ivf = _centroids(spark, sf_dir, e=e)
     assigned = _assign(e, cents_ivf)
     # query's IVF_PROBE nearest cells: rescore the query against all
     # K centroids (K rows) and keep the best IVF_PROBE
@@ -598,10 +596,10 @@ def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         [(t,) for t in _SWEEP_GRID], ["threshold"]
     )
-    # Planted copies carry vec_id >= 100000 by the augmentation
-    # convention, so the ground-truth total comes from the checkpointed
-    # aug frame — no extra corpus scan.
-    planted = aug.filter(F.col("vec_id") >= 100000).agg(
+    # The ground-truth total comes from the checkpointed aug frame's
+    # is_planted marker — no extra corpus scan, and no id-range
+    # heuristic that would break past 100000 base vectors.
+    planted = aug.filter(F.col("is_planted")).agg(
         F.count(F.lit(1)).cast("long").alias("n_planted_total")
     )
     hits = F.sum(F.when(F.col("is_planted"), 1).otherwise(0)).cast("long")

@@ -108,10 +108,6 @@ def _scan_counts_from_plan(plan: str, broad_only: bool) -> dict[str, int]:
     return counts
 
 
-def has_reused_exchange(df: DataFrame) -> bool:
-    return "ReusedExchange" in formatted_plan(df)
-
-
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen spans — wider is better (fewer pipeline
     breaks).  Executes the plan (AQE finalizes only at runtime), then

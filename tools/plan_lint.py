@@ -31,12 +31,6 @@ from scache_spark.registry import REGISTRY, _ensure_loaded
 from scache_spark.session import get_session
 
 SKIP_PREFIXES = ("stream_",)
-# Queries that execute work at plan-build time (iterative loops with
-# per-round localCheckpoint) still produce a final plan worth linting
-# — since r4 made eager materialization the norm for every multi-
-# branch query, NOTHING is exempt from the plan checks; this set is
-# kept only as documentation of the heaviest build-time executors.
-EAGER: set[str] = set()
 
 MAX_EXCHANGES = 8
 MAX_SAME_FILE_SCANS = 2
@@ -60,7 +54,7 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
     _ensure_loaded()
     flagged: dict[str, list[str]] = {}
     for name, spec in REGISTRY.items():
-        if name.startswith(SKIP_PREFIXES) or name in EAGER:
+        if name.startswith(SKIP_PREFIXES):
             continue
         try:
             df = spec.fn(spark, sf)
@@ -76,12 +70,14 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
         nex = plans.exchange_count(df)
         if nex > MAX_EXCHANGES:
             issues.append(f"EXCHANGES={nex}")
-        # Redundant-scan rule (r3 judge item 3): >2 FileScans of the
-        # same fixture file with no ReusedExchange means the plan
-        # re-reads (and re-derives) a shared subtree per branch — the
-        # text_bm25_topk defect class.  Fix with eager localCheckpoint
-        # on the shared frame, or justify in RESCAN_OK below.
-        if name not in RESCAN_OK and "ReusedExchange" not in p:
+        # Redundant-scan rule (r3 judge item 3): >2 broad FileScans of
+        # the same fixture file means the plan re-reads (and
+        # re-derives) a shared subtree per branch — the text_bm25_topk
+        # defect class.  Reused subtrees are already safe: a formatted
+        # plan prints a ReusedExchange's scan block once, so
+        # broad_scan_counts never double-counts them.  Fix with eager
+        # localCheckpoint on the shared frame, or justify in RESCAN_OK.
+        if name not in RESCAN_OK:
             for base, n in plans.broad_scan_counts(df).items():
                 if n > MAX_SAME_FILE_SCANS:
                     issues.append(f"RESCAN={base}x{n}")
@@ -98,7 +94,7 @@ def main() -> None:
     n_checked = sum(
         1
         for n in REGISTRY
-        if not n.startswith(SKIP_PREFIXES) and n not in EAGER
+        if not n.startswith(SKIP_PREFIXES)
     )
     print(f"lint complete: {len(flagged)} flagged of {n_checked} checked")
 
