@@ -154,7 +154,11 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = _assign(e, _centroids(spark, sf_dir))
+    # assignment feeds the query lookup AND the candidate filter —
+    # checkpoint so the corpus scores against the centroids once
+    assigned = _assign(e, _centroids(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     q = assigned.filter(F.col("vec_id") == 42).select(
         F.col("embedding").alias("qv"), F.col("cell").alias("q_cell")
     )

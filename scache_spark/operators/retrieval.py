@@ -222,7 +222,11 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window); the row_number then ranks only the 10 survivors.",
 )
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sub, cents, codes = _pq_frames(spark, sf_dir)
+    # The PQ build reads the corpus for subvectors, training rows, and
+    # the query slice — materialize the vectors once and derive all
+    # three (the index-build posture, as ann_ivf_pq_topk).
+    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    sub, cents, codes = _pq_frames(spark, sf_dir, e=e)
     q = sub.filter(F.col("vec_id") == 0).select(
         "m", F.col("svec").alias("qvec")
     )

@@ -85,7 +85,9 @@ def broad_scan_counts(df: DataFrame) -> dict[str, int]:
     return _scan_counts_from_plan(formatted_plan(df), broad_only=True)
 
 
-_POINT_PUSH = re.compile(r"\b(?:EqualTo|In)\(")
+# Not(EqualTo(..)) / Not(In(..)) are broad EXCLUSIONS, not point
+# lookups — the lookbehind keeps them counted as broad scans.
+_POINT_PUSH = re.compile(r"(?<!Not\()\b(?:EqualTo|In)\(")
 
 
 def _scan_counts_from_plan(plan: str, broad_only: bool) -> dict[str, int]:

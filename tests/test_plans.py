@@ -527,3 +527,38 @@ def test_attempt_parser_handles_blank_fields(spark, sf_dir):
     assert (out["total_run_time"] > 0).all()
     assert ((out["avg_shuffle_frac"] > 0) & (out["avg_shuffle_frac"] < 1)).all()
     assert (out["n_incomplete"] >= 0).all()
+
+
+def test_scan_counts_distinguishes_broad_from_point_scans(spark, sf_dir):
+    """broad_scan_counts must count full/range scans but exempt scans
+    whose reader has an equality filter pushed (point lookups read a
+    pruned slice — cheaper than materializing to avoid them)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    point = e.filter(F.col("vec_id") == 42)
+    corpus = e.filter(F.col("vec_id") != 42)
+    df = corpus.crossJoin(
+        F.broadcast(point.select(F.col("embedding").alias("q")))
+    ).select("vec_id")
+    total = plans.scan_counts(df).get("embeddings.parquet", 0)
+    broad = plans.broad_scan_counts(df).get("embeddings.parquet", 0)
+    assert total == 2, plans.formatted_plan(df)
+    assert broad == 1, plans.formatted_plan(df)
+
+
+def test_scan_counts_union_of_filtered_arms_counts_each_scan(spark, sf_dir):
+    """The defect class the lint exists for: a union of three filtered
+    arms over one table plans three scans — scan_counts must see all
+    three, and the explode-over-variant rewrite must collapse to one
+    (asserted via augmented_docs, the canonical rewrite)."""
+    o = load_table(spark, sf_dir, "orders")
+    union3 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 1))
+        .unionByName(o.filter(F.col("o_orderkey") % 3 == 2))
+    )
+    assert plans.broad_scan_counts(union3).get("orders.parquet", 0) == 3
+
+    from scache_spark.operators.dedup import augmented_docs
+
+    aug = augmented_docs(spark, sf_dir)
+    assert plans.broad_scan_counts(aug).get("documents.parquet", 0) == 1
