@@ -346,10 +346,12 @@ def _render_attempt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "hadoop_attempt_trace_parse",
-    oracle=f"""
-    WITH raw AS (
+# The raw/dedup/reduces derivation, shared between this query's oracle
+# and the trace-fed scheduler race (scheduling.schedule_race_from_trace)
+# so the render math lives in exactly two places: the Spark renderer
+# above and THIS fragment.
+ATTEMPT_REDUCES_SQL = """
+    raw AS (
       SELECT l_orderkey * 10 + l_linenumber AS jtid,
              CAST(l_orderkey % 8 AS INT) AS jobid,
              CASE WHEN l_linenumber % 2 = 0 THEN 'r' ELSE 'm' END AS tasktype,
@@ -381,7 +383,47 @@ def _render_attempt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     reduces AS (
       SELECT * FROM dedup WHERE tasktype = 'r' AND status = 0
-    ),
+    )
+"""
+
+
+def parsed_attempt_reduces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render -> from_csv parse -> deal_na_int typing -> per-attempt
+    dedup -> status-0 reduce filter: the cleaned reduce-attempt frame
+    both the per-job stats query and the trace-fed scheduler race
+    consume (mirrors the ATTEMPT_REDUCES_SQL fragment)."""
+    lines = _render_attempt_csv(spark, sf_dir)
+    rec = lines.select(
+        F.from_csv(F.col("line"), _ATT_SCHEMA).alias("r")
+    ).select("r.*")
+    na = lambda c: F.coalesce(  # noqa: E731 — deal_na_int, sim.py:21-25
+        F.col(c).cast("long"), F.lit(-1).cast("long")
+    )
+    typed = rec.select(
+        "jtid",
+        "jobid",
+        "tasktype",
+        F.col("startTime").cast("long").alias("start_t"),
+        na("shuffleTime").alias("shuf_t"),
+        na("sortTime").alias("sort_t"),
+        na("finishTime").alias("fin_t"),
+        na("status").cast("int").alias("status"),
+    )
+    dedup = typed.groupBy("jtid", "jobid", "tasktype").agg(
+        F.max("start_t").alias("start_t"),
+        F.max("shuf_t").alias("shuf_t"),
+        F.max("sort_t").alias("sort_t"),
+        F.max("fin_t").alias("fin_t"),
+        F.max("status").alias("status"),
+    )
+    return dedup.filter((F.col("tasktype") == "r") & (F.col("status") == 0))
+
+
+
+@register(
+    "hadoop_attempt_trace_parse",
+    oracle=f"""
+    WITH {ATTEMPT_REDUCES_SQL},
     complete AS (
       SELECT * FROM reduces
       WHERE shuf_t <> -1 AND sort_t <> -1 AND fin_t <> -1
@@ -420,31 +462,7 @@ def _render_attempt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate.",
 )
 def hadoop_attempt_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lines = _render_attempt_csv(spark, sf_dir)
-    rec = lines.select(
-        F.from_csv(F.col("line"), _ATT_SCHEMA).alias("r")
-    ).select("r.*")
-    na = lambda c: F.coalesce(  # noqa: E731 — deal_na_int, sim.py:21-25
-        F.col(c).cast("long"), F.lit(-1).cast("long")
-    )
-    typed = rec.select(
-        "jtid",
-        "jobid",
-        "tasktype",
-        F.col("startTime").cast("long").alias("start_t"),
-        na("shuffleTime").alias("shuf_t"),
-        na("sortTime").alias("sort_t"),
-        na("finishTime").alias("fin_t"),
-        na("status").cast("int").alias("status"),
-    )
-    dedup = typed.groupBy("jtid", "jobid", "tasktype").agg(
-        F.max("start_t").alias("start_t"),
-        F.max("shuf_t").alias("shuf_t"),
-        F.max("sort_t").alias("sort_t"),
-        F.max("fin_t").alias("fin_t"),
-        F.max("status").alias("status"),
-    )
-    reduces = dedup.filter((F.col("tasktype") == "r") & (F.col("status") == 0))
+    reduces = parsed_attempt_reduces(spark, sf_dir)
     complete = (
         (F.col("shuf_t") != -1) & (F.col("sort_t") != -1) & (F.col("fin_t") != -1)
     )

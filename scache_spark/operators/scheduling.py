@@ -460,10 +460,10 @@ def _sql_greedy_assign(ordered: str, assign: str, size: str) -> str:
 """
 
 
-@register(
-    "schedule_policy_compare",
-    oracle=f"""
-    WITH RECURSIVE {_SCHED_TASKS_CTE},
+# The five-policy race over any `tasks`(rid, sz, sh) CTE — shared by
+# the deterministic-frame race below and the trace-fed race
+# (schedule_race_from_trace), so the policy arithmetic exists once.
+_POLICY_RACE_TAIL = f"""
     ordered AS (
       SELECT rid, sz,
              CAST(row_number() OVER (ORDER BY sz DESC, rid ASC) AS INT) AS rn
@@ -500,6 +500,14 @@ def _sql_greedy_assign(ordered: str, assign: str, size: str) -> str:
     UNION ALL SELECT 'lpt', CAST(m AS BIGINT) FROM lpt_makespan
     UNION ALL SELECT 'coflow', m FROM cf
     UNION ALL SELECT 'ideal', m FROM ideal
+"""
+
+
+@register(
+    "schedule_policy_compare",
+    oracle=f"""
+    WITH RECURSIVE {_SCHED_TASKS_CTE},
+    {_POLICY_RACE_TAIL}
     """,
     tags=("A.2", "A.5", "B23"),
     doc="The reference's COMPLETE scheduler evaluation, reproduced: "
@@ -641,4 +649,86 @@ def reduce_completion_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(wr).cast("double")
             / F.count(F.lit(1)).over(wp)
         ).alias("cum_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the five-policy race fed by the PARSED Hadoop attempt trace
+# ---------------------------------------------------------------------------
+
+from scache_spark.operators.eventlog import ATTEMPT_REDUCES_SQL  # noqa: E402
+
+
+@register(
+    "schedule_race_from_trace",
+    oracle=f"""
+    WITH RECURSIVE {ATTEMPT_REDUCES_SQL},
+    complete AS (
+      SELECT * FROM reduces
+      WHERE shuf_t <> -1 AND sort_t <> -1 AND fin_t <> -1
+    ),
+    best_job AS (
+      SELECT jobid FROM complete GROUP BY jobid
+      ORDER BY count(*) DESC, jobid ASC LIMIT 1
+    ),
+    tasks AS (
+      SELECT CAST(row_number() OVER (ORDER BY jtid ASC) - 1 AS INT) AS rid,
+             CAST(fin_t - start_t - (sort_t - shuf_t) AS BIGINT) AS sz,
+             CAST(sort_t - shuf_t AS BIGINT) AS sh
+      FROM complete JOIN best_job USING (jobid)
+    ),
+    {_POLICY_RACE_TAIL}
+    """,
+    tags=("A.2", "A.5", "B14", "B23"),
+    doc="The reference's ACTUAL end-to-end evaluation loop closed: "
+    "sim.py main() reads attempt.csv, cleans it, picks a job's reduce "
+    "attempts, and races the scheduling policies over their runtimes "
+    "(sim/sim.py:265-328).  Here the attempt trace is parsed by the "
+    "same pipeline as hadoop_attempt_trace_parse (shared "
+    "ATTEMPT_REDUCES_SQL fragment / parsed_attempt_reduces helper), "
+    "the job with the most complete reduce attempts is selected "
+    "(ties -> lowest jobid), each attempt becomes a task with "
+    "sz = shuffle-free runtime and sh = shuffle time (sim.py:44-46), "
+    "and the SAME five-policy race as schedule_policy_compare runs "
+    "over them — trace in, makespans out, nothing hand-fed.  The "
+    "cleaned attempt frame is checkpointed (it feeds the job pick "
+    "and the task build); the race itself is R-row grouped-map "
+    "state.",
+)
+def schedule_race_from_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import bounded_window
+    from scache_spark.operators.eventlog import parsed_attempt_reduces
+
+    r = (
+        parsed_attempt_reduces(spark, sf_dir)
+        .filter(
+            (F.col("shuf_t") != -1)
+            & (F.col("sort_t") != -1)
+            & (F.col("fin_t") != -1)
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        r.groupBy("jobid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("jobid").asc())
+        .limit(1)
+        .select("jobid")
+    )
+    shuffle_t = F.col("sort_t") - F.col("shuf_t")
+    tasks = r.join(F.broadcast(best), "jobid").select(
+        (
+            F.row_number().over(bounded_window("jtid", F.asc("jtid"))) - 1
+        )
+        .cast("int")
+        .alias("rid"),
+        (F.col("fin_t") - F.col("start_t") - shuffle_t)
+        .cast("long")
+        .alias("sz"),
+        shuffle_t.cast("long").alias("sh"),
+    )
+    return (
+        tasks.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(_policy_compare, "policy string, makespan long")
     )

