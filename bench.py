@@ -103,6 +103,11 @@ def _shared_with_prev(timings: dict[str, float]) -> dict:
         "shared_prev_bench": os.path.basename(prev_path),
         "shared_total_sec": round(cur_total, 3),
         "shared_prev_total_sec": round(prev_total, 3),
+        # comparison basis: this run's per-query numbers are minima
+        # over `reps` runs; a prev file without a "reps" field was a
+        # single run, so up to the box's ±15% noise floor of any
+        # apparent speedup may be estimator change, not plan change
+        "shared_prev_reps": int(prev.get("parsed", prev).get("reps", 1)),
     }
 
 

@@ -522,8 +522,11 @@ def span_dedup_rewrite(
     # kept — left-join the rewrite back onto the input ids so such docs
     # come back with empty text instead of silently vanishing from
     # downstream inner joins.
-    return df.select(id_col).join(rewritten, id_col, "left").select(
-        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(rewritten, id_col, "left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
 
 
@@ -727,7 +730,7 @@ def cms_estimate(
                     for r in range(rows)
                 ]
             )
-        ).alias("rc"),
+        ).alias("__cms_rc"),
     )
     sk = sketch.select(
         F.col("r").alias("__cms_r"),
@@ -737,8 +740,8 @@ def cms_estimate(
     return (
         probes.join(
             F.broadcast(sk),
-            (F.col("rc.r") == F.col("__cms_r"))
-            & (F.col("rc.cell") == F.col("__cms_cell")),
+            (F.col("__cms_rc.r") == F.col("__cms_r"))
+            & (F.col("__cms_rc.cell") == F.col("__cms_cell")),
             "left",
         )
         .groupBy(*probe_cols)

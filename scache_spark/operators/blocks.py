@@ -22,14 +22,15 @@ from scache_spark.registry import register
 
 N_HOSTS = 5  # deterministic stand-in for the client list
 N_BACKUPS = 1  # scache.shuffle.replication − 1
+N_REDUCES = 4  # reduce-id domain of the block view (l_suppkey % N_REDUCES)
 
 # The deterministic block view: one block per lineitem row.
-_BLOCK_VIEW_SQL = """
+_BLOCK_VIEW_SQL = f"""
     SELECT 'scache' AS app,
            0 AS job,
            CAST(l_orderkey % 4 AS INT) AS shuffle,
            CAST(l_partkey % 8 AS INT) AS map,
-           CAST(l_suppkey % 4 AS INT) AS reduce,
+           CAST(l_suppkey % {N_REDUCES} AS INT) AS reduce,
            CAST(floor(l_extendedprice * 100) AS BIGINT) AS size
     FROM lineitem
 """
@@ -44,7 +45,7 @@ def block_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("job"),
         (F.col("l_orderkey") % 4).cast("int").alias("shuffle"),
         (F.col("l_partkey") % 8).cast("int").alias("map"),
-        (F.col("l_suppkey") % 4).cast("int").alias("reduce"),
+        (F.col("l_suppkey") % N_REDUCES).cast("int").alias("reduce"),
         # floor-then-cast: Spark's double→long cast truncates, DuckDB's
         # rounds; floor() agrees in both engines
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("size"),
@@ -97,7 +98,7 @@ def block_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (
       SELECT DISTINCT c.shuffle, c.map, r.reduce
       FROM cells c CROSS JOIN
-           (SELECT unnest(generate_series(0, 3)) AS reduce) r
+           (SELECT unnest(generate_series(0, {N_REDUCES - 1})) AS reduce) r
     ),
     full_grid AS (
       SELECT g.shuffle, g.map, g.reduce, coalesce(c.sz, 0) AS sz
@@ -160,7 +161,7 @@ def mapstatus_highly_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.select("shuffle", "map")
         .distinct()
         .crossJoin(
-            spark.range(4).select(F.col("id").cast("int").alias("reduce"))
+            spark.range(N_REDUCES).select(F.col("id").cast("int").alias("reduce"))
         )
     )
     full_grid = grid.join(cells, ["shuffle", "map", "reduce"], "left").select(

@@ -345,3 +345,24 @@ def test_cms_sketches_merge_by_cell_sum(spark):
     m = merged.toPandas().set_index(["r", "cell"]).sort_index()
     d = direct.toPandas().set_index(["r", "cell"]).sort_index()
     assert m["cnt"].to_dict() == d["cnt"].to_dict()
+
+
+def test_span_dedup_rewrite_duplicate_input_ids_collapse(spark):
+    # duplicate id rows in the input must not duplicate output rows
+    # (the survivors join is against DISTINCT input ids)
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, shared), (1, shared), (2, shared)], ["doc", "body"]
+    )
+    out = api.span_dedup_rewrite(df, "doc", "body").toPandas()
+    assert len(out) == 2
+    assert sorted(out["doc"]) == [1, 2]
+
+
+def test_cms_estimate_tolerates_rc_column(spark):
+    # the probe struct's internal name is reserved too
+    stream = spark.createDataFrame([("x",)] * 4, "k string")
+    sketch = api.cms_sketch(stream, "k")
+    keys = spark.createDataFrame([("x", 9)], ["k", "rc"])
+    est = api.cms_estimate(sketch, keys, "k").toPandas()
+    assert est["est_cnt"].iloc[0] >= 4
