@@ -69,9 +69,17 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     across union arms), while this shape reads each row ONCE and emits
     its 1-3 variants map-side — no re-scan, no materialization, and
     every downstream dedup query inherits the single-scan plan."""
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower("text").alias("text"), "source"
+    return augment_doc_variants(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     )
+
+
+def augment_doc_variants(raw: DataFrame) -> DataFrame:
+    """The variant-planting transform itself, over any (doc_id, text,
+    source) frame — narrow (per-row explode), so it applies unchanged
+    to a STREAMING frame (the ingest-time near-dup suppressor replays
+    the corpus through it)."""
+    base = raw.select("doc_id", F.lower("text").alias("text"), "source")
     toks = F.split(F.col("text"), " ")
     near_text = F.concat_ws(
         " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))

@@ -306,3 +306,163 @@ register(
     tags=("B27", "B23"),
     doc=stream_transform_with_state_mix.__doc__,
 )(stream_transform_with_state_mix)
+
+
+# ---------------------------------------------------------------------------
+# ingestion-time near-duplicate suppression
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import BooleanType, IntegerType  # noqa: E402
+
+from scache_spark.functions import word_shingles  # noqa: E402
+from scache_spark.operators.dedup import (  # noqa: E402
+    _AUG_SQL,
+    _BAND_SQL,
+    _SHINGLE_SQL,
+    _SIG_SQL,
+    N_BANDS,
+    SHINGLE_N,
+    _band_cols,
+    _signature_cols,
+    augment_doc_variants,
+)
+from scache_spark.streaming.windows import documents_stream  # noqa: E402
+
+_NEARDUP_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_id", IntegerType()),
+        StructField("collided", BooleanType()),
+    ]
+)
+# Bucket membership, smallest ids first.  Near-dup LSH buckets are
+# tiny (a handful of variants of one document); the cap below bounds
+# state per bucket against adversarial boilerplate floods.
+_NEARDUP_STATE_SCHEMA = StructType(
+    [StructField("ids", ArrayType(LongType()))]
+)
+_NEARDUP_BUCKET_CAP = 64
+
+
+def _update_neardup_bucket(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold arriving doc ids into the band bucket's membership and
+    re-emit the whole bucket's verdicts (collided = not the bucket
+    minimum).  A doc's verdict is MONOTONE — false only while it is
+    the smallest id its bucket has seen, and min(ids) only decreases —
+    so the batch max() collapse downstream reconstructs the final
+    verdict no matter how availableNow splits files into batches.
+    Capping keeps the smallest ids, which is exactly the set whose
+    verdicts can still flip; evicted (larger) ids already emitted
+    collided=true in their arrival batch."""
+    ids = list(state.get[0]) if state.exists else []
+    seen = set(ids)
+    for pdf in pdfs:
+        for d in pdf["doc_id"]:
+            d = int(d)
+            if d not in seen:
+                seen.add(d)
+                ids.append(d)
+    ids = sorted(seen)
+    # Emit the FULL known set this batch (an id evicted by the cap on
+    # arrival still needs its collided=true verdict out); only the
+    # retained state is capped.
+    state.update((ids[:_NEARDUP_BUCKET_CAP],))
+    mn = ids[0]
+    band_id = int(key[0])
+    yield pd.DataFrame(
+        {
+            "doc_id": ids,
+            "band_id": [band_id] * len(ids),
+            "collided": [d > mn for d in ids],
+        }
+    )
+
+
+_NEARDUP_MELT_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands"
+    for j in range(N_BANDS)
+)
+
+
+@register(
+    "stream_neardup_suppress",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS ({_NEARDUP_MELT_SQL}),
+    mn AS (SELECT band_id, band_hash, min(doc_id) AS mn
+           FROM melted GROUP BY band_id, band_hash),
+    verdict AS (
+      SELECT m.doc_id, m.band_id, m.doc_id > x.mn AS collided
+      FROM melted m
+      JOIN mn x ON m.band_id = x.band_id AND m.band_hash = x.band_hash
+    )
+    SELECT doc_id,
+           bool_or(collided) AS suppressed,
+           CAST(sum(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_bands
+    FROM verdict GROUP BY doc_id
+    """,
+    tags=("B27", "B24", "B13"),
+    doc="Ingestion-time near-duplicate suppression: the MinHash-LSH "
+    "dedup family run AT ARRIVAL instead of over a stored corpus.  "
+    "The document feed is augmented with the planted variants, "
+    "shingled, minhashed and banded entirely map-side (the same "
+    "codegen expressions as the batch family), then keyed state per "
+    "(band_id, band_hash) bucket tracks membership and verdicts a "
+    "doc as suppressed the moment any of its band buckets already "
+    "holds an earlier (smaller-id) doc — the engine twin of the "
+    "reference's at-arrival block bookkeeping (per-block state "
+    "updated as outputs land, MapOutputTracker.scala:282-292, "
+    "triggered by BlockManagerMasterEndpoint.scala:347-366).  State "
+    "is O(bucket membership) with a smallest-ids cap: eviction only "
+    "drops ids whose verdict is already final (monotone-true), so "
+    "the cap bounds an unbounded stream without changing any "
+    "emitted verdict.  At 100 TB this is the shape that dedups a "
+    "firehose BEFORE storage: no self-join, no stored corpus scan — "
+    "one shuffle to bucket keys, O(1)-ish state per bucket.",
+)
+def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augment_doc_variants(
+        documents_stream(spark, sf_dir).select("doc_id", "text", "source")
+    )
+    sh = docs.select(
+        "doc_id", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
+    )
+    bands = sh.select("doc_id", *_signature_cols()).select(
+        "doc_id", *_band_cols()
+    )
+    melted = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.col(f"band_{j}").alias("band_hash"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_hash")
+    verdicts = melted.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _update_neardup_bucket,
+        outputStructType=_NEARDUP_OUT_SCHEMA,
+        stateStructType=_NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_stream(verdicts, "neardup", "append")
+    per_band = emitted.groupBy("doc_id", "band_id").agg(
+        F.max("collided").alias("collided")
+    )
+    return per_band.groupBy("doc_id").agg(
+        F.max("collided").alias("suppressed"),
+        F.sum(F.col("collided").cast("int")).cast("long").alias("n_dup_bands"),
+    )

@@ -115,6 +115,27 @@ def events_stream(spark: SparkSession, sf_dir: str, copies: int = 1) -> DataFram
     return spark.readStream.schema(SCHEMAS["events"]).parquet(path)
 
 
+def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage documents.parquet as a streamable directory — the corpus
+    replayed as an ingestion feed for at-arrival operators (near-dup
+    suppression).  Documents carry no event time and the at-arrival
+    operators below use NoTimeout keyed state, so no synthetic flush
+    row is needed; the single overwrite write keeps the ``_SUCCESS``
+    ⇒ complete-corpus invariant of ``_staged_events_dir``."""
+    key = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_STAGE_ROOT, f"docs_{key}_v1")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return out
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _staged_documents_dir(spark, sf_dir)
+    return spark.readStream.schema(SCHEMAS["documents"]).parquet(path)
+
+
 # Stateful streaming operators create one state-store instance per
 # shuffle partition, and that count is fixed at the first checkpoint —
 # AQE never coalesces it.  So unlike batch (where 32 partitions match
