@@ -280,3 +280,56 @@ def test_watermark_actually_drops_window_state(spark, sf_dir, tmp_path):
     # live state at every point stays well below the all-windows total
     # (complete mode would hold total_groups rows forever)
     assert max(totals) < total_groups, (max(totals), total_groups)
+
+
+def test_neardup_bucket_verdicts_monotone_across_batches():
+    """The ingest deduper's cross-batch contract (the part the
+    single-batch oracle can't exercise): a doc's collided verdict is
+    false only while it is the bucket minimum, flips true when a
+    smaller id arrives later, never flips back — so the downstream
+    max() collapse equals batch min-id semantics for any batch split.
+    Also: cap eviction still emits the evicted id's (true) verdict."""
+    import pandas as pd
+
+    import scache_spark.streaming.stateful as st_mod
+    from scache_spark.streaming.stateful import _update_neardup_bucket
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    st = _FakeState()
+    key = (2, "abc")
+    out1 = next(
+        _update_neardup_bucket(key, iter([pd.DataFrame({"doc_id": [10, 30]})]), st)
+    )
+    v1 = dict(zip(out1["doc_id"], out1["collided"]))
+    assert v1 == {10: False, 30: True} and (out1["band_id"] == 2).all()
+
+    # batch 2: a SMALLER id arrives late -> 10's verdict flips true
+    out2 = next(
+        _update_neardup_bucket(key, iter([pd.DataFrame({"doc_id": [5]})]), st)
+    )
+    v2 = dict(zip(out2["doc_id"], out2["collided"]))
+    assert v2 == {5: False, 10: True, 30: True}
+    # max() collapse over both emissions == batch min-id verdicts
+    both = pd.concat([out1, out2]).groupby("doc_id")["collided"].max()
+    assert dict(both) == {5: False, 10: True, 30: True}
+
+    # cap eviction: ids beyond the cap are emitted (true) but not kept
+    orig = st_mod._NEARDUP_BUCKET_CAP
+    st_mod._NEARDUP_BUCKET_CAP = 2
+    try:
+        out3 = next(
+            _update_neardup_bucket(
+                key, iter([pd.DataFrame({"doc_id": [7]})]), st
+            )
+        )
+    finally:
+        st_mod._NEARDUP_BUCKET_CAP = orig
+    v3 = dict(zip(out3["doc_id"], out3["collided"]))
+    assert v3 == {5: False, 7: True, 10: True, 30: True}
+    assert st.get[0] == [5, 7]  # smallest ids retained, 10/30 evicted
