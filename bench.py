@@ -66,6 +66,7 @@ HEADLINE = [
     "mapstatus_highly_compressed",
     "hadoop_attempt_trace_parse",
     "leakage_safe_split",
+    "stream_neardup_suppress",
 ]
 
 
@@ -142,9 +143,13 @@ def main() -> None:
     # fixture preparation (events.parquet rewritten as a streamable
     # dir), shared by every stream_* query and cached on disk across
     # runs — not part of any query's execution.
-    from scache_spark.streaming.windows import _staged_events_dir
+    from scache_spark.streaming.windows import (
+        _staged_documents_dir,
+        _staged_events_dir,
+    )
 
     _staged_events_dir(spark, sf_dir, copies=1)
+    _staged_documents_dir(spark, sf_dir)
 
     # Per-query MINIMUM over REPS runs (r3 judge: separate machine-load
     # drift from plan regressions — the minimum estimates the noise
