@@ -15,6 +15,7 @@ into micro-batches), which is what makes it oracle-checkable.
 
 from __future__ import annotations
 
+import bisect
 from collections.abc import Iterator
 from typing import Any
 
@@ -312,8 +313,9 @@ register(
 # ingestion-time near-duplicate suppression
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.types import BooleanType, IntegerType  # noqa: E402
+from pyspark.sql.types import IntegerType  # noqa: E402
 
+from scache_spark.catalog import load_table  # noqa: E402
 from scache_spark.functions import word_shingles  # noqa: E402
 from scache_spark.operators.dedup import (  # noqa: E402
     _AUG_SQL,
@@ -332,52 +334,94 @@ _NEARDUP_OUT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("band_id", IntegerType()),
-        StructField("collided", BooleanType()),
     ]
 )
-# Bucket membership, smallest ids first.  Near-dup LSH buckets are
-# tiny (a handful of variants of one document); the cap below bounds
-# state per bucket against adversarial boilerplate floods.
+# Shard-coalesced bucket state: keyed state costs a JVM↔Python state
+# round trip PER KEY PER BATCH, and LSH buckets are overwhelmingly
+# singletons — keying state by raw (band_id, band_hash) pays ~20k
+# round trips per micro-batch at sf0.1 with almost every one a no-op.
+# Instead the stateful key is (band_id, shard) where
+# shard = band_hash % _NEARDUP_SHARDS, and each shard's state holds
+# ITS buckets as three parallel arrays (bucket hash, membership count,
+# concatenated smallest-ids).  Per-bucket semantics (monotone verdict,
+# smallest-ids cap) are unchanged; only the state-store granularity
+# coarsens.  _NEARDUP_SHARDS trades round-trip count against state
+# value size — raise it for bigger corpora so a shard's bucket map
+# stays small (it is a constant, not data-dependent, so the key space
+# is stable across batches and restarts).
 _NEARDUP_STATE_SCHEMA = StructType(
-    [StructField("ids", ArrayType(LongType()))]
+    [
+        StructField("hashes", ArrayType(StringType())),
+        StructField("counts", ArrayType(IntegerType())),
+        StructField("ids", ArrayType(LongType())),
+    ]
 )
 _NEARDUP_BUCKET_CAP = 64
+_NEARDUP_SHARDS = 256
 
 
-def _update_neardup_bucket(
+def _update_neardup_shard(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Fold arriving doc ids into the band bucket's membership and
-    re-emit the whole bucket's verdicts (collided = not the bucket
-    minimum).  A doc's verdict is MONOTONE — false only while it is
-    the smallest id its bucket has seen, and min(ids) only decreases —
-    so the batch max() collapse downstream reconstructs the final
-    verdict no matter how availableNow splits files into batches.
-    Capping keeps the smallest ids, which is exactly the set whose
-    verdicts can still flip; evicted (larger) ids already emitted
-    collided=true in their arrival batch."""
-    ids = list(state.get[0]) if state.exists else []
-    seen = set(ids)
+    """Fold arriving (band_hash, doc_id) rows into this shard's bucket
+    map and emit ONLY the (doc_id, band_id) pairs whose collided
+    verdict just became true.  A doc collides iff it is not the
+    smallest id its bucket ever sees, and a bucket's min only
+    decreases, so the verdict is MONOTONE: a doc either collides at
+    arrival (id > bucket min) or flips exactly once later, when a
+    smaller id arrives and dethrones it as the minimum.  Each
+    (doc, band) pair is therefore emitted AT MOST ONCE across any
+    availableNow batch split — the downstream per-doc count needs no
+    dedup — and buckets not touched this batch cost nothing.  Capping
+    keeps each bucket's smallest ids — exactly the set that can still
+    dethrone a minimum; evicted (larger) ids already emitted their
+    verdict at arrival, and a bucket's minimum is never evicted."""
+    buckets: dict[str, list[int]] = {}
+    if state.exists:
+        hashes, counts, flat = state.get
+        pos = 0
+        for h, c in zip(hashes, counts):
+            buckets[str(h)] = [int(x) for x in flat[pos : pos + c]]
+            pos += c
+    collided: list[int] = []
+    touched = False
     for pdf in pdfs:
-        for d in pdf["doc_id"]:
-            d = int(d)
-            if d not in seen:
-                seen.add(d)
-                ids.append(d)
-    ids = sorted(seen)
-    # Emit the FULL known set this batch (an id evicted by the cap on
-    # arrival still needs its collided=true verdict out); only the
-    # retained state is capped.
-    state.update((ids[:_NEARDUP_BUCKET_CAP],))
-    mn = ids[0]
-    band_id = int(key[0])
+        for h, d in zip(pdf["band_hash"], pdf["doc_id"]):
+            h, d = str(h), int(d)
+            ids = buckets.get(h)
+            if ids is None:
+                buckets[h] = [d]
+                touched = True
+                continue
+            if d in ids:
+                continue
+            touched = True
+            mn = ids[0]
+            # d dethrones the bucket minimum -> the old minimum's
+            # (single, final) true verdict emits now; otherwise d
+            # itself collides at arrival
+            collided.append(mn if d < mn else d)
+            # insertion-sorted ascending, trimmed to the smallest
+            # _NEARDUP_BUCKET_CAP ids (the minimum is never evicted)
+            bisect.insort(ids, d)
+            del ids[_NEARDUP_BUCKET_CAP:]
+    if not touched:
+        return
+    state.update(
+        (
+            list(buckets.keys()),
+            [len(v) for v in buckets.values()],
+            [x for v in buckets.values() for x in v],
+        )
+    )
+    if not collided:
+        return
     yield pd.DataFrame(
         {
-            "doc_id": ids,
-            "band_id": [band_id] * len(ids),
-            "collided": [d > mn for d in ids],
+            "doc_id": collided,
+            "band_id": [int(key[0])] * len(collided),
         }
     )
 
@@ -419,13 +463,19 @@ _NEARDUP_MELT_SQL = " UNION ALL ".join(
     "holds an earlier (smaller-id) doc — the engine twin of the "
     "reference's at-arrival block bookkeeping (per-block state "
     "updated as outputs land, MapOutputTracker.scala:282-292, "
-    "triggered by BlockManagerMasterEndpoint.scala:347-366).  State "
-    "is O(bucket membership) with a smallest-ids cap: eviction only "
-    "drops ids whose verdict is already final (monotone-true), so "
-    "the cap bounds an unbounded stream without changing any "
-    "emitted verdict.  At 100 TB this is the shape that dedups a "
-    "firehose BEFORE storage: no self-join, no stored corpus scan — "
-    "one shuffle to bucket keys, O(1)-ish state per bucket.",
+    "triggered by BlockManagerMasterEndpoint.scala:347-366).  The "
+    "verdict channel carries ONLY suppressions: verdicts are "
+    "monotone, so each (doc, band) collision emits at most once "
+    "(at arrival, or on the single min-flip) and singleton buckets "
+    "— the overwhelming majority — emit nothing, keeping per-group "
+    "pandas overhead off the hot path; the full doc list rejoins "
+    "from the feed's id column batch-side.  State is O(bucket "
+    "membership) with a smallest-ids cap: eviction only drops ids "
+    "whose verdict is already final (monotone-true), so the cap "
+    "bounds an unbounded stream without changing any emitted "
+    "verdict.  At 100 TB this is the shape that dedups a firehose "
+    "BEFORE storage: no self-join, no stored corpus scan — one "
+    "shuffle to bucket keys, O(1)-ish state per bucket.",
 )
 def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augment_doc_variants(
@@ -451,18 +501,36 @@ def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band_id", "b.band_hash")
-    verdicts = melted.groupBy("band_id", "band_hash").applyInPandasWithState(
-        _update_neardup_bucket,
+    sharded = melted.withColumn(
+        "shard",
+        F.pmod(F.xxhash64("band_hash"), F.lit(_NEARDUP_SHARDS)).cast("int"),
+    )
+    verdicts = sharded.groupBy("band_id", "shard").applyInPandasWithState(
+        _update_neardup_shard,
         outputStructType=_NEARDUP_OUT_SCHEMA,
         stateStructType=_NEARDUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     emitted = run_stream(verdicts, "neardup", "append")
-    per_band = emitted.groupBy("doc_id", "band_id").agg(
-        F.max("collided").alias("collided")
+    # Emission is at-most-once per (doc, band) for once-per-doc arrival
+    # streams; the distinct guards the re-arrival-after-eviction corner
+    # and costs one exchange over ONLY the collided pairs (tiny).
+    dup_counts = (
+        emitted.select("doc_id", "band_id")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_bands"))
     )
-    return per_band.groupBy("doc_id").agg(
-        F.max("collided").alias("suppressed"),
-        F.sum(F.col("collided").cast("int")).cast("long").alias("n_dup_bands"),
+    # Non-suppressed docs emit nothing (that is the whole point: the
+    # firehose's verdict channel carries only suppressions); the full
+    # doc list is recovered from the same deterministic augmented feed
+    # batch-side — a metadata-weight id column, never the text.
+    base = augment_doc_variants(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    ).select("doc_id")
+    return base.join(dup_counts, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_dup_bands").isNotNull().alias("suppressed"),
+        F.coalesce("n_dup_bands", F.lit(0).cast("long")).alias("n_dup_bands"),
     )

@@ -197,3 +197,68 @@ def test_ffd_pack_invariants():
         assert sorted(out["grp"].unique()) == list(range(out["grp"].max() + 1))
         # FFD never opens more groups than a one-file-per-group plan
         assert out["grp"].max() + 1 <= len(sizes)
+
+
+# --- ingestion-time near-dup suppression: cross-batch contract ------------
+
+neardup_arrivals = st.lists(
+    st.tuples(
+        st.sampled_from(["h1", "h2", "h3", "h4"]),  # bucket within the shard
+        st.integers(min_value=0, max_value=50),  # doc_id (dups allowed)
+    ),
+    min_size=1,
+    max_size=60,
+)
+batch_cuts = st.lists(st.integers(min_value=1, max_value=59), max_size=5)
+
+
+@settings(max_examples=300, deadline=None)
+@given(neardup_arrivals, batch_cuts)
+def test_neardup_shard_union_equals_batch_semantics(arrivals, cuts):
+    """For ANY arrival order and ANY micro-batch split, the union of the
+    shard updater's emissions equals batch min-id semantics — each
+    (doc, bucket) collision emitted exactly once, bucket minima never
+    emitted — and state always holds each bucket's smallest ids."""
+    from scache_spark.streaming.stateful import _update_neardup_shard
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    # split the arrival sequence into micro-batches at the given cuts
+    bounds = sorted({c for c in cuts if c < len(arrivals)}) + [len(arrivals)]
+    batches, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            batches.append(arrivals[prev:b])
+            prev = b
+
+    st_ = _FakeState()
+    emitted: list[tuple[int, str]] = []  # (doc_id, via-bucket is unknown) — doc only
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {"band_hash": [h for h, _ in batch], "doc_id": [d for _, d in batch]}
+        )
+        for out in _update_neardup_shard((0, 0), iter([pdf]), st_):
+            emitted.extend((int(d), None) for d in out["doc_id"])
+
+    # batch semantics: per bucket, every distinct id except the minimum
+    buckets: dict[str, set[int]] = {}
+    for h, d in arrivals:
+        buckets.setdefault(h, set()).add(d)
+    expected = sorted(
+        d for ids in buckets.values() for d in ids if d != min(ids)
+    )
+    got = sorted(d for d, _ in emitted)
+    assert got == expected  # exactly-once: multiset equality, not set
+
+    # state: each bucket holds its smallest ids, minimum always present
+    hashes, counts, flat = st_.get
+    pos = 0
+    for h, c in zip(hashes, counts):
+        ids = flat[pos : pos + c]
+        pos += c
+        assert ids == sorted(buckets[h])[: len(ids)]

@@ -282,17 +282,20 @@ def test_watermark_actually_drops_window_state(spark, sf_dir, tmp_path):
     assert max(totals) < total_groups, (max(totals), total_groups)
 
 
-def test_neardup_bucket_verdicts_monotone_across_batches():
+def test_neardup_shard_verdicts_monotone_across_batches():
     """The ingest deduper's cross-batch contract (the part the
-    single-batch oracle can't exercise): a doc's collided verdict is
-    false only while it is the bucket minimum, flips true when a
-    smaller id arrives later, never flips back — so the downstream
-    max() collapse equals batch min-id semantics for any batch split.
-    Also: cap eviction still emits the evicted id's (true) verdict."""
+    single-batch oracle can't exercise): only collided (doc, band)
+    pairs are emitted, each AT MOST ONCE — at arrival when the id is
+    not its bucket's minimum, or on the single min-flip when a
+    smaller id arrives later.  The union of emissions over any batch
+    split equals batch min-id semantics.  Also: a shard keeps its
+    buckets independent, untouched/singleton buckets emit nothing,
+    and cap eviction keeps each bucket's smallest ids (a bucket's
+    minimum is never evicted)."""
     import pandas as pd
 
     import scache_spark.streaming.stateful as st_mod
-    from scache_spark.streaming.stateful import _update_neardup_bucket
+    from scache_spark.streaming.stateful import _update_neardup_shard
 
     class _FakeState:
         exists = False
@@ -301,35 +304,92 @@ def test_neardup_bucket_verdicts_monotone_across_batches():
         def update(self, v):
             self.exists, self.get = True, v
 
+    def _buckets(state):
+        hashes, counts, flat = state.get
+        out, pos = {}, 0
+        for h, c in zip(hashes, counts):
+            out[h] = flat[pos : pos + c]
+            pos += c
+        return out
+
     st = _FakeState()
-    key = (2, "abc")
+    key = (2, 7)  # (band_id, shard)
+
+    # batch 1: two buckets land in the same shard — bucket 100 gets
+    # {10, 30} (30 collides), bucket 200 is a singleton (no emission)
     out1 = next(
-        _update_neardup_bucket(key, iter([pd.DataFrame({"doc_id": [10, 30]})]), st)
+        _update_neardup_shard(
+            key,
+            iter(
+                [
+                    pd.DataFrame(
+                        {"band_hash": ["h100", "h100", "h200"], "doc_id": [10, 30, 42]}
+                    )
+                ]
+            ),
+            st,
+        )
     )
-    v1 = dict(zip(out1["doc_id"], out1["collided"]))
-    assert v1 == {10: False, 30: True} and (out1["band_id"] == 2).all()
+    assert sorted(out1["doc_id"]) == [30] and (out1["band_id"] == 2).all()
+    assert _buckets(st) == {"h100": [10, 30], "h200": [42]}
 
-    # batch 2: a SMALLER id arrives late -> 10's verdict flips true
+    # batch 2: a SMALLER id arrives late in bucket 100 -> 10 flips
+    # collided and emits its single true verdict; 30 is NOT re-emitted
+    # and bucket 200 is untouched
     out2 = next(
-        _update_neardup_bucket(key, iter([pd.DataFrame({"doc_id": [5]})]), st)
+        _update_neardup_shard(
+            key, iter([pd.DataFrame({"band_hash": ["h100"], "doc_id": [5]})]), st
+        )
     )
-    v2 = dict(zip(out2["doc_id"], out2["collided"]))
-    assert v2 == {5: False, 10: True, 30: True}
-    # max() collapse over both emissions == batch min-id verdicts
-    both = pd.concat([out1, out2]).groupby("doc_id")["collided"].max()
-    assert dict(both) == {5: False, 10: True, 30: True}
+    assert sorted(out2["doc_id"]) == [10]
+    both = pd.concat([out1, out2])["doc_id"].tolist()
+    assert sorted(both) == [10, 30]
+    assert len(both) == len(set(both))  # at-most-once per (doc, band)
+    assert _buckets(st)["h100"] == [5, 10, 30]
 
-    # cap eviction: ids beyond the cap are emitted (true) but not kept
+    # cap eviction: the collided arrival is emitted, the bucket keeps
+    # its SMALLEST ids (the minimum is never evicted), other buckets
+    # keep their state
     orig = st_mod._NEARDUP_BUCKET_CAP
     st_mod._NEARDUP_BUCKET_CAP = 2
     try:
         out3 = next(
-            _update_neardup_bucket(
-                key, iter([pd.DataFrame({"doc_id": [7]})]), st
+            _update_neardup_shard(
+                key,
+                iter([pd.DataFrame({"band_hash": ["h100"], "doc_id": [7]})]),
+                st,
             )
         )
     finally:
         st_mod._NEARDUP_BUCKET_CAP = orig
-    v3 = dict(zip(out3["doc_id"], out3["collided"]))
-    assert v3 == {5: False, 7: True, 10: True, 30: True}
-    assert st.get[0] == [5, 7]  # smallest ids retained, 10/30 evicted
+    assert sorted(out3["doc_id"]) == [7]
+    assert _buckets(st) == {"h100": [5, 7], "h200": [42]}
+
+    # a batch containing only already-known ids emits nothing and
+    # leaves state untouched
+    before = st.get
+    assert (
+        list(
+            _update_neardup_shard(
+                key,
+                iter([pd.DataFrame({"band_hash": ["h100"], "doc_id": [5]})]),
+                st,
+            )
+        )
+        == []
+    )
+    assert st.get == before
+
+    # an all-new-singletons batch updates state but emits nothing
+    st2 = _FakeState()
+    assert (
+        list(
+            _update_neardup_shard(
+                (3, 1),
+                iter([pd.DataFrame({"band_hash": ["h900"], "doc_id": [42]})]),
+                st2,
+            )
+        )
+        == []
+    )
+    assert _buckets(st2) == {"h900": [42]}
