@@ -364,6 +364,88 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_scd2_pit_enrich",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), flagged AS (
+      SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                     THEN 1 ELSE 0 END AS brk
+      FROM h
+    ), grp AS (
+      SELECT *, sum(brk) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS version_no
+      FROM flagged
+    ), hist AS (
+      SELECT o_custkey, o_orderstatus AS status,
+             CAST(version_no AS INT) AS version_no,
+             CAST(min(o_orderdate) AS TIMESTAMP) AS valid_from
+      FROM grp GROUP BY o_custkey, o_orderstatus, version_no
+    ), dim AS (
+      SELECT *, lead(valid_from) OVER (PARTITION BY o_custkey
+                ORDER BY version_no) AS valid_to
+      FROM hist
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           d.status AS status_at_event,
+           d.version_no AS dim_version
+    FROM events e JOIN dim d
+      ON e.user_id = d.o_custkey
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    tags=("B27", "B4", "B11", "temporal"),
+    doc="Streaming point-in-time dimension enrichment: each arriving "
+    "event joins the SCD2 status history (scd2_status_history's "
+    "gaps-and-islands build + lead() validity intervals) on key AND "
+    "half-open interval containment, so the event carries the status "
+    "AS OF its event time — never a later value, the feature-store "
+    "leakage guarantee, now at ingestion.  The batch as-of mechanism "
+    "(union + unbounded window, pit_dimension_join) cannot run on a "
+    "stream; the interval stream-static join is the production "
+    "mechanism: the dim rebuilds per micro-batch (collapsed "
+    "metadata-weight version rows — broadcastable at any corpus "
+    "scale) while the stream side stays stateless, so an unbounded "
+    "firehose enriches leak-free with zero streaming state.",
+)
+def stream_scd2_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.operators.temporal import scd2_status_history
+
+    hist = scd2_status_history(spark, sf_dir)
+    vw = Window.partitionBy("o_custkey").orderBy("version_no")
+    dim = hist.select(
+        "o_custkey",
+        "status",
+        "version_no",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+    ).withColumn("valid_to", F.lead("valid_from").over(vw))
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_id") >= 0)  # drop the staged flush row
+        .select("event_id", "user_id", "ts")
+    )
+    joined = s.join(
+        dim,
+        (s["user_id"] == dim["o_custkey"])
+        & (s["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (s["ts"] < dim["valid_to"])),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("status").alias("status_at_event"),
+        F.col("version_no").alias("dim_version"),
+    )
+    return run_stream(joined, "scd2_pit", "append")
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id,
