@@ -1030,3 +1030,135 @@ def broadcast_decision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# reduce-partition skew split planning (the mitigation ACTION the
+# diagnosis queries above stop short of)
+# ---------------------------------------------------------------------------
+
+# Planted hot reducer: reduce 0 carries 10x weight so the fixture has a
+# provable skew signal (same device as mapstatus_highly_compressed's
+# planted emptiness — the raw l_suppkey % 4 loads are near-uniform).
+_HOT_WEIGHTED_LOADS_SQL = f"""
+      SELECT shuffle, reduce,
+             CAST(sum(CASE WHEN reduce = 0 THEN size * 10
+                           ELSE size END) AS BIGINT) AS load_bytes
+      FROM blocks GROUP BY shuffle, reduce
+"""
+
+
+@register(
+    "skew_split_plan",
+    oracle=f"""
+    WITH blocks AS ({_BLOCK_VIEW_SQL}),
+    loads AS ({_HOT_WEIGHTED_LOADS_SQL}),
+    stats AS (
+      SELECT shuffle, reduce, load_bytes,
+             CAST(sum(load_bytes) OVER (PARTITION BY shuffle) AS BIGINT)
+                 AS shuffle_total,
+             CAST(count(*) OVER (PARTITION BY shuffle) AS BIGINT) AS n_red,
+             CAST(max(load_bytes) OVER (PARTITION BY shuffle) AS BIGINT)
+                 AS makespan_before
+      FROM loads
+    ),
+    plan AS (
+      SELECT shuffle, reduce, load_bytes, makespan_before,
+             (4 * n_red * load_bytes > 5 * shuffle_total) AS is_skewed,
+             greatest(shuffle_total // n_red, 1) AS target
+      FROM stats
+    ),
+    split AS (
+      SELECT shuffle, reduce, load_bytes, makespan_before, is_skewed,
+             CASE WHEN is_skewed
+                  THEN (load_bytes + target - 1) // target
+                  ELSE CAST(1 AS BIGINT) END AS n_splits
+      FROM plan
+    )
+    SELECT shuffle, reduce, load_bytes, is_skewed, n_splits,
+           (load_bytes + n_splits - 1) // n_splits AS split_bytes,
+           makespan_before,
+           CAST(max((load_bytes + n_splits - 1) // n_splits)
+                OVER (PARTITION BY shuffle) AS BIGINT) AS makespan_after
+    FROM split
+    """,
+    tags=("A.2", "A.5", "B7", "B11"),
+    doc="Reduce-partition skew SPLIT PLAN — the mitigation action the "
+    "reference's size statistics exist to enable: MapStatus per-reduce "
+    "sizes (scheduler/MapStatus.scala:45-82) feed the reduce-size "
+    "prediction the paper schedules on (sim/train.py predicts per-"
+    "reduce bytes from partial map output), and the natural runtime "
+    "response to a predicted hot reducer is to split it — exactly "
+    "what Spark AQE's OptimizeSkewedJoin does online with a median "
+    "threshold and a target size.  This query is the offline twin "
+    "over the block view: reduce 0 is planted 10x hot (deterministic "
+    "fixture signal, like the mapstatus twin's planted emptiness), a "
+    "reducer is skewed when load > 1.25x its shuffle's mean — "
+    "expressed ALL-INTEGER as 4*N*load > 5*total so both engines "
+    "compare exactly — the split target is the integer mean "
+    "(shuffle_total div N), n_splits = ceil-div(load, target), and "
+    "makespan_before/after report the max per-reducer bytes a "
+    "straggler fetches without and with the split (the -13 percent "
+    "Terasort headline is exactly a makespan_after win).  Scale: one "
+    "map-side-combinable aggregate to R rows per shuffle, then "
+    "windows over the fixed reduce domain (N_REDUCES rows per "
+    "partition) — nothing SF-proportional crosses the second "
+    "exchange; at 100 TB this plans splits for 10^5 reducers from "
+    "kilobytes of MapStatus stats.  Integer-exact throughout.",
+)
+def skew_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = block_view(spark, sf_dir)
+    loads = b.groupBy("shuffle", "reduce").agg(
+        F.sum(
+            F.when(F.col("reduce") == 0, F.col("size") * 10).otherwise(
+                F.col("size")
+            )
+        ).alias("load_bytes")
+    )
+    w = Window.partitionBy("shuffle")
+    stats = loads.select(
+        "shuffle",
+        "reduce",
+        "load_bytes",
+        F.sum("load_bytes").over(w).alias("shuffle_total"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_red"),
+        F.max("load_bytes").over(w).alias("makespan_before"),
+    )
+    plan = stats.select(
+        "shuffle",
+        "reduce",
+        "load_bytes",
+        "makespan_before",
+        (
+            F.lit(4) * F.col("n_red") * F.col("load_bytes")
+            > F.lit(5) * F.col("shuffle_total")
+        ).alias("is_skewed"),
+        F.greatest(
+            F.expr("shuffle_total div n_red"), F.lit(1).cast("long")
+        ).alias("target"),
+    )
+    split = plan.select(
+        "shuffle",
+        "reduce",
+        "load_bytes",
+        "makespan_before",
+        "is_skewed",
+        F.when(
+            F.col("is_skewed"),
+            F.expr("(load_bytes + target - 1) div target"),
+        )
+        .otherwise(F.lit(1).cast("long"))
+        .alias("n_splits"),
+    ).withColumn(
+        "split_bytes", F.expr("(load_bytes + n_splits - 1) div n_splits")
+    )
+    return split.select(
+        "shuffle",
+        "reduce",
+        "load_bytes",
+        "is_skewed",
+        "n_splits",
+        "split_bytes",
+        "makespan_before",
+        F.max("split_bytes").over(w).alias("makespan_after"),
+    )

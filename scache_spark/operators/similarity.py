@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import sql_vec_cosine, vec_cosine
+from scache_spark.functions import bounded_window, sql_vec_cosine, vec_cosine
 from scache_spark.registry import register
 
 N_PLANES = 8
@@ -338,4 +338,68 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension corpus moments (whitening / dim-pruning prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH comps AS (
+      SELECT CAST(i - 1 AS INT) AS dim,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
+    ),
+    moments AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(val), 6) AS mean_c,
+             round(var_samp(val), 6) AS var_c
+      FROM comps GROUP BY dim
+    )
+    SELECT dim, n, mean_c, var_c,
+           CAST(row_number() OVER (ORDER BY var_c DESC, dim) AS INT)
+               AS var_rank,
+           (row_number() OVER (ORDER BY var_c DESC, dim) <= 16) AS keep
+    FROM moments
+    """,
+    tags=("B7", "B17", "B20", "B25"),
+    doc="Per-dimension embedding moments over the whole corpus — the "
+    "statistics pass every whitening / PCA-prune / OPQ rotation "
+    "starts from (and the sanity screen that catches dead or "
+    "collapsed dimensions before they poison an ANN index).  "
+    "posexplode preserves ordinality, the 64-group aggregate is "
+    "map-side combinable, and the variance ranking runs on the "
+    "64-row moments frame via bounded_window (dictionary-sized, "
+    "never SF-proportional); keep marks the top-16 variance dims — "
+    "the crude-but-standard energy heuristic for a 4x cheaper "
+    "coarse quantizer.  Scale: one narrow exchange of 64 partial "
+    "moments per map partition regardless of corpus size; moments "
+    "are rounded to 1e-6 BEFORE ranking so both engines rank "
+    "identical values (float-fold parity rule, FIXTURES.md).",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    moments = (
+        e.select(F.posexplode("embedding").alias("dim", "val_f"))
+        .select(F.col("dim").cast("int"), F.col("val_f").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_c"),
+            F.round(F.var_samp("val"), 6).alias("var_c"),
+        )
+    )
+    w = bounded_window("dim", F.col("var_c").desc(), F.col("dim"))
+    return moments.select(
+        "dim",
+        "n",
+        "mean_c",
+        "var_c",
+        F.row_number().over(w).cast("int").alias("var_rank"),
+        (F.row_number().over(w) <= 16).alias("keep"),
     )

@@ -474,3 +474,17 @@ def test_assortativity_is_negative_for_star_topology(spark):
 
     row = degree_assortativity(spark, "/root/testdata/sf0.01").collect()[0]
     assert row.assortativity is not None and row.assortativity < 0
+
+
+def test_embedding_dim_stats_shape(spark, sf_dir):
+    """64 dims, exactly 16 kept, rank is a permutation of 1..64, and
+    kept dims dominate dropped ones on (rounded) variance."""
+    from scache_spark.operators.similarity import embedding_dim_stats
+
+    pdf = embedding_dim_stats(spark, sf_dir).toPandas()
+    assert len(pdf) == 64
+    assert sorted(pdf["var_rank"]) == list(range(1, 65))
+    kept = pdf[pdf["keep"]]
+    assert len(kept) == 16
+    assert kept["var_c"].min() >= pdf[~pdf["keep"]]["var_c"].max()
+    assert (pdf["n"] == pdf["n"].iloc[0]).all()

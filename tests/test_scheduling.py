@@ -175,3 +175,30 @@ def test_trace_fed_race_invariants(spark, sf_dir):
     assert 0 < rows["ideal"] <= rows["lpt"] <= rows["round_robin"]
     assert rows["ideal"] <= rows["fifo"]
     assert rows["coflow"] <= rows["fifo"]
+
+
+def test_skew_split_plan_invariants(spark, sf_dir):
+    """The split plan really mitigates the planted hot reducer: reduce
+    0 is the (only) skewed partition in every shuffle, it splits into
+    >1 pieces, non-skewed reducers keep n_splits = 1, split_bytes is a
+    true ceil-division, and the post-split makespan strictly improves
+    on the pre-split one in every shuffle."""
+    from scache_spark.operators.blocks import skew_split_plan
+
+    pdf = skew_split_plan(spark, sf_dir).toPandas()
+    assert len(pdf) == 16  # 4 shuffles x N_REDUCES
+    for _, r in pdf.iterrows():
+        if r["reduce"] == 0:
+            assert bool(r["is_skewed"]) and r["n_splits"] > 1
+        else:
+            assert not bool(r["is_skewed"]) and r["n_splits"] == 1
+        # ceil-division identity
+        assert (
+            r["split_bytes"]
+            == (r["load_bytes"] + r["n_splits"] - 1) // r["n_splits"]
+        )
+    for _, grp in pdf.groupby("shuffle"):
+        assert grp["makespan_before"].nunique() == 1
+        assert grp["makespan_after"].nunique() == 1
+        assert grp["makespan_after"].iloc[0] < grp["makespan_before"].iloc[0]
+        assert grp["makespan_after"].iloc[0] == grp["split_bytes"].max()
