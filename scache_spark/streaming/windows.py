@@ -1012,3 +1012,162 @@ def statestore_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("key.user_id").cast("long").alias("min_user"),
         F.max("key.user_id").cast("long").alias("max_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min sketch — bounded state at ANY key cardinality
+# ---------------------------------------------------------------------------
+
+
+def _stream_cms_oracle() -> str:
+    from scache_spark.operators.extra import _cms_cell_sql
+
+    cell_case = (
+        "CASE r.r "
+        f"WHEN 0 THEN {_cms_cell_sql('uk', 0)} "
+        f"WHEN 1 THEN {_cms_cell_sql('uk', 1)} "
+        f"ELSE {_cms_cell_sql('uk', 2)} END"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+             user_id,
+             CAST(user_id AS VARCHAR) AS uk
+      FROM events WHERE user_id >= 0
+    ),
+    incs AS (
+      SELECT ws, r.r AS r, {cell_case} AS cell
+      FROM ev CROSS JOIN (VALUES (0), (1), (2)) r(r)
+    ),
+    sketch AS (
+      SELECT ws, r, cell, CAST(count(*) AS BIGINT) AS cnt
+      FROM incs GROUP BY ws, r, cell
+    ),
+    probes AS (
+      SELECT w.ws, u.user_id, r.r AS r, {cell_case} AS cell
+      FROM (SELECT DISTINCT ws FROM ev) w
+      CROSS JOIN (SELECT i AS user_id, CAST(i AS VARCHAR) AS uk
+                  FROM unnest(range(0, 10)) t(i)) u
+      CROSS JOIN (VALUES (0), (1), (2)) r(r)
+    ),
+    est AS (
+      SELECT p.ws, p.user_id,
+             CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_n
+      FROM probes p LEFT JOIN sketch s
+        ON p.ws = s.ws AND p.r = s.r AND p.cell = s.cell
+      GROUP BY p.ws, p.user_id
+    ),
+    tru AS (
+      SELECT ws, user_id, CAST(count(*) AS BIGINT) AS true_n
+      FROM ev WHERE user_id < 10 GROUP BY ws, user_id
+    )
+    SELECT CAST(e.ws AS TIMESTAMP) AS window_start,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           CAST(coalesce(t.true_n, 0) AS BIGINT) AS true_n,
+           e.est_n,
+           CAST(e.est_n - coalesce(t.true_n, 0) AS BIGINT) AS overcount
+    FROM est e LEFT JOIN tru t
+      ON e.ws = t.ws AND e.user_id = t.user_id
+    """
+
+
+@register(
+    "stream_cms_heavy_users",
+    oracle=_stream_cms_oracle(),
+    tags=("B27", "B7", "B16"),
+    doc="STREAMING Count-Min sketch: per-hour user-frequency sketches "
+    "maintained at arrival — the reason sketches exist on streams: "
+    "an exact per-key streaming count holds one state row PER KEY "
+    "(unbounded at web-scale user cardinality), while this query's "
+    "state is <= open_windows x 768 cells NO MATTER how many "
+    "distinct users arrive.  The 3 (row, cell) increments explode "
+    "map-side per event (the batch heavy_hitters_cms expressions run "
+    "at arrival), the windowed groupBy(window, r, cell) "
+    "map-side-combines to <=768 partials per partition, and append "
+    "mode emits each window's finished sketch exactly once when the "
+    "watermark closes it — a mergeable, re-aggregatable frequency "
+    "summary per hour, queryable forever after without replaying "
+    "the stream.  The batch-side probe then scores user ids 0-9 "
+    "against the emitted sketches (min over rows, zero-coalesced so "
+    "an absent cell means 0, not a dropped row): overcount >= 0 "
+    "in every row is the CMS guarantee, cross-engine-verified "
+    "cell-for-cell by the oracle.  All-integer outputs.",
+)
+def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.operators.extra import _CMS_ROWS, _cms_cell
+
+    def rc_explode(key_col: F.Column) -> F.Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_cell(key_col, r).alias("cell"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("rc")
+
+    # the flush row is NOT filtered out: a user_id predicate would be
+    # pushed below the EventTimeWatermark node and the watermark would
+    # stop at the last real event, leaving the final hour unclosed.
+    # The flush's own far-future window never closes, so it is never
+    # emitted — append mode does the filtering for free.
+    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    incs = s.select(
+        F.window("ts", "1 hour").alias("w"),
+        rc_explode(F.col("user_id").cast("string")),
+    )
+    sketch = (
+        incs.groupBy("w", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "r", "cell", "cnt")
+    )
+    sk = run_stream(sketch, "cms_users", "append")
+
+    # batch-side probe of the EMITTED sketches (the post-hoc consumer:
+    # no stream replay, no per-key state ever existed)
+    wins = sk.select("window_start").distinct()
+    uids = spark.range(10).select(F.col("id").alias("user_id"))
+    probes = (
+        wins.crossJoin(F.broadcast(uids))
+        .select(
+            "window_start",
+            "user_id",
+            rc_explode(F.col("user_id").cast("string")),
+        )
+        .select(
+            F.col("window_start").alias("p_ws"),
+            "user_id",
+            F.col("rc.r").alias("p_r"),
+            F.col("rc.cell").alias("p_cell"),
+        )
+    )
+    est = (
+        probes.join(
+            sk,
+            (F.col("p_ws") == F.col("window_start"))
+            & (F.col("p_r") == F.col("r"))
+            & (F.col("p_cell") == F.col("cell")),
+            "left",
+        )
+        .groupBy(F.col("p_ws").alias("window_start"), F.col("user_id"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0).cast("long"))).alias("est_n"))
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") >= 0) & (F.col("user_id") < 10)
+    )
+    tru = ev.groupBy(
+        F.window("ts", "1 hour")["start"].alias("window_start"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    return est.join(tru, ["window_start", "user_id"], "left").select(
+        "window_start",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.coalesce("true_n", F.lit(0).cast("long")).alias("true_n"),
+        "est_n",
+        (F.col("est_n") - F.coalesce("true_n", F.lit(0).cast("long")))
+        .cast("long")
+        .alias("overcount"),
+    )
