@@ -1698,3 +1698,144 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance of a JOIN view (deltas on BOTH sides)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_join_view_delta",
+    oracle="""
+    WITH new_orders AS (
+      SELECT o_custkey AS k,
+             CAST(floor(o_totalprice
+                  * CASE WHEN o_orderkey % 11 = 0 THEN 1.05 ELSE 1.0 END
+                  * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_custkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    new_cust AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 19 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS nation
+      FROM customer
+    )
+    SELECT CAST(c.nation AS INT) AS nation,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+    FROM new_orders o JOIN new_cust c ON o.k = c.k
+    GROUP BY c.nation
+    """,
+    tags=("B4", "B7", "B19"),
+    doc="Incremental maintenance of an aggregated JOIN view with "
+    "deltas on BOTH inputs — the bilinear IVM rule Delta(A JOIN B) = "
+    "dA*B + A*dB + dA*dB that cdc_agg_apply_delta's single-table "
+    "case does not need.  The view is revenue-per-nation over "
+    "orders JOIN customer; the planted change batch deletes orders "
+    "(%13), reprices (%11), inserts (%17), AND moves customers to a "
+    "new nation (%19) — a dimension change, the case that breaks "
+    "naive fact-side-only refresh.  The Spark plan computes ONLY "
+    "base + per-changed-key delta rows (a mover contributes exactly "
+    "two signed rows: its full old contribution out of the old "
+    "nation, its full new contribution into the new one; a pure "
+    "fact change contributes one), merges them full-outer into the "
+    "base view, and must equal the oracle's FULL RECOMPUTE of the "
+    "new snapshot — the algebra itself is what the oracle verifies, "
+    "not a re-statement of the same plan.  Refresh cost scales with "
+    "CHANGED KEYS, never the base table: both sides collapse to "
+    "one row per custkey in a single scan each (the joined "
+    "per-key frame is checkpointed once and feeds base AND delta — "
+    "scan-once rule), delta rows are metadata-weight, and the merge "
+    "touches |nations| rows.  Money is integer cents (floor(p*100)) "
+    "throughout, so base + delta is bit-identical to recompute — "
+    "the property that makes incremental refresh TRUSTABLE.",
+)
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents_old = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cents_upd = F.floor(F.col("o_totalprice") * 1.05 * 100).cast("long")
+    deleted = F.col("o_orderkey") % 13 == 0
+    updated = (F.col("o_orderkey") % 11 == 0) & ~deleted
+    inserted = F.col("o_orderkey") % 17 == 0
+    # ONE orders scan -> per-custkey old aggregate AND signed delta
+    oa = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents_old).alias("s"),
+        F.sum(
+            F.when(deleted, -1).otherwise(0) + F.when(inserted, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("dn"),
+        F.sum(
+            F.when(deleted, -cents_old).otherwise(F.lit(0).cast("long"))
+            + F.when(updated, cents_upd - cents_old).otherwise(
+                F.lit(0).cast("long")
+            )
+            + F.when(inserted, cents_old).otherwise(F.lit(0).cast("long"))
+        ).alias("ds"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").cast("int").alias("nation_old"),
+        F.when(
+            F.col("c_custkey") % 19 == 0, (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("nation_new"),
+    )
+    # the per-key joined frame feeds BOTH the base view and the delta
+    joined = oa.join(c, "k").localCheckpoint(eager=True)
+    base = joined.groupBy(F.col("nation_old").alias("nation")).agg(
+        F.sum("n").alias("bn"), F.sum("s").alias("bs")
+    )
+    mover = F.col("nation_old") != F.col("nation_new")
+    contribs = F.when(
+        mover,
+        F.array(
+            F.struct(
+                F.col("nation_old").alias("nation"),
+                (-F.col("n")).alias("cn"),
+                (-F.col("s")).alias("cs"),
+            ),
+            F.struct(
+                F.col("nation_new").alias("nation"),
+                (F.col("n") + F.col("dn")).alias("cn"),
+                (F.col("s") + F.col("ds")).alias("cs"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.col("nation_old").alias("nation"),
+                F.col("dn").alias("cn"),
+                F.col("ds").alias("cs"),
+            )
+        )
+    )
+    delta = (
+        joined.filter(mover | (F.col("dn") != 0) | (F.col("ds") != 0))
+        .select(F.explode(contribs).alias("d"))
+        .groupBy(F.col("d.nation").alias("nation"))
+        .agg(F.sum("d.cn").alias("xn"), F.sum("d.cs").alias("xs"))
+    )
+    return (
+        base.join(delta, "nation", "full")
+        .select(
+            F.col("nation").cast("int").alias("nation"),
+            (
+                F.coalesce("bn", F.lit(0).cast("long"))
+                + F.coalesce("xn", F.lit(0).cast("long"))
+            ).alias("n_orders"),
+            (
+                F.coalesce("bs", F.lit(0).cast("long"))
+                + F.coalesce("xs", F.lit(0).cast("long"))
+            ).alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

@@ -488,3 +488,53 @@ def test_embedding_dim_stats_shape(spark, sf_dir):
     assert len(kept) == 16
     assert kept["var_c"].min() >= pdf[~pdf["keep"]]["var_c"].max()
     assert (pdf["n"] == pdf["n"].iloc[0]).all()
+
+
+def test_ivm_join_view_delta_equals_recompute(spark, sf_dir):
+    """The incrementally-maintained join view equals a full Spark
+    recompute of the new snapshot (the oracle already proves this
+    cross-engine; this proves the bilinear-delta algebra in-engine,
+    so a future refactor can't silently drift both sides)."""
+    from pyspark.sql import functions as F
+
+    from scache_spark.catalog import load_table
+    from scache_spark.operators.extra import ivm_join_view_delta
+
+    inc = {
+        (r["nation"]): (r["n_orders"], r["revenue_cents"])
+        for r in ivm_join_view_delta(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    surv = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_custkey").alias("k"),
+        F.floor(
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 11 == 0, 1.05).otherwise(1.0)
+            * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_custkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_custkey") % 19 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("nation"),
+    )
+    full = {
+        (r["nation"]): (r["n_orders"], r["revenue_cents"])
+        for r in surv.unionByName(ins)
+        .join(c, "k")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .collect()
+    }
+    assert inc == full
