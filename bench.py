@@ -67,6 +67,7 @@ HEADLINE = [
     "hadoop_attempt_trace_parse",
     "leakage_safe_split",
     "stream_neardup_suppress",
+    "ivm_join_view_delta",
 ]
 
 

@@ -1030,7 +1030,7 @@ def _stream_cms_oracle() -> str:
     )
     return f"""
     WITH ev AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+      SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
              user_id,
              CAST(user_id AS VARCHAR) AS uk
       FROM events WHERE user_id >= 0
@@ -1075,7 +1075,7 @@ def _stream_cms_oracle() -> str:
     "stream_cms_heavy_users",
     oracle=_stream_cms_oracle(),
     tags=("B27", "B7", "B16"),
-    doc="STREAMING Count-Min sketch: per-hour user-frequency sketches "
+    doc="STREAMING Count-Min sketch: 6-hour-window user-frequency sketches "
     "maintained at arrival — the reason sketches exist on streams: "
     "an exact per-key streaming count holds one state row PER KEY "
     "(unbounded at web-scale user cardinality), while this query's "
@@ -1116,7 +1116,7 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emitted — append mode does the filtering for free.
     s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
     incs = s.select(
-        F.window("ts", "1 hour").alias("w"),
+        F.window("ts", "6 hours").alias("w"),
         rc_explode(F.col("user_id").cast("string")),
     )
     sketch = (
@@ -1159,7 +1159,7 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") >= 0) & (F.col("user_id") < 10)
     )
     tru = ev.groupBy(
-        F.window("ts", "1 hour")["start"].alias("window_start"),
+        F.window("ts", "6 hours")["start"].alias("window_start"),
         "user_id",
     ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
     return est.join(tru, ["window_start", "user_id"], "left").select(
