@@ -1586,6 +1586,36 @@ _CMS_PROBE_SQL = ", ".join(
 )
 
 
+def cms_increments(col: F.Column) -> F.Column:
+    """The CMS build/probe fan-out as ONE shared expression: explode of
+    the _CMS_ROWS (r, cell) increment structs for a key column.  Every
+    sketch site (batch heavy hitters, the streaming sketch) uses this
+    helper so the hash-parity-critical cell derivation lives in
+    exactly one place beside _cms_cell."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_cell(col, r).alias("cell"),
+                )
+                for r in range(_CMS_ROWS)
+            ]
+        )
+    )
+
+
+def cms_cell_case_sql(col: str) -> str:
+    """DuckDB twin of cms_increments' cell arm: the CASE over the row
+    index r.r (requires a joined (VALUES (0),(1),(2)) r(r) row source,
+    the unnest-side of the explode)."""
+    whens = " ".join(
+        f"WHEN {r} THEN {_cms_cell_sql(col, r)}" for r in range(_CMS_ROWS - 1)
+    )
+    return f"CASE r.r {whens} ELSE {_cms_cell_sql(col, _CMS_ROWS - 1)} END"
+
+
+
 @register(
     "heavy_hitters_cms",
     oracle=f"""
@@ -1594,11 +1624,7 @@ _CMS_PROBE_SQL = ", ".join(
     ),
     incs AS (
       SELECT r.r AS r,
-             CASE r.r
-               WHEN 0 THEN {_cms_cell_sql('tok', 0)}
-               WHEN 1 THEN {_cms_cell_sql('tok', 1)}
-               ELSE {_cms_cell_sql('tok', 2)}
-             END AS cell
+             {cms_cell_case_sql('tok')} AS cell
       FROM toks CROSS JOIN (VALUES (0), (1), (2)) r(r)
     ),
     sketch AS (
@@ -1610,11 +1636,7 @@ _CMS_PROBE_SQL = ", ".join(
     ),
     probes AS (
       SELECT tok, true_cnt,
-             CASE r.r
-               WHEN 0 THEN {_cms_cell_sql('tok', 0)}
-               WHEN 1 THEN {_cms_cell_sql('tok', 1)}
-               ELSE {_cms_cell_sql('tok', 2)}
-             END AS cell,
+             {cms_cell_case_sql('tok')} AS cell,
              r.r AS r
       FROM cand CROSS JOIN (VALUES (0), (1), (2)) r(r)
     )
@@ -1647,17 +1669,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     incs = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cms_cell(F.col("tok"), r).alias("cell"),
-                    )
-                    for r in range(_CMS_ROWS)
-                ]
-            )
-        ).alias("rc")
+        cms_increments(F.col("tok")).alias("rc")
     )
     sketch = incs.groupBy(
         F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell")
@@ -1671,17 +1683,7 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = cand.select(
         "tok",
         "true_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cms_cell(F.col("tok"), r).alias("cell"),
-                    )
-                    for r in range(_CMS_ROWS)
-                ]
-            )
-        ).alias("rc"),
+        cms_increments(F.col("tok")).alias("rc"),
     )
     return (
         probes.join(

@@ -1020,14 +1020,9 @@ def statestore_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_cms_oracle() -> str:
-    from scache_spark.operators.extra import _cms_cell_sql
+    from scache_spark.operators.extra import cms_cell_case_sql
 
-    cell_case = (
-        "CASE r.r "
-        f"WHEN 0 THEN {_cms_cell_sql('uk', 0)} "
-        f"WHEN 1 THEN {_cms_cell_sql('uk', 1)} "
-        f"ELSE {_cms_cell_sql('uk', 2)} END"
-    )
+    cell_case = cms_cell_case_sql("uk")
     return f"""
     WITH ev AS (
       SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
@@ -1094,20 +1089,10 @@ def _stream_cms_oracle() -> str:
     "cell-for-cell by the oracle.  All-integer outputs.",
 )
 def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scache_spark.operators.extra import _CMS_ROWS, _cms_cell
+    from scache_spark.operators.extra import cms_increments
 
     def rc_explode(key_col: F.Column) -> F.Column:
-        return F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("r"),
-                        _cms_cell(key_col, r).alias("cell"),
-                    )
-                    for r in range(_CMS_ROWS)
-                ]
-            )
-        ).alias("rc")
+        return cms_increments(key_col).alias("rc")
 
     # the flush row is NOT filtered out: a user_id predicate would be
     # pushed below the EventTimeWatermark node and the watermark would

@@ -397,10 +397,16 @@ def test_neardup_shard_verdicts_monotone_across_batches():
 
 def test_stream_cms_bounded_state_and_guarantee(spark, sf_dir):
     """The streaming CMS obeys the sketch contract: overcount >= 0 on
-    every probe (CMS never undercounts), est == true wherever no
-    collision landed, the probe grid is complete (every emitted
-    window x 10 users), and the emitted sketch itself stays within
-    the 768-cells-per-window state bound."""
+    every probe (CMS never undercounts), the probe grid is complete
+    (every emitted window x 10 users), and the sketch itself — the
+    frame the stream stores and emits — stays within the 768
+    cells-per-window state bound (asserted on the batch twin of the
+    sketch stage, built from the SAME shared cms_increments
+    expression, so a grouping-key leak inflating state fails here)."""
+    from pyspark.sql import functions as F
+
+    from scache_spark.catalog import load_table
+    from scache_spark.operators.extra import _CMS_ROWS, _CMS_W, cms_increments
     from scache_spark.streaming.windows import stream_cms_heavy_users
 
     pdf = stream_cms_heavy_users(spark, sf_dir).toPandas()
@@ -408,7 +414,18 @@ def test_stream_cms_bounded_state_and_guarantee(spark, sf_dir):
     assert len(pdf) == n_windows * 10
     assert (pdf["overcount"] >= 0).all()
     assert (pdf["est_n"] >= pdf["true_n"]).all()
-    # the sketch (not the probe view) is what the stream stores:
-    # <= 3*256 cells per window regardless of user cardinality
-    per_win = pdf.groupby("window_start").size()
-    assert (per_win == 10).all()
+
+    sketch_rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.window("ts", "6 hours")["start"].alias("ws"),
+            cms_increments(F.col("user_id").cast("string")).alias("rc"),
+        )
+        .groupBy("ws", "rc.r", "rc.cell")
+        .count()
+        .groupBy("ws")
+        .count()
+        .toPandas()
+    )
+    assert len(sketch_rows) == n_windows
+    assert (sketch_rows["count"] <= _CMS_ROWS * _CMS_W).all()
