@@ -262,3 +262,151 @@ def test_neardup_shard_union_equals_batch_semantics(arrivals, cuts):
         ids = flat[pos : pos + c]
         pos += c
         assert ids == sorted(buckets[h])[: len(ids)]
+
+
+# ---------------------------------------------------------------------------
+# round-4 pure cores: bilinear join-view IVM algebra, CMS guarantee
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+
+def _ivm_incremental(orders, custs):
+    """Pure mirror of ivm_join_view_delta's algebra.
+
+    orders: list of (custkey, cents, change) where change is one of
+    'keep'/'delete'/'update'(+5%-ish: modeled as +7 cents)/'insert'
+    (insert = a NEW row added alongside the kept original).
+    custs: dict custkey -> (nation_old, nation_new).
+    Returns {nation: (n, s)} computed as base + delta.
+    """
+    # per-custkey old aggregate and signed delta (the one-scan agg)
+    oa: dict[int, list[int]] = {}
+    for k, cents, change in orders:
+        oa.setdefault(k, [0, 0, 0, 0])
+        oa[k][0] += 1
+        oa[k][1] += cents
+        if change == "delete":
+            oa[k][2] -= 1
+            oa[k][3] -= cents
+        elif change == "update":
+            oa[k][3] += 7
+        elif change == "insert":
+            oa[k][2] += 1
+            oa[k][3] += cents
+    view: dict[int, list[int]] = {}
+
+    def add(nation, dn, ds):
+        v = view.setdefault(nation, [0, 0])
+        v[0] += dn
+        v[1] += ds
+
+    for k, (n, s, dn, ds) in oa.items():
+        old_nat, new_nat = custs[k]
+        add(old_nat, n, s)  # base
+        if old_nat != new_nat:
+            add(old_nat, -n, -s)
+            add(new_nat, n + dn, s + ds)
+        else:
+            add(old_nat, dn, ds)
+    return {
+        nat: (n, s) for nat, (n, s) in view.items() if n > 0
+    }
+
+
+def _ivm_recompute(orders, custs):
+    view: dict[int, list[int]] = {}
+    for k, cents, change in orders:
+        nation = custs[k][1]
+        rows = []
+        if change == "keep":
+            rows = [cents]
+        elif change == "update":
+            rows = [cents + 7]
+        elif change == "insert":
+            rows = [cents, cents]  # original kept + new copy
+        # delete contributes nothing
+        for c in rows:
+            v = view.setdefault(nation, [0, 0])
+            v[0] += 1
+            v[1] += c
+    return {nat: (n, s) for nat, (n, s) in view.items() if n > 0}
+
+
+order_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),  # custkey
+        st.integers(min_value=0, max_value=10**6),  # cents
+        st.sampled_from(["keep", "delete", "update", "insert"]),
+    ),
+    min_size=0,
+    max_size=120,
+)
+nation_moves = st.dictionaries(
+    st.integers(min_value=0, max_value=15),
+    st.tuples(
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=4),
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(order_rows, nation_moves)
+def test_ivm_bilinear_delta_equals_recompute(orders, moves):
+    """base + per-changed-key signed delta == full recompute, for ANY
+    mix of deletes/updates/inserts and dimension moves — including a
+    customer whose every order is deleted, empty deltas, and movers
+    with no fact-side change."""
+    custs = {
+        k: moves.get(k, (k % 5, k % 5)) for k in range(16)
+    }
+    assert _ivm_incremental(orders, custs) == _ivm_recompute(
+        orders, custs
+    )
+
+
+def _cms_cell_py(key: str, row: int, w: int = 256) -> int:
+    """Exact python mirror of _cms_cell / _cms_cell_sql: md5 of
+    'row:key', first 15 hex chars as int, mod w — md5 is md5 in every
+    engine, so this tests the REAL construction."""
+    h = hashlib.md5(f"{row}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) % w
+
+
+keys = st.lists(
+    st.text(
+        alphabet=st.characters(codec="ascii", categories=("L", "N")),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=0,
+    max_size=200,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(keys)
+def test_cms_never_undercounts_any_key(ks):
+    """The Count-Min guarantee on the exact md5 cell construction both
+    engines run: min-over-rows estimate >= true count for EVERY key,
+    with equality whenever the key collides with nothing."""
+    rows, w = 3, 256
+    sketch: dict[tuple[int, int], int] = {}
+    for k in ks:
+        for r in range(rows):
+            cell = (r, _cms_cell_py(k, r, w))
+            sketch[cell] = sketch.get(cell, 0) + 1
+    from collections import Counter
+
+    true = Counter(ks)
+    for k, t in true.items():
+        est = min(
+            sketch.get((r, _cms_cell_py(k, r, w)), 0) for r in range(rows)
+        )
+        assert est >= t
+        # no collision on some row => exact
+        if est == t:
+            continue
+        # collision overcount must come from OTHER keys in every row
+        assert est <= len(ks)
