@@ -54,7 +54,10 @@ def _sweep_stale_run_dirs() -> None:
     import re
     import shutil
 
-    pat = re.compile(r"^(?:ckpt|data|ckpt_audit|statestore_audit)_(\d+)(_\d+)?$")
+    pat = re.compile(
+        r"^(?:ckpt|data|ckpt_audit|statestore_audit|ckpt_cdc)_(\d+)(_\d+)?$"
+        r"|^(?:view_cdc)_(\d+)_\d+_v\d+$"
+    )
     for root in (_STAGE_ROOT, os.path.join(os.path.dirname(_STAGE_ROOT), ".stream_sink")):
         if not os.path.isdir(root):
             continue
@@ -62,10 +65,11 @@ def _sweep_stale_run_dirs() -> None:
             m = pat.match(name)
             if not m:
                 continue
-            if m.group(2) is None:
+            pid_str = m.group(1) or m.group(3)
+            if m.group(1) is not None and m.group(2) is None:
                 stale = True  # legacy counter-only name: always a hazard
             else:
-                pid = int(m.group(1))
+                pid = int(pid_str)
                 try:
                     os.kill(pid, 0)
                     stale = False
@@ -1155,4 +1159,105 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_n") - F.coalesce("true_n", F.lit(0).cast("long")))
         .cast("long")
         .alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-consuming serving table: per-batch read-modify-write
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_cdc_serving_table",
+    oracle="""
+    SELECT CAST(user_id % 10 AS INT) AS cohort,
+           CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN event_type = 'error'
+                         THEN -CAST(floor(value * 100) AS BIGINT)
+                         ELSE CAST(floor(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_live
+    FROM events GROUP BY 1
+    """,
+    tags=("B27", "B7", "B1"),
+    doc="CDC-consuming SERVING TABLE: the event stream is read as a "
+    "signed change feed ('error' rows are retractions carrying -1 / "
+    "-cents, everything else upserts +1 / +cents — the CDC tombstone "
+    "convention) and foreachBatch maintains a materialized per-cohort "
+    "view by READ-MODIFY-WRITE: each micro-batch aggregates its own "
+    "deltas (map-side combinable, metadata-weight), full-outer merges "
+    "them into the previous view VERSION, and publishes the merged "
+    "view as a new immutable version keyed by batch id — an atomic, "
+    "re-runnable publish (re-executing batch b rewrites view_b "
+    "identically, the exactly-once recipe the manifest sink uses).  "
+    "maxFilesPerTrigger=1 forces multiple micro-batches so the RMW "
+    "path is genuinely exercised under availableNow.  Unlike "
+    "stream_foreachbatch_sink's append-partials (whose serving read "
+    "re-aggregates ALL history), the read here is the LAST version — "
+    "|cohorts| rows at any stream length: the serving-table pattern "
+    "for stores without native streaming upsert.  Because the signed "
+    "sums are associative, the final view equals the batch signed "
+    "aggregate no matter how the feed splits — integer cents, "
+    "engine-exact.",
+)
+def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = f"{os.getpid()}_{next(_SINK_COUNTER)}"
+    ckpt = os.path.join(_SINK_ROOT, f"ckpt_cdc_{run}")
+    view_base = os.path.join(_SINK_ROOT, f"view_cdc_{run}")
+    last = {"path": None}
+
+    sign = F.when(F.col("event_type") == "error", -1).otherwise(1)
+    cents = F.floor(F.col("value") * 100).cast("long")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            (F.col("user_id") % 10).cast("int").alias("cohort")
+        ).agg(
+            F.sum(sign).cast("long").alias("dn"),
+            F.sum(sign * cents).alias("dc"),
+        )
+        if last["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(last["path"])
+            merged = prev.join(delta, "cohort", "full").select(
+                "cohort",
+                (
+                    F.coalesce("n_live", F.lit(0).cast("long"))
+                    + F.coalesce("dn", F.lit(0).cast("long"))
+                ).alias("n_live"),
+                (
+                    F.coalesce("cents_live", F.lit(0).cast("long"))
+                    + F.coalesce("dc", F.lit(0).cast("long"))
+                ).alias("cents_live"),
+            )
+        else:
+            merged = delta.select(
+                "cohort",
+                F.col("dn").alias("n_live"),
+                F.col("dc").alias("cents_live"),
+            )
+        out = f"{view_base}_v{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
+        last["path"] = out
+
+    src = spark.readStream.schema(SCHEMAS["events"]).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(_staged_events_dir(spark, sf_dir)).filter(
+        F.col("event_id") != FLUSH_EVENT_ID
+    )
+    q = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        raise RuntimeError("cdc serving stream still running after 600s")
+    if q.exception() is not None:
+        raise q.exception()
+    return spark.read.parquet(last["path"]).select(
+        F.col("cohort").cast("int"),
+        F.col("n_live").cast("long"),
+        F.col("cents_live").cast("long"),
     )

@@ -429,3 +429,24 @@ def test_stream_cms_bounded_state_and_guarantee(spark, sf_dir):
     )
     assert len(sketch_rows) == n_windows
     assert (sketch_rows["count"] <= _CMS_ROWS * _CMS_W).all()
+
+
+def test_cdc_serving_table_rmw_versions(spark, sf_dir):
+    """The CDC serving table genuinely exercises read-modify-write:
+    maxFilesPerTrigger=1 over the 4-file staged feed must publish >= 2
+    view versions, each version is a full |cohorts|-row view (not a
+    partial), and the final version carries every cohort."""
+    import glob as _glob
+    import os as _os
+
+    from scache_spark.streaming.windows import (
+        _SINK_ROOT,
+        stream_cdc_serving_table,
+    )
+
+    before = set(_glob.glob(_os.path.join(_SINK_ROOT, "view_cdc_*_v*")))
+    pdf = stream_cdc_serving_table(spark, sf_dir).toPandas()
+    after = set(_glob.glob(_os.path.join(_SINK_ROOT, "view_cdc_*_v*")))
+    new_versions = sorted(after - before)
+    assert len(new_versions) >= 2, new_versions
+    assert len(pdf) == 10 and set(pdf["cohort"]) == set(range(10))
