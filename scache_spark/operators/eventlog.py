@@ -590,3 +590,98 @@ def blockmanager_added_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("reduceid").cast("long").alias("n_reduces"),
         F.sum("size").cast("long").alias("total_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corrupt-record-tolerant JSONL ingestion (PERMISSIVE accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_corrupt_records_audit",
+    oracle="""
+    WITH lines AS (
+      SELECT CAST(user_id % 4 AS INT) AS shard,
+             CASE WHEN event_id % 13 = 0
+                  THEN substr(json_object('event_id', event_id,
+                                          'etype', event_type,
+                                          'cents', CAST(floor(value * 100)
+                                                        AS BIGINT))::VARCHAR,
+                              1, 10)
+                  ELSE json_object('event_id', event_id,
+                                   'etype', event_type,
+                                   'cents', CAST(floor(value * 100)
+                                                 AS BIGINT))::VARCHAR
+             END AS line
+      FROM events
+    ),
+    parsed AS (
+      SELECT shard, line,
+             CASE WHEN json_valid(line) THEN 1 ELSE 0 END AS ok,
+             CASE WHEN json_valid(line)
+                  THEN CAST(json_extract(line, '$.cents') AS BIGINT)
+                  ELSE 0 END AS cents
+      FROM lines
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(1 - ok) AS BIGINT) AS n_bad,
+           CAST(sum(ok) AS BIGINT) AS n_good,
+           CAST(sum(cents) AS BIGINT) AS cents_salvaged,
+           CAST(sum(1 - ok) AS DOUBLE) / count(*) AS bad_ratio
+    FROM parsed GROUP BY shard
+    """,
+    tags=("B1", "B18", "B14"),
+    doc="Corrupt-record-tolerant JSONL ingestion — the PERMISSIVE-mode "
+    "accounting a 100 TB feed needs (at scale, malformed records are "
+    "a CERTAINTY; a parser that throws poisons the whole partition): "
+    "a JSONL feed is rendered from events with every 13th line "
+    "truncated mid-token (planted corruption, the render-then-parse "
+    "device of event_log_parse), from_json degrades each bad line to "
+    "NULL instead of failing the task — Spark's PERMISSIVE contract, "
+    "expressed per-expression so the good fields of good lines "
+    "survive — and the audit reports per-shard line/bad/good counts, "
+    "the salvaged cents total, and the bad ratio (one IEEE division "
+    "of exact integers, identical in both engines).  The JSON "
+    "payload carries integer cents, never a float, so the text "
+    "round-trip is byte-exact cross-engine.  Narrow render->parse "
+    "inside one codegen span; the only exchange is the 4-group "
+    "audit aggregate.",
+)
+def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    line = F.to_json(
+        F.struct(
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("etype"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    feed = ev.select(
+        (F.col("user_id") % 4).cast("int").alias("shard"),
+        F.when(
+            F.col("event_id") % 13 == 0, F.substring(line, 1, 10)
+        )
+        .otherwise(line)
+        .alias("line"),
+    )
+    rec = F.from_json(
+        F.col("line"), "event_id BIGINT, etype STRING, cents BIGINT"
+    )
+    parsed = feed.select(
+        "shard",
+        # from_json is PERMISSIVE: a malformed line yields a NULL
+        # struct (detected via a field that is never NULL on good
+        # lines), the task never fails
+        F.when(rec["event_id"].isNotNull(), 1).otherwise(0).alias("ok"),
+        F.coalesce(rec["cents"], F.lit(0).cast("long")).alias("cents"),
+    )
+    return parsed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(1 - F.col("ok")).cast("long").alias("n_bad"),
+        F.sum("ok").cast("long").alias("n_good"),
+        F.sum("cents").alias("cents_salvaged"),
+        (
+            F.sum(1 - F.col("ok")).cast("double") / F.count(F.lit(1))
+        ).alias("bad_ratio"),
+    )

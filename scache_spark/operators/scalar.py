@@ -1713,3 +1713,54 @@ def mutual_information_categorical(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("h_y_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact DECIMAL money arithmetic (the never-float-for-money surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decimal_money_battery",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    )
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price) AS DOUBLE) AS total_exact,
+           CAST(sum(CAST(price * CAST(1.07 AS DECIMAL(4,2))
+                         AS DECIMAL(24,4))) AS DOUBLE) AS total_taxed,
+           CAST(sum(price) AS DOUBLE) / count(*) AS avg_ieee,
+           CAST(max(price) - min(price) AS DOUBLE) AS range_exact
+    FROM d GROUP BY pri
+    """,
+    tags=("B2", "B7", "B16"),
+    doc="Exact DECIMAL money arithmetic — the type discipline this "
+    "repo's integer-cents convention encodes, surfaced as the SQL "
+    "DECIMAL it maps to: prices cast to DECIMAL(18,2), summed EXACTLY "
+    "(no float accumulation error at ANY row count — a 100 TB ledger "
+    "sums to the same digits in any partition order), a fixed-point "
+    "tax multiply at an explicitly pinned result scale "
+    "(DECIMAL(24,4) — Spark and DuckDB infer different product "
+    "scales, so the query pins it rather than trusting either "
+    "engine's inference), and the mean derived as exact-sum -> one double division (both engines run the identical IEEE divide — DuckDB's avg(DECIMAL) returns DOUBLE internally, a different rounding path than Spark's exact-decimal average, so the query derives the mean deterministically instead).  Outputs "
+    "cast to DOUBLE only at the very end: one exact-decimal -> "
+    "binary conversion, deterministic in both engines, so the "
+    "comparator sees identical doubles while every aggregation step "
+    "was exact.  Scale: plain partial-aggregatable sums — DECIMAL "
+    "adds zero shuffle cost over BIGINT here.",
+)
+def decimal_money_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    taxed = (price * F.lit(1.07).cast("decimal(4,2)")).cast("decimal(24,4)")
+    return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(price).cast("double").alias("total_exact"),
+        F.sum(taxed).cast("double").alias("total_taxed"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_ieee"),
+        (F.max(price) - F.min(price)).cast("double").alias("range_exact"),
+    )
