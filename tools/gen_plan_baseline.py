@@ -1,0 +1,57 @@
+"""Generate tools/plan_baseline.json: per-query plan-shape numbers
+(exchange count, broad same-file scan total) for every non-streaming
+registered query at sf0.01.
+
+The baseline turns plan SHAPE into a ratchet: `tests/test_plan_baseline.py`
+fails if any query's current plan needs MORE exchanges or MORE broad
+scans than recorded here — the regression class the absolute lint
+thresholds (plan_lint: >8 exchanges, >2 same-file scans) cannot see
+(e.g. a 3 -> 7 exchange regression passes both).  Regenerate
+deliberately after a plan-improving change:
+
+    python tools/gen_plan_baseline.py
+
+A new query must be added here (by regenerating) before CI accepts it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from scache_spark import plans
+from scache_spark.registry import REGISTRY, _ensure_loaded
+from scache_spark.session import get_session
+
+SKIP_PREFIXES = ("stream_",)
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_baseline.json")
+
+
+def snapshot(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, dict[str, int]]:
+    _ensure_loaded()
+    base: dict[str, dict[str, int]] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(SKIP_PREFIXES):
+            continue
+        df = spec.fn(spark, sf)
+        base[name] = {
+            "exchanges": plans.exchange_count(df),
+            "broad_scans": sum(plans.broad_scan_counts(df).values()),
+        }
+    return base
+
+
+def main() -> None:
+    spark = get_session("plan-baseline")
+    base = snapshot(spark)
+    with open(OUT, "w") as f:
+        json.dump(base, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {len(base)} baselines to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
