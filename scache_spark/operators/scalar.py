@@ -1764,3 +1764,146 @@ def decimal_money_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_ieee"),
         (F.max(price) - F.min(price)).cast("double").alias("range_exact"),
     )
+
+
+_KSD_LO = 1000  # literal monitoring grid for the sketch KS (config, not data)
+_KSD_STEP = 9500  # 64 bins cover prices 1000 .. 609000; outliers clip
+
+
+@register(
+    "kll_sketch_ks_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(greatest(least(floor((o_totalprice - {_KSD_LO})
+                                 / {_KSD_STEP}.0), {_KSB_BINS - 1}), 0)
+                  AS INT) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders
+    ),
+    hist AS (
+      SELECT bin,
+             CAST(sum(is_a) AS BIGINT) AS a,
+             CAST(sum(1 - is_a) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    walked AS (
+      SELECT bin,
+             sum(a) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(b) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b
+      FROM hist
+    )
+    SELECT t.n_a, t.n_b,
+           round(max(abs(CAST(w.ca AS DOUBLE) / t.n_a
+                         - CAST(w.cb AS DOUBLE) / t.n_b)), 6) AS ks_binned,
+           TRUE AS sketch_within_5pct
+    FROM walked w CROSS JOIN tot t
+    GROUP BY t.n_a, t.n_b
+    """,
+    tags=("B20", "B16", "B7"),
+    doc="KS drift FROM SKETCH TABLES (KLL, Spark 4.1): production "
+    "drift monitors cannot rescan yesterday's raw data — they store "
+    "one quantile sketch per (segment, day) and compare SKETCHES.  "
+    "Two paths side by side: the deterministic binned KS over a "
+    f"fixed literal {_KSB_BINS}-edge price grid (ks_drift_binned's "
+    "exact-integer walk, the reported value — a LITERAL grid rather "
+    "than a data-derived one because kll_sketch_get_rank demands "
+    "foldable probe points, and a monitoring grid is a config "
+    "constant anyway) and a sketch-only KS: two KLL sketches built "
+    "in one scan, rank gaps at the same 63 literal edges as plain "
+    "scalar expressions (no explode, no second pass), sup of the "
+    "gaps.  The verdict asserts the sketch statistic lands within "
+    "0.05 of the binned one (~1.65 percent rank error), keeping the "
+    "output engine-exact under sketch randomness while proving the "
+    "sketch-table path raises the same alarm.  ONE pruned scan "
+    "builds range-free histograms AND both sketches together; the "
+    "sketch arm never touches raw data again — which is the "
+    "pattern's point.",
+)
+def kll_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority") == "1-URGENT"
+    price = F.col("o_totalprice")
+    bin_col = (
+        F.greatest(
+            F.least(
+                F.floor((price - _KSD_LO) / float(_KSD_STEP)),
+                F.lit(_KSB_BINS - 1),
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    # ONE scan: per-bin histogram for both sides AND both sketches
+    hist = o.groupBy(bin_col).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("b"),
+        F.kll_sketch_agg_double(F.when(is_a, price)).alias("sk_a"),
+        F.kll_sketch_agg_double(F.when(~is_a, price)).alias("sk_b"),
+    )
+    wspec = bounded_window("bin", F.col("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walked = hist.select(
+        F.sum("a").over(wspec).alias("ca"),
+        F.sum("b").over(wspec).alias("cb"),
+    )
+    # fold the <=64 per-bin sketches and total counts in one pass
+    state = hist.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.collect_list("sk_a").alias("ska"),
+        F.collect_list("sk_b").alias("skb"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.slice(F.col(col), 2, _KSB_BINS),
+        F.element_at(F.col(col), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    edges = [float(_KSD_LO + i * _KSD_STEP) for i in range(1, _KSB_BINS)]
+    sk = state.select(
+        "n_a",
+        "n_b",
+        fold("ska").alias("ma"),
+        fold("skb").alias("mb"),
+    ).select(
+        "n_a",
+        "n_b",
+        F.greatest(
+            *[
+                F.abs(
+                    F.kll_sketch_get_rank_double(F.col("ma"), F.lit(e))
+                    - F.kll_sketch_get_rank_double(F.col("mb"), F.lit(e))
+                )
+                for e in edges
+            ]
+        ).alias("ks_sketch"),
+    )
+    ks_bin = (
+        walked.crossJoin(F.broadcast(sk))
+        .select(
+            "n_a",
+            "n_b",
+            "ks_sketch",
+            F.abs(
+                F.col("ca").cast("double") / F.col("n_a")
+                - F.col("cb").cast("double") / F.col("n_b")
+            ).alias("gap"),
+        )
+        .groupBy("n_a", "n_b", "ks_sketch")
+        .agg(F.round(F.max("gap"), 6).alias("ks_binned"))
+    )
+    return ks_bin.select(
+        "n_a",
+        "n_b",
+        "ks_binned",
+        (F.abs(F.col("ks_sketch") - F.col("ks_binned")) <= 0.05).alias(
+            "sketch_within_5pct"
+        ),
+    )
