@@ -5,6 +5,7 @@ generalized to the full Datasketches-era toolbox:
 
   membership   bloom_bitmap_membership   (bit_or word filter, broadcast probe)
   distinct     hll_sketch_union_bound    (mergeable HLL table, union rollup)
+               hll_sketch_intersect_bound (inclusion-exclusion workaround)
   set algebra  theta_sketch_set_ops      (native union/intersect/difference)
   frequency    heavy_hitters_cms         (Count-Min grid, batch)
                stream_cms_heavy_users    (same grid maintained at arrival)
@@ -44,14 +45,16 @@ def main(sf_dir: str) -> None:
     _ensure_loaded()
     spark = get_session("sketch-shelf")
     for name in SHELF:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        rows = df.limit(5).collect()
-        verdicts = [
-            f"{k}={v}"
-            for k, v in rows[0].asDict().items()
-            if isinstance(v, bool)
-        ] if rows else []
-        print(f"{name:32s} {len(rows)} row(s)  {' '.join(verdicts)}")
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        # verdicts summarized over ALL rows (deterministic — a single
+        # unordered row would print an arbitrary one)
+        verdicts: dict[str, bool] = {}
+        for r in rows:
+            for k, v in r.asDict().items():
+                if isinstance(v, bool):
+                    verdicts[k] = verdicts.get(k, True) and v
+        vs = " ".join(f"all_{k}={v}" for k, v in sorted(verdicts.items()))
+        print(f"{name:32s} {len(rows)} row(s)  {vs}")
     spark.stop()
 
 

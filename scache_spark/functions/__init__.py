@@ -147,3 +147,17 @@ def sql_vec_cosine(a: str, b: str) -> str:
         f"({sql_vec_dot(a, b)} / "
         f"(sqrt({sql_vec_dot(a, a)}) * sqrt({sql_vec_dot(b, b)})))"
     )
+
+
+def kll_fold_double(col: Column | str, max_n: int) -> Column:
+    """Fold a collect_list of KLL-double sketches into one merged
+    sketch (kll_sketch_merge_double is a two-sketch scalar, so a
+    sketch TABLE merges as a bounded fold).  ``max_n`` must bound the
+    list length EXPLICITLY — a silent slice cap that drops sketches
+    past it would skew every quantile downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.slice(c, 2, max_n),
+        F.element_at(c, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )

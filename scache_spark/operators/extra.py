@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
 from scache_spark.functions import bounded_window
+from scache_spark.functions import kll_fold_double
 from scache_spark.registry import register
 
 
@@ -2052,11 +2053,7 @@ def kll_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("sk").alias("sks"),
     ).select(
         "n_shards",
-        F.aggregate(
-            F.slice(F.col("sks"), 2, 100),
-            F.element_at(F.col("sks"), 1),
-            lambda acc, x: F.kll_sketch_merge_double(acc, x),
-        ).alias("msk"),
+        kll_fold_double("sks", 4).alias("msk"),
     ).select(
         "n_shards",
         F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias(

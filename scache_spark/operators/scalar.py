@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
 from scache_spark.functions import bounded_window
+from scache_spark.functions import kll_fold_double
 from scache_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1840,13 +1841,17 @@ def kll_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin")
     )
-    # ONE scan: per-bin histogram for both sides AND both sketches
+    # ONE scan: per-bin histogram for both sides AND both sketches.
+    # The hist frame feeds two branches (cumulative walk + sketch
+    # fold); it is <=64 rows, so an eager localCheckpoint makes the
+    # single scan REAL instead of letting Catalyst re-derive the
+    # aggregate per branch (scan-once rule, SCALE.md section 2).
     hist = o.groupBy(bin_col).agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("b"),
         F.kll_sketch_agg_double(F.when(is_a, price)).alias("sk_a"),
         F.kll_sketch_agg_double(F.when(~is_a, price)).alias("sk_b"),
-    )
+    ).localCheckpoint(eager=True)
     wspec = bounded_window("bin", F.col("bin")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -1861,11 +1866,7 @@ def kll_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("sk_a").alias("ska"),
         F.collect_list("sk_b").alias("skb"),
     )
-    fold = lambda col: F.aggregate(  # noqa: E731
-        F.slice(F.col(col), 2, _KSB_BINS),
-        F.element_at(F.col(col), 1),
-        lambda acc, x: F.kll_sketch_merge_double(acc, x),
-    )
+    fold = lambda col: kll_fold_double(col, _KSB_BINS)  # noqa: E731
     edges = [float(_KSD_LO + i * _KSD_STEP) for i in range(1, _KSB_BINS)]
     sk = state.select(
         "n_a",

@@ -119,3 +119,23 @@ def codegen_stage_count(df: DataFrame) -> int:
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
+
+
+# Queries excluded from plan-shape sweeps (baseline ratchet + lint
+# callers): stream_* cannot be planned without running, and
+# statestore_* queries EXECUTE a finished stream to open its
+# checkpoint as a batch source — "explain-only" tools must not pay
+# (or side-effect) a stream run.
+SHAPE_SKIP_PREFIXES = ("stream_", "statestore_")
+
+
+def shape_counts(df: DataFrame) -> dict[str, int]:
+    """The plan-shape numbers the regression ratchet records and
+    re-measures: exchange count and total broad same-file scans.
+    Generator (tools/gen_plan_baseline.py) and checker
+    (tests/test_plan_baseline.py) both call THIS, so the two can
+    never measure differently."""
+    return {
+        "exchanges": exchange_count(df),
+        "broad_scans": sum(broad_scan_counts(df).values()),
+    }

@@ -1204,7 +1204,7 @@ def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = f"{os.getpid()}_{next(_SINK_COUNTER)}"
     ckpt = os.path.join(_SINK_ROOT, f"ckpt_cdc_{run}")
     view_base = os.path.join(_SINK_ROOT, f"view_cdc_{run}")
-    last = {"path": None}
+    last = {"bid": -1}
 
     sign = F.when(F.col("event_type") == "error", -1).otherwise(1)
     cents = F.floor(F.col("value") * 100).cast("long")
@@ -1216,8 +1216,15 @@ def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(sign).cast("long").alias("dn"),
             F.sum(sign * cents).alias("dc"),
         )
-        if last["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(last["path"])
+        # the previous view is DERIVED from batch_id, never from
+        # mutable driver state: foreachBatch may re-execute a batch
+        # after a transient failure, and a re-run of batch b must
+        # merge against view_v{b-1} (untouched on disk), not against
+        # its own half-published output — this is what makes the
+        # versioned publish genuinely re-runnable
+        prev_path = f"{view_base}_v{batch_id - 1}"
+        if batch_id > 0 and os.path.isdir(prev_path):
+            prev = batch_df.sparkSession.read.parquet(prev_path)
             merged = prev.join(delta, "cohort", "full").select(
                 "cohort",
                 (
@@ -1237,7 +1244,7 @@ def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = f"{view_base}_v{batch_id}"
         merged.coalesce(1).write.mode("overwrite").parquet(out)
-        last["path"] = out
+        last["bid"] = max(last["bid"], batch_id)
 
     src = spark.readStream.schema(SCHEMAS["events"]).option(
         "maxFilesPerTrigger", "1"
@@ -1256,7 +1263,7 @@ def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("cdc serving stream still running after 600s")
     if q.exception() is not None:
         raise q.exception()
-    return spark.read.parquet(last["path"]).select(
+    return spark.read.parquet(f"{view_base}_v{last['bid']}").select(
         F.col("cohort").cast("int"),
         F.col("n_live").cast("long"),
         F.col("cents_live").cast("long"),

@@ -18,12 +18,11 @@ from __future__ import annotations
 import json
 import os
 
-from scache_spark import plans
+from scache_spark.plans import SHAPE_SKIP_PREFIXES, shape_counts
 from scache_spark.registry import REGISTRY, _ensure_loaded
 
 _ensure_loaded()
 
-SKIP_PREFIXES = ("stream_",)
 BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "tools",
@@ -38,7 +37,7 @@ with open(BASELINE_PATH) as _f:
 _BASELINE_SF = "/root/testdata/sf0.01"
 
 BATCH_QUERIES = sorted(
-    n for n in REGISTRY if not n.startswith(SKIP_PREFIXES)
+    n for n in REGISTRY if not n.startswith(SHAPE_SKIP_PREFIXES)
 )
 
 
@@ -58,12 +57,13 @@ def test_no_plan_shape_regressions(spark):
         rec = BASELINE.get(name)
         if rec is None:  # reported by the test above
             continue
-        df = REGISTRY[name].fn(spark, _BASELINE_SF)
-        nex = plans.exchange_count(df)
-        nsc = sum(plans.broad_scan_counts(df).values())
-        if nex > rec["exchanges"] or nsc > rec["broad_scans"]:
+        cur = shape_counts(REGISTRY[name].fn(spark, _BASELINE_SF))
+        if (
+            cur["exchanges"] > rec["exchanges"]
+            or cur["broad_scans"] > rec["broad_scans"]
+        ):
             regressions.append(
-                f"{name}: exchanges {rec['exchanges']}->{nex}, "
-                f"broad_scans {rec['broad_scans']}->{nsc}"
+                f"{name}: exchanges {rec['exchanges']}->{cur['exchanges']}, "
+                f"broad_scans {rec['broad_scans']}->{cur['broad_scans']}"
             )
     assert regressions == [], "\n".join(regressions)

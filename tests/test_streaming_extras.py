@@ -447,6 +447,18 @@ def test_cdc_serving_table_rmw_versions(spark, sf_dir):
     before = set(_glob.glob(_os.path.join(_SINK_ROOT, "view_cdc_*_v*")))
     pdf = stream_cdc_serving_table(spark, sf_dir).toPandas()
     after = set(_glob.glob(_os.path.join(_SINK_ROOT, "view_cdc_*_v*")))
-    new_versions = sorted(after - before)
+    new_versions = sorted(
+        after - before, key=lambda p: int(p.rsplit("_v", 1)[1])
+    )
     assert len(new_versions) >= 2, new_versions
     assert len(pdf) == 10 and set(pdf["cohort"]) == set(range(10))
+    # every version is a FULL cumulative view, not a batch partial:
+    # cohort sets grow monotonically and the last equals the result
+    prev_cohorts: set[int] = set()
+    for vdir in new_versions:
+        vdf = spark.read.parquet(vdir).toPandas()
+        cohorts = set(vdf["cohort"])
+        assert len(vdf) == len(cohorts)  # one row per cohort
+        assert prev_cohorts <= cohorts, vdir
+        prev_cohorts = cohorts
+    assert prev_cohorts == set(pdf["cohort"])

@@ -22,11 +22,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from scache_spark import plans
+from scache_spark.plans import SHAPE_SKIP_PREFIXES, shape_counts
 from scache_spark.registry import REGISTRY, _ensure_loaded
 from scache_spark.session import get_session
 
-SKIP_PREFIXES = ("stream_",)
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_baseline.json")
 
 
@@ -34,13 +33,9 @@ def snapshot(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, dict[str, in
     _ensure_loaded()
     base: dict[str, dict[str, int]] = {}
     for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(SKIP_PREFIXES):
+        if name.startswith(SHAPE_SKIP_PREFIXES):
             continue
-        df = spec.fn(spark, sf)
-        base[name] = {
-            "exchanges": plans.exchange_count(df),
-            "broad_scans": sum(plans.broad_scan_counts(df).values()),
-        }
+        base[name] = shape_counts(spec.fn(spark, sf))
     return base
 
 
