@@ -156,8 +156,22 @@ def kll_fold_double(col: Column | str, max_n: int) -> Column:
     list length EXPLICITLY — a silent slice cap that drops sketches
     past it would skew every quantile downstream."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.aggregate(
+    fold = F.aggregate(
         F.slice(c, 2, max_n),
         F.element_at(c, 1),
         lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    # Fail LOUDLY on an under-sized max_n: a silent slice would drop
+    # sketches past position max_n+1 and skew every downstream
+    # quantile with no error.
+    return F.when(
+        F.assert_true(
+            F.size(c) <= max_n + 1,
+            F.concat(
+                F.lit("kll_fold_double: list of "),
+                F.size(c).cast("string"),
+                F.lit(f" sketches exceeds max_n={max_n}+1"),
+            ),
+        ).isNull(),
+        fold,
     )

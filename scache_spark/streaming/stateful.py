@@ -469,11 +469,14 @@ _NEARDUP_MELT_SQL = " UNION ALL ".join(
     "(at arrival, or on the single min-flip) and singleton buckets "
     "— the overwhelming majority — emit nothing, keeping per-group "
     "pandas overhead off the hot path; the full doc list rejoins "
-    "from the feed's id column batch-side.  State is O(bucket "
-    "membership) with a smallest-ids cap: eviction only drops ids "
-    "whose verdict is already final (monotone-true), so the cap "
-    "bounds an unbounded stream without changing any emitted "
-    "verdict.  At 100 TB this is the shape that dedups a firehose "
+    "from the feed's id column batch-side.  The smallest-ids cap "
+    "bounds state PER BUCKET (eviction only drops ids whose verdict "
+    "is already final, monotone-true, so no emitted verdict changes); "
+    "total shard state is O(distinct LSH buckets seen), which grows "
+    "with corpus VOCABULARY, not stream length — for a genuinely "
+    "unbounded feed add a bucket-count cap or TTL on cold buckets "
+    "(a bucket idle past the dedup horizon can never suppress "
+    "retroactively).  At 100 TB this is the shape that dedups a firehose "
     "BEFORE storage: no self-join, no stored corpus scan — one "
     "shuffle to bucket keys, O(1)-ish state per bucket.",
 )

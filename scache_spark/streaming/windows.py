@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,7 @@ def _sweep_stale_run_dirs() -> None:
             if not m:
                 continue
             pid_str = m.group(1) or m.group(3)
+            path = os.path.join(root, name)
             if m.group(1) is not None and m.group(2) is None:
                 stale = True  # legacy counter-only name: always a hazard
             else:
@@ -77,8 +79,18 @@ def _sweep_stale_run_dirs() -> None:
                     stale = True
                 except OSError:
                     stale = False
+                if not stale:
+                    # pid-liveness alone can leak forever: a RECYCLED
+                    # pid (or a foreign user's process answering with
+                    # EPERM) looks alive.  Age is the backstop — no
+                    # run in this repo legitimately spans 2 days.
+                    try:
+                        age_s = _time.time() - os.path.getmtime(path)
+                        stale = age_s > 2 * 24 * 3600
+                    except OSError:
+                        pass
             if stale:
-                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
 
 
 _sweep_stale_run_dirs()

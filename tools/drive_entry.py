@@ -21,6 +21,10 @@ rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}, {time.time()-t0:.1f}s")
 
 qs, os_ = E.queries(), E.oracle_sql()
+# optional scope: substrings on argv — `python tools/drive_entry.py kll theta`
+# runs only queries whose name contains any argument (full sweep otherwise).
+if sys.argv[1:]:
+    qs = {n: f for n, f in qs.items() if any(s in n for s in sys.argv[1:])}
 print(f"{len(qs)} queries, {len(os_)} oracles")
 
 con = duckdb.connect()

@@ -30,7 +30,11 @@ from scache_spark import plans
 from scache_spark.registry import REGISTRY, _ensure_loaded
 from scache_spark.session import get_session
 
-SKIP_PREFIXES = ("stream_",)
+# statestore_* queries execute a finished stream just to open its
+# checkpoint — linting them would pay a full stream run per sweep and
+# leave checkpoint dirs, so skip exactly what the plan-shape ratchet
+# skips (single source of truth in scache_spark.plans).
+SKIP_PREFIXES = plans.SHAPE_SKIP_PREFIXES
 
 MAX_EXCHANGES = 8
 MAX_SAME_FILE_SCANS = 2
