@@ -296,6 +296,11 @@ def _staged_alt(spark: SparkSession, sf_dir: str, fmt: str, table: str) -> str:
         w = df.repartition(2).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", "true").csv(out)
+        elif fmt == "avro":
+            from scache_spark.sources.avro_ocf import register_avro_ocf
+
+            register_avro_ocf(spark)
+            w.format("avro_ocf").option("path", out).save()
         else:
             w.orc(out)
     return out
@@ -356,6 +361,45 @@ def orc_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_cust"),
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
+    )
+
+
+@register(
+    "avro_source_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderdate) AS DATE) AS first_date,
+           CAST(max(o_orderdate) AS DATE) AS last_date
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("B1", "B7", "B15"),
+    doc="Avro source/sink path — the engine artifact for the "
+    "reference's Avro serialization leg (serializer/"
+    "GenericAvroSerializer.scala:36-71, datum-level Avro over Kryo; "
+    "in a relation engine the serializer surface IS the format "
+    "surface).  The sandbox ships no spark-avro jar, so the codec is "
+    "a from-spec Object Container File reader/writer exposed as a "
+    "Python Data Source (sources/avro_ocf.py): orders is staged "
+    "through the engine's own distributed Avro WRITE (one OCF part "
+    "per task, temp+rename, _SUCCESS commit), read back through the "
+    "distributed Avro READ (one input partition per part, block-"
+    "streamed decode), and aggregated; the oracle reads the original "
+    "parquet, so the binary round trip must be lossless — including "
+    "the date logical type and int/long zigzag varints.",
+)
+def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.sources.avro_ocf import register_avro_ocf
+
+    register_avro_ocf(spark)
+    path = _staged_alt(spark, sf_dir, "avro", "orders")
+    o = spark.read.format("avro_ocf").option("path", path).load()
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
     )
 
 

@@ -1,0 +1,75 @@
+"""Unit tests for the from-spec Avro OCF codec + Python Data Source
+(sources/avro_ocf.py) — the serialization-parity artifact for the
+reference's GenericAvroSerializer.scala."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from scache_spark.sources import avro_ocf as A
+
+
+def test_zigzag_varint_roundtrip():
+    for n in (0, 1, -1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**62, -(2**63), 2**63 - 1):
+        buf = A.enc_long(n)
+        back, pos = A.dec_long(buf, 0)
+        assert back == n and pos == len(buf)
+
+
+def test_ocf_file_roundtrip_with_nulls(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "x", "type": ["null", "double"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": ["null", {"type": "int", "logicalType": "date"}]},
+        ],
+    }
+    rows = [
+        (0, "", 0.0, True, datetime.date(1970, 1, 1)),
+        (-5, None, None, False, None),
+        (2**40, "héllo ☃", -1.5e300, True, datetime.date(2031, 12, 31)),
+    ]
+    p = str(tmp_path / "t.avro")
+    assert A.write_ocf(p, schema, rows, block_rows=2) == 3  # forces 2 blocks
+    assert list(A.read_ocf(p)) == rows
+    assert A.read_ocf_header(p) == schema
+
+
+def test_unsupported_type_fails_loudly():
+    st = T.StructType([T.StructField("a", T.ArrayType(T.LongType()))])
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        A.spark_to_avro_schema(st)
+
+
+def test_uncommitted_dir_rejected(tmp_path):
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "part-zzz.avro").write_bytes(b"Obj\x01junk")
+    with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+        A._committed_parts(str(d))
+
+
+def test_spark_write_read_exact(spark, tmp_path):
+    A.register_avro_ocf(spark)
+    df = spark.createDataFrame(
+        [
+            Row(k=1, s="a", ts=datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+            Row(k=2, s=None, ts=None),
+        ],
+        "k bigint, s string, ts timestamp",
+    )
+    out = str(tmp_path / "avro_out")
+    df.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
