@@ -410,3 +410,104 @@ def test_cms_never_undercounts_any_key(ks):
             continue
         # collision overcount must come from OTHER keys in every row
         assert est <= len(ks)
+
+
+# ---------------------------------------------------------------------------
+# round-5: sketch algebra laws over the NATIVE Spark 4.1 Datasketches
+# built-ins (r4 verdict item 8).  These run real Spark jobs, so the
+# example counts are deliberately small — the law, not the volume,
+# is the point.
+# ---------------------------------------------------------------------------
+
+import pandas as _pd  # noqa: E402
+from hypothesis import HealthCheck  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=20,
+        max_size=300,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_kll_merge_preserves_rank_error_under_arbitrary_splits(spark, vals, rnd):
+    """KLL law: merging per-shard sketches built from ANY partition of
+    the data answers quantiles with the same distribution-free rank
+    guarantee as one global sketch.  With ties the guarantee is on the
+    value's rank INTERVAL: for target rank q the returned value v must
+    satisfy  frac(< v) - eps <= q <= frac(<= v) + eps  (k=200 rank
+    error ~1.65%; 5% + one-row granularity is a generous bound)."""
+    from pyspark.sql import functions as F
+
+    from scache_spark.functions import kll_fold_double
+
+    n_shards = rnd.randint(1, 6)
+    shards = [rnd.randrange(n_shards) for _ in vals]
+    df = spark.createDataFrame(
+        _pd.DataFrame({"x": [float(v) for v in vals], "shard": shards})
+    )
+    probes = (0.25, 0.5, 0.9)
+    merged = (
+        df.groupBy("shard")
+        .agg(F.kll_sketch_agg_double("x").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            *[
+                F.kll_sketch_get_quantile_double(
+                    kll_fold_double("sks", 6), F.lit(q)
+                ).alias(f"q{i}")
+                for i, q in enumerate(probes)
+            ]
+        )
+        .collect()[0]
+    )
+    n = len(vals)
+    tol = 0.05 + 1.0 / n
+    xs = sorted(float(v) for v in vals)
+    for i, q in enumerate(probes):
+        v = merged[f"q{i}"]
+        lo = sum(1 for x in xs if x < v) / n
+        hi = sum(1 for x in xs if x <= v) / n
+        assert lo - tol <= q <= hi + tol, (q, v, lo, hi, n_shards)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=600),
+    st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=600),
+)
+def test_theta_set_ops_exact_below_retention(spark, a, b):
+    """Theta law: below the k=4096 retention the sketch is in exact
+    mode, so union / intersection / difference estimates equal the
+    true set cardinalities EXACTLY for arbitrary integer rings — the
+    deterministic regime theta_sketch_set_ops's fixture verdicts rely
+    on."""
+    from pyspark.sql import functions as F
+
+    rows = [(int(v), "a") for v in a] + [(int(v), "b") for v in b]
+    df = spark.createDataFrame(rows, "v bigint, side string")
+    est = (
+        df.agg(
+            F.theta_sketch_agg(
+                F.when(F.col("side") == "a", F.col("v"))
+            ).alias("ska"),
+            F.theta_sketch_agg(
+                F.when(F.col("side") == "b", F.col("v"))
+            ).alias("skb"),
+        )
+        .select(
+            F.theta_sketch_estimate(F.theta_union("ska", "skb")).alias("u"),
+            F.theta_sketch_estimate(
+                F.theta_intersection("ska", "skb")
+            ).alias("i"),
+            F.theta_sketch_estimate(F.theta_difference("ska", "skb")).alias(
+                "d"
+            ),
+        )
+        .collect()[0]
+    )
+    assert round(est["u"]) == len(a | b)
+    assert round(est["i"]) == len(a & b)
+    assert round(est["d"]) == len(a - b)
