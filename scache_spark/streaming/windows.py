@@ -163,6 +163,16 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+# Final state-store footprint of each run_stream invocation, keyed by
+# the caller's label: {"state_rows": n, "state_bytes": b} summed over
+# the plan's stateful operators.  A state BLOW-UP (losing the
+# shard-coalescing of stream_neardup_suppress, a dedup horizon that
+# stops expiring) is invisible to result-correctness checks — the
+# ratchet in tests/test_stream_state_baseline.py reads this dict
+# against tools/stream_state_baseline.json and fails CI at >2x.
+LAST_STATE_METRICS: dict[str, dict[str, int]] = {}
+
+
 def run_stream(df, name: str, mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the sink as a batch DataFrame.  Raises if the
@@ -186,6 +196,24 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
             raise RuntimeError(f"streaming query {sink} still running after 600s")
         if q.exception() is not None:
             raise q.exception()
+        # PEAK footprint over the whole run, not the final batch: a
+        # windowed agg evicts everything once the flush row closes the
+        # last window, so final-batch rows would hide a mid-run state
+        # blow-up entirely.
+        rows_peak = bytes_peak = 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            rows_peak = max(
+                rows_peak, sum(int(o.get("numRowsTotal") or 0) for o in ops)
+            )
+            bytes_peak = max(
+                bytes_peak,
+                sum(int(o.get("memoryUsedBytes") or 0) for o in ops),
+            )
+        LAST_STATE_METRICS[name] = {
+            "state_rows": rows_peak,
+            "state_bytes": bytes_peak,
+        }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(sink)
