@@ -354,10 +354,24 @@ _NEARDUP_STATE_SCHEMA = StructType(
         StructField("hashes", ArrayType(StringType())),
         StructField("counts", ArrayType(IntegerType())),
         StructField("ids", ArrayType(LongType())),
+        # per-bucket last-touched generation + the shard's current
+        # generation (one tick per micro-batch that touches the shard)
+        StructField("gens", ArrayType(IntegerType())),
+        StructField("gen", IntegerType()),
     ]
 )
 _NEARDUP_BUCKET_CAP = 64
 _NEARDUP_SHARDS = 256
+# Cold-bucket TTL in shard-touch generations: a bucket not refreshed
+# for this many shard-touching micro-batches is dropped at the next
+# shard rewrite.  None = retain forever (the fixture default — the
+# registered query's oracle is whole-corpus min-id semantics, so
+# eviction must not fire during the bounded replay).  On a genuinely
+# unbounded feed set a horizon: a bucket idle past it can no longer
+# suppress retroactively — the standard dedup-horizon trade — and
+# total shard state becomes O(buckets touched within the horizon)
+# instead of O(all buckets ever seen).
+_NEARDUP_TTL_GENS: int | None = None
 
 
 def _update_neardup_shard(
@@ -379,17 +393,23 @@ def _update_neardup_shard(
     dethrone a minimum; evicted (larger) ids already emitted their
     verdict at arrival, and a bucket's minimum is never evicted."""
     buckets: dict[str, list[int]] = {}
+    gens: dict[str, int] = {}
+    gen = 0
     if state.exists:
-        hashes, counts, flat = state.get
+        hashes, counts, flat, bgens, gen = state.get
         pos = 0
-        for h, c in zip(hashes, counts):
+        for h, c, g in zip(hashes, counts, bgens):
             buckets[str(h)] = [int(x) for x in flat[pos : pos + c]]
+            gens[str(h)] = int(g)
             pos += c
+        gen = int(gen)
+    gen += 1  # this shard-touching micro-batch
     collided: list[int] = []
     touched = False
     for pdf in pdfs:
         for h, d in zip(pdf["band_hash"], pdf["doc_id"]):
             h, d = str(h), int(d)
+            gens[h] = gen  # any arrival refreshes the bucket's TTL
             ids = buckets.get(h)
             if ids is None:
                 buckets[h] = [d]
@@ -407,13 +427,22 @@ def _update_neardup_shard(
             # _NEARDUP_BUCKET_CAP ids (the minimum is never evicted)
             bisect.insort(ids, d)
             del ids[_NEARDUP_BUCKET_CAP:]
-    if not touched:
+    if _NEARDUP_TTL_GENS is not None:
+        cold = [h for h, g in gens.items() if gen - g > _NEARDUP_TTL_GENS]
+        for h in cold:
+            del buckets[h], gens[h]
+            touched = True
+    if not touched and _NEARDUP_TTL_GENS is None:
+        # fast path: nothing changed and recency isn't tracked for
+        # eviction, so skip the state rewrite entirely
         return
     state.update(
         (
             list(buckets.keys()),
             [len(v) for v in buckets.values()],
             [x for v in buckets.values() for x in v],
+            [gens[h] for h in buckets.keys()],
+            gen,
         )
     )
     if not collided:
@@ -473,10 +502,12 @@ _NEARDUP_MELT_SQL = " UNION ALL ".join(
     "bounds state PER BUCKET (eviction only drops ids whose verdict "
     "is already final, monotone-true, so no emitted verdict changes); "
     "total shard state is O(distinct LSH buckets seen), which grows "
-    "with corpus VOCABULARY, not stream length — for a genuinely "
-    "unbounded feed add a bucket-count cap or TTL on cold buckets "
-    "(a bucket idle past the dedup horizon can never suppress "
-    "retroactively).  At 100 TB this is the shape that dedups a firehose "
+    "with corpus VOCABULARY, not stream length — and for a genuinely "
+    "unbounded feed the cold-bucket TTL (_NEARDUP_TTL_GENS, "
+    "generation-based, disabled for this bounded replay because the "
+    "oracle is whole-corpus min-id semantics) drops buckets idle "
+    "past the dedup horizon, making state O(buckets within the "
+    "horizon).  At 100 TB this is the shape that dedups a firehose "
     "BEFORE storage: no self-join, no stored corpus scan — one "
     "shuffle to bucket keys, O(1)-ish state per bucket.",
 )

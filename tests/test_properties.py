@@ -256,12 +256,57 @@ def test_neardup_shard_union_equals_batch_semantics(arrivals, cuts):
     assert got == expected  # exactly-once: multiset equality, not set
 
     # state: each bucket holds its smallest ids, minimum always present
-    hashes, counts, flat = st_.get
+    hashes, counts, flat, bgens, gen = st_.get
     pos = 0
     for h, c in zip(hashes, counts):
         ids = flat[pos : pos + c]
         pos += c
         assert ids == sorted(buckets[h])[: len(ids)]
+    # recency bookkeeping: gen ticks only on batches that REWRITE the
+    # shard (the no-op fast path skips the rewrite when TTL is off)
+    assert 1 <= gen <= len(batches)
+    assert all(1 <= g <= gen for g in bgens)
+
+
+def test_neardup_cold_bucket_ttl_evicts_and_preserves_hot_semantics(monkeypatch):
+    """With the TTL enabled, buckets idle past the horizon are dropped
+    at the next shard rewrite (state stops growing with vocabulary),
+    while a refreshed bucket keeps its minimum and its monotone
+    verdict semantics."""
+    from scache_spark.streaming import stateful as S
+
+    monkeypatch.setattr(S, "_NEARDUP_TTL_GENS", 1)
+
+    class _FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    st_ = _FakeState()
+
+    def run(batch):
+        out = []
+        pdf = pd.DataFrame(
+            {"band_hash": [h for h, _ in batch], "doc_id": [d for _, d in batch]}
+        )
+        for o in S._update_neardup_shard((0, 0), iter([pdf]), st_):
+            out.extend(int(d) for d in o["doc_id"])
+        return sorted(out)
+
+    # batch 1: two buckets; cold goes idle, hot is refreshed each batch
+    assert run([("cold", 5), ("hot", 9)]) == []
+    assert run([("hot", 9)]) == []          # gen 2: cold idle 1 <= TTL, kept
+    hashes = st_.get[0]
+    assert set(hashes) == {"cold", "hot"}
+    assert run([("hot", 9)]) == []          # gen 3: cold idle 2 > TTL, dropped
+    hashes, counts, flat, bgens, gen = st_.get
+    assert set(hashes) == {"hot"} and gen == 3
+    # hot bucket still verdicts correctly: smaller id dethrones the min
+    assert run([("hot", 3)]) == [9]
+    # cold bucket was forgotten: its next doc starts a fresh bucket
+    assert run([("cold", 7), ("cold", 8)]) == [8]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,192 @@
+"""Scale-stress harness (r4 verdict item 2): exercise the engine's
+scale CONSTANTS — broadcast admission, capped hot bands, checkpoint
+sizes, histogram bins, skew splits — at a scale factor the shipped
+fixtures don't reach.
+
+The box carries no sf1 fixture, so this stages a ×F replica derived
+from sf0.1 by KEY-SHIFTED replication: fact tables are unioned F
+times with primary/foreign keys shifted per copy (orders+lineitem
+share the orderkey shift so joins stay consistent); dimension tables
+and every VALUE column are byte-identical to the fixture — purely
+structural scaling, no synthesized data.  Note the semantic shift
+that replication implies: every document/embedding appears F times
+verbatim, so dedup queries see F-way exact-duplicate groups and ANN
+ground truth has F-way score ties — a deliberately adversarial
+regime for the bucketed operators (hot LSH bands, tie-broken top-k).
+DuckDB writes the staged parquet AND serves as the oracle on the
+same staged dir, so the comparison stays engine-vs-engine on
+identical inputs at every factor.
+
+Run:  python tools/scale_stress.py [--factor 10] [--base /root/testdata/sf0.1]
+                                   [name-substr ...]
+Writes SCALE_STRESS_x{F}.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (table, key columns to shift). orders/lineitem share the orderkey
+# shift so the FK survives; dims are copied verbatim.
+_SHIFTED: dict[str, list[str]] = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# Queries whose plans carry explicit scale constants; every name must
+# resolve in the registry (the runner asserts it).
+DEFAULT_QUERIES = [
+    "flagship_revenue_by_region",   # broadcast dims
+    "bucketed_join_revenue",        # write-time bucket layout
+    "broadcast_decision_audit",     # SizeEstimator admission
+    "agg_battery",                  # map-side combine
+    "window_analytics",             # per-key windows
+    "topk_per_group",               # TakeOrdered
+    "stats_summary",
+    "partition_stats",
+    "skew_split_plan",              # AQE-style split planning
+    "token_budget_selection",       # distributed prefix sum
+    "funnel_session_conversion",
+    "dedup_exact_hash",
+    "dedup_minhash_pairs",          # capped hot bands, F-way dup groups
+    "dedup_embedding_lsh",
+    "dedup_semantic_cells",         # broadcast-K assignment
+    "dedup_clusters",               # connected components
+    "text_tfidf_top_terms",         # checkpointed tf
+    "text_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "ann_ivf_nprobe_recall",        # exact arm + IVF shortlists
+    "pq_adc_topk",
+    "retrieval_rerank_two_stage",
+    "kmeans_two_rounds",
+    "lpt_schedule_locality_swap",   # grouped-map heapq
+]
+
+
+def stage(base: str, factor: int) -> str:
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_x{factor}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        shifts = _SHIFTED.get(t)
+        if not shifts:
+            sel = f"SELECT * FROM {src}"
+        else:
+            # one shift constant per base table family; orders and
+            # lineitem both shift by the ORDERS key range
+            shift_src = (
+                f"read_parquet('{base}/orders.parquet')"
+                if t == "lineitem"
+                else src
+            )
+            shift_col = "o_orderkey" if t == "lineitem" else shifts[0]
+            (span,) = con.execute(
+                f"SELECT max({shift_col}) + 1 FROM {shift_src}"
+            ).fetchone()
+            repl = ", ".join(
+                f"s.{c} + t.i * {span} AS {c}" for c in shifts
+            )
+            sel = (
+                f"SELECT s.* REPLACE ({repl}) FROM {src} s "
+                f"CROSS JOIN range({factor}) t(i)"
+            )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "factor": factor}))
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    factor, base = 10, "/root/testdata/sf0.1"
+    if "--factor" in args:
+        i = args.index("--factor")
+        factor = int(args[i + 1])
+        del args[i : i + 2]
+    if "--base" in args:
+        i = args.index("--base")
+        base = args[i + 1]
+        del args[i : i + 2]
+    subs = args
+
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    names = [n for n in DEFAULT_QUERIES if not subs or any(s in n for s in subs)]
+    missing = [n for n in names if n not in REGISTRY]
+    assert not missing, f"unknown queries: {missing}"
+
+    print(f"staging x{factor} from {base} ...", flush=True)
+    sf_dir = stage(base, factor)
+
+    spark = get_session("scale-stress")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            spdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            assert_frames_match(spdf, odf, name)
+            status = "MATCH"
+            err = None
+        except Exception as ex:  # noqa: BLE001 - triage artifact
+            status = "FAIL"
+            err = str(ex)[:300]
+        dt = round(time.time() - t0, 1)
+        results[name] = {"status": status, "sec": dt, "rows": None if err else len(spdf), "err": err}
+        print(f"  {name:32s} {status}  {dt}s", flush=True)
+
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "factor": factor,
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    path = os.path.join(REPO, f"SCALE_STRESS_x{factor}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
