@@ -139,16 +139,16 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "funnel_session_conversion",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, event_type,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     ),
@@ -173,10 +173,17 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-break: the sessionizer runs TWO window passes (gap
+    # flag, then running sid), and with duplicate (user_id, ts) rows
+    # an engine may re-sort between passes with a different tie order
+    # — splitting a tie group across sessions (found by the x10
+    # scale-stress replica, where every ts appears 10x).  A total
+    # order makes the session assignment well-defined in any engine.
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "event_type",
         # unix_micros, not cast('long'): the cast truncates to whole
         # seconds, which can disagree with the oracle's full-precision

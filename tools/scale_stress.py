@@ -181,7 +181,9 @@ def main() -> None:
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
         "queries": results,
     }
-    path = os.path.join(REPO, f"SCALE_STRESS_x{factor}.json")
+    # scoped runs must not clobber the full-artifact file
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_x{factor}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
