@@ -54,7 +54,8 @@ def main() -> None:
     back = read_manifest(spark, out, per_reduce.schema)
     print(f"published {back.count()} reduce-size rows to {out}")
     back.orderBy(F.desc("total_b")).show(5)
-    spark.stop()
+    # no spark.stop(): the session is shared when main() is driven
+    # in-process (tests/test_examples.py); CLI exit tears the JVM down
 
 
 if __name__ == "__main__":

@@ -69,7 +69,8 @@ def main(sf_dir: str) -> None:
     print("== 5. Scheduler race over the same task frame ==")
     schedule_policy_compare(spark, sf_dir).orderBy("makespan").show()
 
-    spark.stop()
+    # no spark.stop(): the session is shared when main() is driven
+    # in-process (tests/test_examples.py); CLI exit tears the JVM down
 
 
 if __name__ == "__main__":

@@ -55,7 +55,8 @@ def main(sf_dir: str) -> None:
                     verdicts[k] = verdicts.get(k, True) and v
         vs = " ".join(f"all_{k}={v}" for k, v in sorted(verdicts.items()))
         print(f"{name:32s} {len(rows)} row(s)  {vs}")
-    spark.stop()
+    # no spark.stop(): the session is shared when main() is driven
+    # in-process (tests/test_examples.py); CLI exit tears the JVM down
 
 
 if __name__ == "__main__":

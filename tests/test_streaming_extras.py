@@ -305,7 +305,7 @@ def test_neardup_shard_verdicts_monotone_across_batches():
             self.exists, self.get = True, v
 
     def _buckets(state):
-        hashes, counts, flat = state.get
+        hashes, counts, flat = state.get[:3]  # [3:] = TTL generations
         out, pos = {}, 0
         for h, c in zip(hashes, counts):
             out[h] = flat[pos : pos + c]
