@@ -73,3 +73,58 @@ def test_spark_write_read_exact(spark, tmp_path):
     back = spark.read.format("avro_ocf").option("path", out).load()
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary rows survive the full OCF round trip bit-exactly
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),   # long
+        st.one_of(st.none(), st.text(max_size=40)),             # null|string
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),               # null|double
+        ),
+        st.booleans(),
+        st.binary(max_size=32),                                 # bytes
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+_PROP_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "x", "type": ["null", "double"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+
+@settings(max_examples=150, deadline=None)
+@given(_ROWS, st.integers(min_value=1, max_value=7))
+def test_ocf_roundtrip_property(tmp_path_factory, rows, block_rows):
+    """Any mix of extreme longs, unicode, null unions, subnormal
+    doubles, and raw bytes round-trips bit-exactly through the OCF
+    writer/reader at any block framing."""
+    p = str(tmp_path_factory.mktemp("avro_prop") / "t.avro")
+    assert A.write_ocf(p, _PROP_SCHEMA, rows, block_rows=block_rows) == len(rows)
+    back = list(A.read_ocf(p))
+    assert len(back) == len(rows)
+    for got, want in zip(back, rows):
+        assert got[0] == want[0] and got[1] == want[1]
+        if want[2] is None:
+            assert got[2] is None
+        else:  # bit-exact double (covers -0.0 and subnormals)
+            import struct as _s
+            assert _s.pack("<d", got[2]) == _s.pack("<d", want[2])
+        assert got[3] == want[3] and got[4] == want[4]
