@@ -284,16 +284,16 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     )
@@ -691,7 +691,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN max(ts + gap) OVER prev IS NULL
                     OR ts >= max(ts + gap) OVER prev
                   THEN 1 ELSE 0 END AS new_sess
@@ -701,7 +701,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts, value,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
