@@ -76,6 +76,25 @@ DEFAULT_QUERIES = [
     "retrieval_rerank_two_stage",
     "kmeans_two_rounds",
     "lpt_schedule_locality_swap",   # grouped-map heapq
+    # tranche 2 (r5): window-heavy / iterative operators where the
+    # replica's manufactured (user_id, ts) ties and 10x graph density
+    # are the adversarial input — the family the tie-class findings
+    # came from
+    "asof_join_last_click",
+    "asof_join_next_click",
+    "session_feature_vector",
+    "session_path_mining",
+    "gaps_islands_streaks",
+    "gap_fill_daily_revenue",
+    "ewma_anomaly_flags",
+    "cohort_retention",
+    "attribution_linear_split",
+    "pagerank_event_graph",
+    "bfs_levels_event_graph",
+    "kcore_peeling",
+    "triangle_count_transitions",
+    "window_distribution",
+    "window_range_frame",
 ]
 
 
