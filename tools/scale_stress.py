@@ -98,6 +98,81 @@ DEFAULT_QUERIES = [
 ]
 
 
+# Normal queries re-run under heavy INPUT skew (one hot key): per-key
+# windows, sessionizers, per-user state, graph ops on a hot vertex —
+# the paths where a 1000x key would first OOM a sort or a state store.
+SKEW_QUERIES = [
+    "window_analytics",            # per-user window over the hot user
+    "funnel_session_conversion",   # hot user's giant session chain
+    "asof_join_last_click",
+    "session_feature_vector",
+    "gaps_islands_streaks",
+    "ewma_anomaly_flags",
+    "cohort_retention",
+    "attribution_linear_split",
+    "pagerank_event_graph",        # hot vertex degree
+    "triangle_count_transitions",
+    "topk_per_group",
+    "agg_battery",
+    "skew_diagnosis_report",       # should now REPORT the planted whale
+]
+
+
+def stage_skew(base: str, hot_copies: int) -> str:
+    """Stage a skewed replica: the smallest user_id's events and the
+    smallest o_custkey's orders (+their lineitems) are replicated
+    ``hot_copies`` extra times with shifted event/order keys, values
+    untouched — one key ends up owning most of its table, which is
+    what a viral user / hot SKU looks like at 100 TB."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_skew{hot_copies}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        if t == "events":
+            (hot,) = con.execute(f"SELECT min(user_id) FROM {src}").fetchone()
+            (span,) = con.execute(f"SELECT max(event_id) + 1 FROM {src}").fetchone()
+            sel = (
+                f"SELECT * FROM {src} UNION ALL "
+                f"SELECT s.* REPLACE (s.event_id + (t.i + 1) * {span} AS event_id) "
+                f"FROM {src} s CROSS JOIN range({hot_copies}) t(i) "
+                f"WHERE s.user_id = {hot}"
+            )
+        elif t == "orders":
+            (hotc,) = con.execute(f"SELECT min(o_custkey) FROM {src}").fetchone()
+            (span,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {src}").fetchone()
+            sel = (
+                f"SELECT * FROM {src} UNION ALL "
+                f"SELECT s.* REPLACE (s.o_orderkey + (t.i + 1) * {span} AS o_orderkey) "
+                f"FROM {src} s CROSS JOIN range({hot_copies}) t(i) "
+                f"WHERE s.o_custkey = {hotc}"
+            )
+        elif t == "lineitem":
+            osrc = f"read_parquet('{base}/orders.parquet')"
+            (hotc,) = con.execute(f"SELECT min(o_custkey) FROM {osrc}").fetchone()
+            (span,) = con.execute(f"SELECT max(o_orderkey) + 1 FROM {osrc}").fetchone()
+            sel = (
+                f"SELECT * FROM {src} UNION ALL "
+                f"SELECT s.* REPLACE (s.l_orderkey + (t.i + 1) * {span} AS l_orderkey) "
+                f"FROM {src} s CROSS JOIN range({hot_copies}) t(i) "
+                f"WHERE s.l_orderkey IN (SELECT o_orderkey FROM {osrc} WHERE o_custkey = {hotc})"
+            )
+        else:
+            sel = f"SELECT * FROM {src}"
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "hot_copies": hot_copies}))
+    return out
+
+
 def stage(base: str, factor: int) -> str:
     key = base.strip("/").replace("/", "_")
     out = os.path.join(REPO, ".scale_stress", f"{key}_x{factor}")
@@ -142,10 +217,14 @@ def stage(base: str, factor: int) -> str:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    factor, base = 10, "/root/testdata/sf0.1"
+    factor, base, skew = 10, "/root/testdata/sf0.1", None
     if "--factor" in args:
         i = args.index("--factor")
         factor = int(args[i + 1])
+        del args[i : i + 2]
+    if "--skew" in args:
+        i = args.index("--skew")
+        skew = int(args[i + 1])
         del args[i : i + 2]
     if "--base" in args:
         i = args.index("--base")
@@ -158,12 +237,17 @@ def main() -> None:
     from tests.conftest import assert_frames_match
 
     _ensure_loaded()
-    names = [n for n in DEFAULT_QUERIES if not subs or any(s in n for s in subs)]
+    pool = SKEW_QUERIES if skew else DEFAULT_QUERIES
+    names = [n for n in pool if not subs or any(s in n for s in subs)]
     missing = [n for n in names if n not in REGISTRY]
     assert not missing, f"unknown queries: {missing}"
 
-    print(f"staging x{factor} from {base} ...", flush=True)
-    sf_dir = stage(base, factor)
+    if skew:
+        print(f"staging skew x{skew} hot-key replica from {base} ...", flush=True)
+        sf_dir = stage_skew(base, skew)
+    else:
+        print(f"staging x{factor} from {base} ...", flush=True)
+        sf_dir = stage(base, factor)
 
     spark = get_session("scale-stress")
     con = duckdb.connect()
@@ -194,6 +278,7 @@ def main() -> None:
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     out = {
         "base": base,
+        "mode": f"skew hot_copies={skew}" if skew else f"uniform x{factor}",
         "factor": factor,
         "n_queries": len(results),
         "n_fail": n_fail,
@@ -202,7 +287,8 @@ def main() -> None:
     }
     # scoped runs must not clobber the full-artifact file
     suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_x{factor}{suffix}.json")
+    tag = f"skew{skew}" if skew else f"x{factor}"
+    path = os.path.join(REPO, f"SCALE_STRESS_{tag}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
