@@ -209,7 +209,14 @@ def sessionize(
     """Assign batch session ids: a new session starts when the gap to
     the previous event meets/exceeds ``gap``.  Adds ``session_id``
     (per-user dense from 1).  One shuffle on the user key serves the
-    lag and the running sum."""
+    lag and the running sum.
+
+    Pass ``order_cols`` (e.g. an event id) whenever ``ts_col`` can
+    tie: the computation runs two window passes, and over a
+    NON-unique sort key the session assignment of tied rows is
+    underdetermined — an engine may re-sort ties differently between
+    passes (r5 scale-stress finding; fixtures with unique timestamps
+    never expose it)."""
     w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
     prev = F.lag(ts_col).over(w)
     new_sess = (
@@ -273,6 +280,60 @@ def asof_join(
     )
     drop = ["__side", "__ts", *right_cols]
     return carried.filter(F.col("__side") == 0).drop(*drop)
+
+
+def windowed_pair_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window: str = "30 minutes",
+) -> DataFrame:
+    """All (left, right) pairs sharing ``on`` with ``right_ts`` in
+    ``[left_ts - window, left_ts]`` — the safe shape for
+    pair-GENERATING trailing-window joins (attribution touchpoints,
+    co-session pairs, fraud lookbacks).
+
+    Joining on ``on`` alone with the time window as a residual filter
+    is quadratic WITHIN the key: one whale user makes purchases x
+    clicks explode before the filter runs (measured 78s -> 10s on the
+    r5 hot-key stress replica, `attribution_linear_split`).  Here the
+    equi-key is ``(on, time_bucket)`` with bucket width = the window,
+    so a qualifying right row sits in the left row's bucket or the
+    one before it: the left side explodes to exactly TWO bucket
+    probes, each pair matches exactly one arm (no dedup needed), and
+    the pair space is bounded by CO-TEMPORAL rows at any per-key
+    volume.  Contrast :func:`asof_join` (latest-one-only → union +
+    window, no pair generation at all).
+
+    ``window`` must be a fixed interval (the bucket width); both ts
+    columns must be timestamps.  Output: all left columns + the
+    right columns (caller projects/renames beforehand to avoid
+    collisions) — one row per qualifying pair.
+    """
+    span = F.expr(f"INTERVAL {window}")
+    # bucket width in microseconds, derived from the SAME interval
+    # expression so the two can never drift apart
+    width_us = F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + span)
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / width_us).cast("long")
+    lt = left.withColumn("__bkt", F.explode(F.array(lb, lb - 1)))
+    rt = right.withColumn(
+        "__bkt",
+        F.floor(F.unix_micros(F.col(right_ts)) / width_us).cast("long"),
+    )
+    return (
+        lt.join(
+            rt,
+            (lt[on] == rt[on])
+            & (lt["__bkt"] == rt["__bkt"])
+            & (F.col(right_ts) >= F.col(left_ts) - span)
+            & (F.col(right_ts) <= F.col(left_ts)),
+        )
+        .drop(rt[on])
+        .drop("__bkt")
+    )
 
 
 def quality_signals(df: DataFrame, text_col: str) -> DataFrame:

@@ -235,31 +235,22 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "space to co-temporal events at ANY per-user volume.",
 )
 def attribution_linear_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bucket_us = 30 * 60 * 1_000_000  # = the 30-minute window, in micros
+    from scache_spark.api import windowed_pair_join
+
     ev = load_table(spark, sf_dir, "events")
-    p_bkt = F.floor(F.unix_micros("p_ts") / bucket_us).cast("long")
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            "value",
-        )
-        .withColumn("bkt", F.explode(F.array(p_bkt, p_bkt - 1)))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
     )
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
+        "user_id",
         F.col("ts").alias("c_ts"),
-        F.floor(F.unix_micros("ts") / bucket_us).cast("long").alias("bkt"),
     )
-    pairs = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (p["bkt"] == c["bkt"])
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+    pairs = windowed_pair_join(
+        p, c, on="user_id", left_ts="p_ts", right_ts="c_ts", window="30 minutes"
     )
     wn = Window.partitionBy("purchase_id")
     credited = pairs.withColumn(

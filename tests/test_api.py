@@ -366,3 +366,60 @@ def test_cms_estimate_tolerates_rc_column(spark):
     keys = spark.createDataFrame([("x", 9)], ["k", "rc"])
     est = api.cms_estimate(sketch, keys, "k").toPandas()
     assert est["est_cnt"].iloc[0] >= 4
+
+
+def test_windowed_pair_join_equals_residual_filter_join(spark, sf_dir):
+    """The bucketed pair join returns EXACTLY the pairs the naive
+    user-key join + residual time filter does — the safe shape is a
+    pure plan change, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from scache_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+    )
+    fast = api.windowed_pair_join(
+        p, c, on="u", left_ts="pts", right_ts="cts", window="30 minutes"
+    )
+    naive = p.join(
+        c.withColumnRenamed("u", "u2"),
+        (F.col("u") == F.col("u2"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") <= F.col("pts")),
+    )
+    got = sorted((r["pid"], r["cid"]) for r in fast.select("pid", "cid").collect())
+    want = sorted((r["pid"], r["cid"]) for r in naive.select("pid", "cid").collect())
+    assert got == want and len(got) > 0
+
+
+def test_windowed_pair_join_boundary_rows(spark):
+    """Rows exactly at ts-window and at ts are included; one
+    microsecond outside is not — including a right row one bucket
+    earlier (the explode arm) and one in the same bucket."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda s: t0 + datetime.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame([(1, 1, mk(0))], ["lid", "k", "lts"])
+    right = spark.createDataFrame(
+        [
+            (10, 1, mk(-1800)),          # exactly ts - 30min: IN
+            (11, 1, mk(-1801)),          # one second early: OUT
+            (12, 1, mk(0)),              # exactly ts: IN
+            (13, 1, mk(1)),              # future: OUT
+            (14, 1, mk(-60)),            # same bucket: IN
+            (15, 2, mk(-60)),            # other key: OUT
+        ],
+        ["rid", "k", "rts"],
+    )
+    out = api.windowed_pair_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", window="30 minutes"
+    )
+    assert sorted(r["rid"] for r in out.collect()) == [10, 12, 14]
