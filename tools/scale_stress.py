@@ -95,6 +95,24 @@ DEFAULT_QUERIES = [
     "triangle_count_transitions",
     "window_distribution",
     "window_range_frame",
+    # tranche 3 (r5): corpus-statistics operators whose estimates are
+    # frequency-derived — the 10x verbatim duplication multiplies
+    # every count while leaving the underlying distribution shape
+    # identical, a regime that breaks any constant sized to "docs
+    # seen" instead of "vocabulary"
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "zipf_slope_fit",
+    "heaps_law_fit",
+    "bpe_merge_rounds",
+    "corpus_ngram_novelty",
+    "text_pii_scrub",
+    "text_langid",
+    "tokenizer_fertility_stats",
+    "text_token_entropy",
+    "text_fingerprint",
+    "text_repetition_signals",
+    "event_log_parse",
 ]
 
 
