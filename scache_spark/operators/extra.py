@@ -1063,7 +1063,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(m.n_orders AS BIGINT) AS n_orders,
            round(m.total_incr, 4) AS total_price,
            (m.n_orders = d.n_direct
-            AND abs(m.total_incr - d.total_direct) < 1e-4) AS matches_recompute
+            AND abs(m.total_incr - d.total_direct)
+                < 1e-9 * greatest(abs(d.total_direct), 1)) AS matches_recompute
     FROM maintained m JOIN direct d ON m.pri = d.pri
     """,
     tags=("B7", "B4", "B19"),
@@ -1078,8 +1079,10 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production IVM keeps them separate).  The same planted mutations "
     "as cdc_snapshot_diff define snapshot B; matches_recompute "
     "verifies IN-QUERY that the maintained aggregate equals the "
-    "direct recompute (float tolerance 1e-4 — the two sides sum "
-    "different operand sets, so only ulp-scale drift is legitimate).  "
+    "direct recompute within RELATIVE 1e-9 — the two sides sum "
+    "different operand sets, so drift is ulp-scale but grows with "
+    "magnitude; an absolute tolerance silently stops holding as the "
+    "table grows (the x10 stress replica caught exactly that).  "
     "Snapshots A and B are each ONE scan (B via variant-array "
     "emission), checkpointed lean because each feeds two consumers.",
 )
@@ -1165,7 +1168,10 @@ def cdc_agg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_incr", 4).alias("total_price"),
         (
             (F.col("n_orders") == F.col("n_direct"))
-            & (F.abs(F.col("total_incr") - F.col("total_direct")) < 1e-4)
+            & (
+                F.abs(F.col("total_incr") - F.col("total_direct"))
+                < 1e-9 * F.greatest(F.abs("total_direct"), F.lit(1.0))
+            )
         ).alias("matches_recompute"),
     )
 
