@@ -941,7 +941,7 @@ _IV_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s_us, e_us,
+      SELECT user_id, s_us, e_us, event_id,
              CASE WHEN s_us > max(e_us) OVER (
                     PARTITION BY user_id ORDER BY s_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -954,7 +954,7 @@ _IV_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
     islands AS (
       SELECT user_id, s_us, e_us,
              sum(new_island) OVER (
-               PARTITION BY user_id ORDER BY s_us, e_us
+               PARTITION BY user_id ORDER BY s_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     ),
@@ -1000,6 +1000,7 @@ def interval_union_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "s_us",
         "e_us",
+        "event_id",
         F.when(
             F.max("e_us").over(w_prev).isNull()
             | (F.col("s_us") > F.max("e_us").over(w_prev)),
@@ -1008,9 +1009,13 @@ def interval_union_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_island"),
     )
+    # same TOTAL order as the flag pass: ordering the cumsum by
+    # (s_us, e_us) is not total under duplicate timestamps, and the
+    # two passes may then disagree on tie placement (x10-replica
+    # finding — the island id fragments)
     w_cum = (
         Window.partitionBy("user_id")
-        .orderBy("s_us", "e_us")
+        .orderBy("s_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.select(

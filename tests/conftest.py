@@ -62,11 +62,24 @@ def _sort_repr(v) -> str:
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by a stringified key over all
-    columns — the driver's order-insensitive canonical form."""
+    columns — the driver's order-insensitive canonical form.
+
+    The key is built by zipping COLUMN Series, never by row-wise
+    ``df.apply``: apply materializes each row as a single-dtype
+    Series, upcasting ints to float when any float column exists, so
+    a 7-digit integer key renders at _sort_repr's 6 significant
+    digits and COLLIDES with its neighbors — the stable sort then
+    keeps engine-specific input order and value-identical frames
+    spuriously mismatch (x10-replica finding: sf fixtures never grow
+    keys past 6 digits)."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        key = df.apply(lambda r: "|".join(_sort_repr(v) for v in r), axis=1)
-        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)
+        cols = [df[c].to_numpy() for c in df.columns]
+        key = np.array(
+            ["|".join(_sort_repr(v) for v in row) for row in zip(*cols)],
+            dtype=object,
+        )
+        df = df.iloc[np.argsort(key, kind="stable")].reset_index(drop=True)
     return df
 
 

@@ -136,6 +136,24 @@ SKEW_QUERIES = [
 ]
 
 
+# Excluded from the --rest sweep, each for a stated reason — never
+# silently (the no-silent-caps rule):
+REST_EXCLUDE = {
+    # brute-force validators, quadratic BY DESIGN (they exist to
+    # validate the bucketed operators, which ARE swept):
+    "dedup_ngram_jaccard",
+    "fuzzy_match_levenshtein",
+    # LSH parameter-sweep evaluation harness: runs the banded join at
+    # a grid of (bands, rows) configs — an offline design tool, not a
+    # pipeline operator; 86s at sf0.1 already
+    "lsh_design_curve",
+    # output is SF-proportional (6M rows at x10): the pandas/DuckDB
+    # COMPARE, not the engine, is the cost — verified at sf0.1
+    "math_funcs",
+    "merge_upsert_orders",
+}
+
+
 def stage_skew(base: str, hot_copies: int) -> str:
     """Stage a skewed replica: the smallest user_id's events and the
     smallest o_custkey's orders (+their lineitems) are replicated
@@ -244,6 +262,9 @@ def main() -> None:
         i = args.index("--skew")
         skew = int(args[i + 1])
         del args[i : i + 2]
+    rest = "--rest" in args
+    if rest:
+        args.remove("--rest")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -255,7 +276,20 @@ def main() -> None:
     from tests.conftest import assert_frames_match
 
     _ensure_loaded()
-    pool = SKEW_QUERIES if skew else DEFAULT_QUERIES
+    if rest:
+        from scache_spark.plans import SHAPE_SKIP_PREFIXES
+
+        pool = sorted(
+            n
+            for n in REGISTRY
+            if not n.startswith(SHAPE_SKIP_PREFIXES)
+            and n not in DEFAULT_QUERIES
+            and n not in REST_EXCLUDE
+        )
+    elif skew:
+        pool = SKEW_QUERIES
+    else:
+        pool = DEFAULT_QUERIES
     names = [n for n in pool if not subs or any(s in n for s in subs)]
     missing = [n for n in names if n not in REGISTRY]
     assert not missing, f"unknown queries: {missing}"
@@ -305,6 +339,8 @@ def main() -> None:
     }
     # scoped runs must not clobber the full-artifact file
     suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    if rest:
+        suffix = "_rest" + suffix
     tag = f"skew{skew}" if skew else f"x{factor}"
     path = os.path.join(REPO, f"SCALE_STRESS_{tag}{suffix}.json")
     with open(path, "w") as f:
