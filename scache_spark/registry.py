@@ -78,20 +78,31 @@ PRIORITY: tuple[str, ...] = (
     "bloom_filter_join_prune",  # B6/B21
     "rollup_region_nation",  # B8
     "sort_nulls_handling",  # B9
-    "topk_per_group",  # B10
-    "window_analytics",  # B11
     "theta_sketch_set_ops",  # B12/B7/B20 native theta set algebra (r5)
-    "pagerank_event_graph",  # iterative graph fixed point (B4/B7/B11)
     "ivm_join_view_delta",  # B4/B7/B19 bilinear join-view IVM (r5)
-    "bucketed_join_revenue",  # B22 write-time layout (was pytest-only)
-    # hardest evaluation plans (r3 judge: the window should showcase
-    # these; r5 rotates 15 long-green veterans out for the strongest
-    # never-graded work per the r4 verdict)
-    "ann_ivf_nprobe_recall",  # B25/B10 — IVF recall-vs-cost curve
-    "schedule_policy_compare",  # A.2/A.5/B23 — the 5-policy race
+    # r6 rotation: the r5 verdict named the 15 strongest never-graded
+    # queries; all 15 enter the window, 15 long-green veterans (each
+    # graded in >=1 earlier round) cede seats.  Coverage invariant
+    # (every B1-B27 + A.2/A.5/temporal/north-star inside the first 50)
+    # re-checked by tests/test_registry_order.py.
+    "statestore_dedup_audit",  # B27/B22/B20 state-store reader audit (r6)
+    "stream_scd2_pit_enrich",  # B27/B4/B11 SCD2 point-in-time enrich (r6)
+    "mmr_diverse_rerank",  # B25/B10 maximal-marginal-relevance rerank (r6)
+    "pq_encode_codes",  # B25/B23 PQ codebook encode (r6)
+    "ccnet_perplexity_buckets",  # B24/B20 CCNet-style quality buckets (r6)
+    "bpe_merge_rounds",  # B24/B7 BPE merge-rounds training (r6)
+    "variant_props_extract",  # B18 VARIANT property extraction (r6)
+    "compaction_plan_ffd",  # B21/B23/B1 FFD small-file compaction plan (r6)
+    "woe_iv_binning",  # B16/B7/B19 weight-of-evidence binning (r6)
+    "interval_union_minutes",  # B11/B15/B7 interval union (x10 tie fix, r6)
+    "cdc_agg_apply_delta",  # B7/B4/B19 CDC delta apply (x10 tol fix, r6)
+    "udtf_chunk_spans",  # B23/B24 UDTF table function (r6)
+    "sequence_pattern_match",  # temporal/B11/B14 regex-over-sequence (r6)
+    "table_checksum_manifest",  # B7/B16 order-independent table checksum (r6)
+    "avro_source_roundtrip",  # B1/B7/B15 Avro OCF DataSource round-trip (r6)
+    # hardest evaluation plans kept from earlier windows
     "kll_sketch_ks_drift",  # B20/B16 KS drift from stored KLL sketches (r5)
     "array_funcs",  # B17
-    "token_budget_selection",  # B11/B10 distributed prefix sum
     "mapstatus_highly_compressed",  # A.2/B16/B18 >2000-reducer MapStatus twin (r5)
     "lru_cache_hit_sim",  # A.3/B22 — the MemoryStore LRU policy, verified
     "skew_split_plan",  # A.2/A.5/B7/B11 AQE-style skew split planning (r5)
@@ -99,19 +110,12 @@ PRIORITY: tuple[str, ...] = (
     "jsonl_corrupt_records_audit",  # B1/B18/B14 corrupt-record audit (r5)
     # UDF surface
     "broadcast_decision_audit",  # B22/B5/A.2 SizeEstimator admission audit (r5)
-    "udf_grouped_zscore",  # B23
-    "udf_cogrouped_stats",  # B23
     # temporal
     "task_host_utilization_align",  # A.5/temporal sim/util.py span align (r5)
-    "blocktrace_stream_waves",  # B27/A.5 — streaming custom Python source
     "funnel_session_conversion",
     # similarity search
-    "retrieval_rerank_two_stage",  # B25/B10/B11 shortlist+rerank
-    "hybrid_rrf_retrieval",  # B25/B24 — text+vector reciprocal-rank fusion
     "dedup_semantic_cells",  # B25/B24 — IVF assignment as dedup blocking key
     # dedup / LLM pipeline
-    "dedup_exact_hash",  # B24/B13
-    "dedup_minhash_pairs",  # B24
     "blocktrace_source_agg",  # B1/A.2 — custom Python data source scan
     "dedup_embedding_lsh",  # B24/B25 — LSH-bucketed scale path
     "dedup_span_rewrite",  # B24/B13 C4-style span REWRITE (r5)
@@ -124,19 +128,33 @@ PRIORITY: tuple[str, ...] = (
     "lpt_schedule_locality_swap",  # A.2 — the COMPLETE reference heuristic
     "expected_reduce_size_weighted",  # B26/A.5
     "schedule_race_from_trace",  # A.2/A.5/B14 parsed trace → policy race (r5)
-    # streaming — rotated toward the never-graded r4 stateful work
+    # streaming
     "stream_cdc_serving_table",  # B27/B1 CDC upsert serving table (r5)
     "stream_neardup_suppress",  # B27/B24/B13 ingestion near-dup state (r5)
     "stream_cms_heavy_users",  # B27/B16 streaming Count-Min sketch (r5)
     "stream_session_window",
     "stream_late_data_filter",
-    "stream_stream_join",
     "stream_stateful_user_totals",
     "dedup_clusters",  # B24 connected components
     # --- end of the 50-entry graded window ---
-    # Next in line if the driver widens its window: the r5
-    # rotated-out veterans (all graded green r1-r4), then the round-2
-    # training-pipeline layer, flashiest first.
+    # Next in line if the driver widens its window: the r6
+    # rotated-out veterans (all graded green in earlier rounds), then
+    # the r5 ones, then the round-2 training-pipeline layer.
+    "topk_per_group",  # B10 (r6: seat ceded to mmr_diverse_rerank)
+    "window_analytics",  # B11 (r6: seat ceded to interval_union_minutes)
+    "pagerank_event_graph",  # B4/B7/B11 (r6: seat ceded to cdc_agg_apply_delta)
+    "bucketed_join_revenue",  # B21/B22 (r6: seat ceded to compaction_plan_ffd)
+    "ann_ivf_nprobe_recall",  # B25/B10 (r6: seat ceded to pq_encode_codes)
+    "schedule_policy_compare",  # A.2/A.5/B23 (r6: seat ceded to udtf_chunk_spans)
+    "token_budget_selection",  # B11/B10 (r6: seat ceded to sequence_pattern_match)
+    "udf_grouped_zscore",  # B23 (r6: seat ceded to woe_iv_binning)
+    "udf_cogrouped_stats",  # B23 (r6: seat ceded to table_checksum_manifest)
+    "blocktrace_stream_waves",  # B27/A.5/B1 (r6: seat ceded to statestore_dedup_audit)
+    "retrieval_rerank_two_stage",  # B25 (r6: seat ceded to stream_scd2_pit_enrich)
+    "hybrid_rrf_retrieval",  # B25/B24 (r6: seat ceded to ccnet_perplexity_buckets)
+    "dedup_exact_hash",  # B13/B24 (r6: seat ceded to bpe_merge_rounds)
+    "dedup_minhash_pairs",  # B24 (r6: seat ceded to variant_props_extract)
+    "stream_stream_join",  # B27/B4 (r6: seat ceded to avro_source_roundtrip)
     "filter_project_cast",  # B2/B3 (r5: seat ceded to decimal_money_battery)
     "agg_battery",  # B7 (r5: seat ceded to recursive_cte_reachability)
     "set_except",  # B12 (r5: seat ceded to theta_sketch_set_ops)
@@ -176,7 +194,6 @@ PRIORITY: tuple[str, ...] = (
     "weighted_priority_sample",
     "contrastive_negative_sample",
     "source_token_kl",
-    "udtf_chunk_spans",
     "cdc_snapshot_diff",
 )
 
