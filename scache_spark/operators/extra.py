@@ -367,27 +367,38 @@ def orc_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avro_source_roundtrip",
     oracle="""
-    SELECT o_orderpriority,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price,
-           CAST(min(o_orderdate) AS DATE) AS first_date,
-           CAST(max(o_orderdate) AS DATE) AS last_date
-    FROM orders GROUP BY o_orderpriority
+    SELECT o.*, e.* FROM (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price,
+             CAST(min(o_orderdate) AS DATE) AS first_date,
+             CAST(max(o_orderdate) AS DATE) AS last_date
+      FROM orders GROUP BY o_orderpriority) o
+    CROSS JOIN (
+      SELECT CAST(count(*) AS BIGINT) AS emb_n,
+             CAST(sum(len(embedding)) AS BIGINT) AS emb_dims,
+             round(CAST(min(list_min(embedding)) AS DOUBLE), 6) AS emb_minv,
+             round(CAST(max(list_max(embedding)) AS DOUBLE), 6) AS emb_maxv
+      FROM embeddings) e
     """,
-    tags=("B1", "B7", "B15"),
+    tags=("B1", "B7", "B15", "B17"),
     doc="Avro source/sink path — the engine artifact for the "
     "reference's Avro serialization leg (serializer/"
     "GenericAvroSerializer.scala:36-71, datum-level Avro over Kryo; "
     "in a relation engine the serializer surface IS the format "
     "surface).  The sandbox ships no spark-avro jar, so the codec is "
     "a from-spec Object Container File reader/writer exposed as a "
-    "Python Data Source (sources/avro_ocf.py): orders is staged "
-    "through the engine's own distributed Avro WRITE (one OCF part "
-    "per task, temp+rename, _SUCCESS commit), read back through the "
-    "distributed Avro READ (one input partition per part, block-"
-    "streamed decode), and aggregated; the oracle reads the original "
-    "parquet, so the binary round trip must be lossless — including "
-    "the date logical type and int/long zigzag varints.",
+    "Python Data Source (sources/avro_ocf.py): orders AND embeddings "
+    "are staged through the engine's own distributed Avro WRITE (one "
+    "OCF part per task, temp+rename, _SUCCESS commit), read back "
+    "through the distributed Avro READ (one input partition per "
+    "part, block-streamed decode), and aggregated; the oracle reads "
+    "the original parquet, so the binary round trip must be lossless "
+    "— the date logical type, int/long zigzag varints, and (r6) the "
+    "block-framed array encoding carrying the array<float> embedding "
+    "column (lengths + extreme elements attested via exact order-"
+    "independent aggregates).  The embeddings leg is a 1-row summary "
+    "broadcast-crossed onto the per-priority rows.",
 )
 def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.sources.avro_ocf import register_avro_ocf
@@ -395,12 +406,21 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_avro_ocf(spark)
     path = _staged_alt(spark, sf_dir, "avro", "orders")
     o = spark.read.format("avro_ocf").option("path", path).load()
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+    epath = _staged_alt(spark, sf_dir, "avro", "embeddings")
+    e = spark.read.format("avro_ocf").option("path", epath).load()
+    emb = e.agg(
+        F.count(F.lit(1)).cast("long").alias("emb_n"),
+        F.sum(F.size("embedding")).cast("long").alias("emb_dims"),
+        F.round(F.min(F.array_min("embedding")).cast("double"), 6).alias("emb_minv"),
+        F.round(F.max(F.array_max("embedding")).cast("double"), 6).alias("emb_maxv"),
+    )
+    return agg.crossJoin(F.broadcast(emb))
 
 
 @register(

@@ -8,10 +8,13 @@ DataFrame engine the serializer surface IS the source/sink surface).
 The sandbox has no ``spark-avro`` datasource jar and no Python avro
 package, so the codec is implemented here directly from the PUBLIC
 Apache Avro 1.11 specification (binary encoding + object container
-files).  Scope: the flat record schemas the fixtures need — null,
-boolean, int, long, float, double, bytes, string, nullable unions
-``["null", T]``, and the date / timestamp-micros logical types.
-Anything else fails loudly at schema-mapping time.
+files).  Scope: the record schemas the fixtures need — null, boolean,
+int, long, float, double, bytes, string, nullable unions
+``["null", T]``, the date / timestamp-micros logical types, and
+(r6) arrays of those primitives (spec "Arrays": block-framed counts,
+negative-count byte-size form accepted on read) so the embeddings
+table's ``array<float>`` column round-trips.  Anything else fails
+loudly at schema-mapping time.
 
 Scale shape: one OCF part file per write task (temp-name + rename so
 a crashed task never leaves a file that looks finished), one Spark
@@ -42,7 +45,7 @@ from pyspark.sql.types import StructType
 
 MAGIC = b"Obj\x01"
 _EPOCH = datetime.date(1970, 1, 1)
-_EPOCH_TS = datetime.datetime(1970, 1, 1)
+_EPOCH_TS_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
 # ---------------------------------------------------------------------------
 # primitive binary codec (Avro spec "Binary Encoding")
@@ -99,65 +102,88 @@ _SPARK_TO_AVRO = {
 }
 
 
+def _scalar_avro_type(dt_obj, where: str) -> object:
+    dt = type(dt_obj)
+    if dt in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[dt]
+    if dt is T.DateType:
+        return {"type": "int", "logicalType": "date"}
+    if dt is T.TimestampType or dt is T.TimestampNTZType:
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    raise ValueError(f"avro_ocf: unsupported Spark type {dt_obj} for {where}")
+
+
 def spark_to_avro_schema(schema: StructType, name: str = "row") -> dict:
     fields = []
     for f in schema.fields:
-        dt = type(f.dataType)
-        if dt in _SPARK_TO_AVRO:
-            at: object = _SPARK_TO_AVRO[dt]
-        elif dt is T.DateType:
-            at = {"type": "int", "logicalType": "date"}
-        elif dt is T.TimestampType or dt is T.TimestampNTZType:
-            at = {"type": "long", "logicalType": "timestamp-micros"}
-        else:
-            raise ValueError(
-                f"avro_ocf: unsupported Spark type {f.dataType} for field {f.name!r}"
+        if isinstance(f.dataType, T.ArrayType):
+            item = _scalar_avro_type(
+                f.dataType.elementType, f"array element of field {f.name!r}"
             )
+            at: object = {
+                "type": "array",
+                "items": ["null", item] if f.dataType.containsNull else item,
+            }
+        else:
+            at = _scalar_avro_type(f.dataType, f"field {f.name!r}")
         fields.append(
             {"name": f.name, "type": ["null", at] if f.nullable else at}
         )
     return {"type": "record", "name": name, "fields": fields}
 
 
-def avro_to_spark_ddl(avro_schema: dict) -> str:
-    cols = []
-    for f in avro_schema["fields"]:
-        at = f["type"]
-        nullable = isinstance(at, list)
-        if nullable:
-            nn = [t for t in at if t != "null"]
-            if len(nn) != 1:
-                raise ValueError(f"avro_ocf: only [null, T] unions supported: {at}")
-            at = nn[0]
-        logical = at.get("logicalType") if isinstance(at, dict) else None
-        base = at["type"] if isinstance(at, dict) else at
-        if logical == "date":
-            ddl = "date"
-        elif logical == "timestamp-micros":
-            ddl = "timestamp"
-        else:
-            ddl = {
-                "boolean": "boolean",
-                "int": "int",
-                "long": "bigint",
-                "float": "float",
-                "double": "double",
-                "string": "string",
-                "bytes": "binary",
-            }[base]
-        cols.append(f"`{f['name']}` {ddl}")
-    return ", ".join(cols)
-
-
-def _field_kind(f: dict) -> tuple[bool, str, str | None]:
-    """(nullable, base_type, logical_type) for one record field."""
-    at = f["type"]
+def _unwrap_union(at) -> tuple[bool, object]:
     nullable = isinstance(at, list)
     if nullable:
-        at = [t for t in at if t != "null"][0]
+        nn = [t for t in at if t != "null"]
+        if len(nn) != 1:
+            raise ValueError(f"avro_ocf: only [null, T] unions supported: {at}")
+        at = nn[0]
+    return nullable, at
+
+
+def _avro_type_ddl(at) -> str:
+    _, at = _unwrap_union(at)
+    if isinstance(at, dict) and at.get("type") == "array":
+        return f"array<{_avro_type_ddl(at['items'])}>"
+    logical = at.get("logicalType") if isinstance(at, dict) else None
+    base = at["type"] if isinstance(at, dict) else at
+    if logical == "date":
+        return "date"
+    if logical == "timestamp-micros":
+        return "timestamp"
+    return {
+        "boolean": "boolean",
+        "int": "int",
+        "long": "bigint",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "bytes": "binary",
+    }[base]
+
+
+def avro_to_spark_ddl(avro_schema: dict) -> str:
+    return ", ".join(
+        f"`{f['name']}` {_avro_type_ddl(f['type'])}"
+        for f in avro_schema["fields"]
+    )
+
+
+def _type_kind(at) -> tuple:
+    """(nullable, base_type, logical_type, item_kind) for one Avro
+    type; item_kind is the element's own kind tuple for arrays, else
+    None."""
+    nullable, at = _unwrap_union(at)
+    if isinstance(at, dict) and at.get("type") == "array":
+        return nullable, "array", None, _type_kind(at["items"])
     if isinstance(at, dict):
-        return nullable, at["type"], at.get("logicalType")
-    return nullable, at, None
+        return nullable, at["type"], at.get("logicalType"), None
+    return nullable, at, None, None
+
+
+def _field_kind(f: dict) -> tuple:
+    return _type_kind(f["type"])
 
 
 # ---------------------------------------------------------------------------
@@ -165,15 +191,38 @@ def _field_kind(f: dict) -> tuple[bool, str, str | None]:
 # ---------------------------------------------------------------------------
 
 
-def _enc_value(base: str, logical: str | None, v) -> bytes:
+def _enc_value(base: str, logical: str | None, v, item_kind=None) -> bytes:
     if logical == "date":
         return enc_long((v - _EPOCH).days)
     if logical == "timestamp-micros":
-        if v.tzinfo is not None:
-            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # Python workers surface TimestampType as NAIVE datetimes in
+        # the OS-local timezone; attach that zone before converting so
+        # the stored micros are true UTC on any host (Avro spec:
+        # timestamp-micros is an instant, epoch-UTC).  astimezone() on
+        # a naive datetime assumes the local zone.
+        if v.tzinfo is None:
+            v = v.astimezone()
         return enc_long(
-            (v - _EPOCH_TS) // datetime.timedelta(microseconds=1)
+            (v - _EPOCH_TS_UTC) // datetime.timedelta(microseconds=1)
         )
+    if base == "array":
+        # spec "Arrays": blocks of (count, items...), 0-terminated; a
+        # single positive block is the simplest spec-valid writing.
+        nullable_i, base_i, logical_i, inner = item_kind
+        out = bytearray()
+        if v:
+            out += enc_long(len(v))
+            for x in v:
+                if nullable_i:
+                    if x is None:
+                        out += enc_long(0)
+                        continue
+                    out += enc_long(1)
+                elif x is None:
+                    raise ValueError("avro_ocf: None in non-nullable array item")
+                out += _enc_value(base_i, logical_i, x, inner)
+        out += enc_long(0)
+        return bytes(out)
     if base in ("long", "int"):
         return enc_long(int(v))
     if base == "double":
@@ -189,14 +238,36 @@ def _enc_value(base: str, logical: str | None, v) -> bytes:
     raise ValueError(f"avro_ocf: unsupported base type {base}")
 
 
-def _dec_value(base: str, logical: str | None, buf: bytes, pos: int):
+def _dec_value(base: str, logical: str | None, buf: bytes, pos: int, item_kind=None):
     if base in ("long", "int"):
         n, pos = dec_long(buf, pos)
         if logical == "date":
             return _EPOCH + datetime.timedelta(days=n), pos
         if logical == "timestamp-micros":
-            return _EPOCH_TS + datetime.timedelta(microseconds=n), pos
+            # inverse of the encode convention: UTC instant -> naive
+            # local wall time, which is what Spark's Python row
+            # converter expects for TimestampType.
+            v = _EPOCH_TS_UTC + datetime.timedelta(microseconds=n)
+            return v.astimezone().replace(tzinfo=None), pos
         return n, pos
+    if base == "array":
+        nullable_i, base_i, logical_i, inner = item_kind
+        vals = []
+        while True:
+            cnt, pos = dec_long(buf, pos)
+            if cnt == 0:
+                return vals, pos
+            if cnt < 0:  # spec: negative count block carries a byte size
+                _, pos = dec_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                if nullable_i:
+                    idx, pos = dec_long(buf, pos)
+                    if idx == 0:
+                        vals.append(None)
+                        continue
+                x, pos = _dec_value(base_i, logical_i, buf, pos, inner)
+                vals.append(x)
     if base == "double":
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if base == "float":
@@ -212,9 +283,9 @@ def _dec_value(base: str, logical: str | None, buf: bytes, pos: int):
     raise ValueError(f"avro_ocf: unsupported base type {base}")
 
 
-def enc_record(kinds: list[tuple[bool, str, str | None]], row) -> bytes:
+def enc_record(kinds: list[tuple], row) -> bytes:
     out = bytearray()
-    for (nullable, base, logical), v in zip(kinds, row):
+    for (nullable, base, logical, item_kind), v in zip(kinds, row):
         if nullable:
             if v is None:
                 out += enc_long(0)  # union branch 0 = null
@@ -222,21 +293,21 @@ def enc_record(kinds: list[tuple[bool, str, str | None]], row) -> bytes:
             out += enc_long(1)
         elif v is None:
             raise ValueError("avro_ocf: None in non-nullable field")
-        out += _enc_value(base, logical, v)
+        out += _enc_value(base, logical, v, item_kind)
     return bytes(out)
 
 
 def dec_record(
-    kinds: list[tuple[bool, str, str | None]], buf: bytes, pos: int
+    kinds: list[tuple], buf: bytes, pos: int
 ) -> tuple[tuple, int]:
     vals = []
-    for nullable, base, logical in kinds:
+    for nullable, base, logical, item_kind in kinds:
         if nullable:
             idx, pos = dec_long(buf, pos)
             if idx == 0:
                 vals.append(None)
                 continue
-        v, pos = _dec_value(base, logical, buf, pos)
+        v, pos = _dec_value(base, logical, buf, pos, item_kind)
         vals.append(v)
     return tuple(vals), pos
 

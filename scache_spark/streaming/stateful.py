@@ -349,6 +349,15 @@ _NEARDUP_OUT_SCHEMA = StructType(
 # value size — raise it for bigger corpora so a shard's bucket map
 # stays small (it is a constant, not data-dependent, so the key space
 # is stable across batches and restarts).
+# STATE SCHEMA v2 (r5: +gens/+gen TTL fields).  applyInPandasWithState
+# does not support state-schema evolution: a checkpoint written with
+# the v1 3-field schema cannot be resumed by this code (state.get
+# unpacks 5 values and fails).  Every run here uses a fresh per-run
+# checkpoint, so this only matters for external deployments — on a
+# schema change, deploy with a NEW checkpoint dir (bump a .../v{N}
+# suffix) and replay, exactly as Spark's own docs require for any
+# stateful-schema change.
+_NEARDUP_STATE_VERSION = 2
 _NEARDUP_STATE_SCHEMA = StructType(
     [
         StructField("hashes", ArrayType(StringType())),

@@ -181,7 +181,15 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
     sink = f"{name}_{next(_SINK_COUNTER)}"
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prog = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    # recentProgress is a ring buffer of the LAST N progress events
+    # (default 100); a run with more micro-batches would silently drop
+    # the early ones and the "peak over the whole run" scan below
+    # would under-report a mid-run state blow-up.  The availableNow
+    # replays here produce at most a few thousand batches even at the
+    # x10 staging, so a deep buffer is cheap insurance.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     try:
         q = (
             df.writeStream.format("memory")
@@ -201,7 +209,14 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
         # last window, so final-batch rows would hide a mid-run state
         # blow-up entirely.
         rows_peak = bytes_peak = 0
-        for p in q.recentProgress:
+        progress = q.recentProgress
+        if len(progress) >= 100_000:
+            raise RuntimeError(
+                f"streaming query {sink}: progress buffer saturated "
+                f"({len(progress)} events) — peak-state metric would "
+                "under-report; raise numRecentProgressUpdates"
+            )
+        for p in progress:
             ops = p.get("stateOperators") or []
             rows_peak = max(
                 rows_peak, sum(int(o.get("numRowsTotal") or 0) for o in ops)
@@ -216,6 +231,7 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev_prog)
     return df.sparkSession.table(sink)
 
 

@@ -45,9 +45,50 @@ def test_ocf_file_roundtrip_with_nulls(tmp_path):
 
 
 def test_unsupported_type_fails_loudly():
-    st = T.StructType([T.StructField("a", T.ArrayType(T.LongType()))])
+    st = T.StructType([T.StructField("a", T.MapType(T.StringType(), T.LongType()))])
     with pytest.raises(ValueError, match="unsupported Spark type"):
         A.spark_to_avro_schema(st)
+    # arrays of primitives are supported (r6) but nesting is not
+    nested = T.StructType(
+        [T.StructField("a", T.ArrayType(T.ArrayType(T.LongType())))]
+    )
+    with pytest.raises(ValueError, match="unsupported Spark type"):
+        A.spark_to_avro_schema(nested)
+
+
+def test_ocf_array_roundtrip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": {"type": "array", "items": ["null", "float"]}},
+            {
+                "name": "w",
+                "type": ["null", {"type": "array", "items": "long"}],
+            },
+        ],
+    }
+    rows = [
+        (1, [1.5, None, -2.25], [7, -8]),
+        (2, [], None),
+        (3, [0.0], []),
+    ]
+    p = str(tmp_path / "arr.avro")
+    assert A.write_ocf(p, schema, rows, block_rows=2) == 3
+    assert list(A.read_ocf(p)) == rows
+    assert A.avro_to_spark_ddl(schema) == "`k` bigint, `v` array<float>, `w` array<bigint>"
+
+
+def test_array_negative_count_block_read():
+    """Spec: writers MAY frame an array block as (negative count,
+    byte size, items); our reader must accept it even though our
+    writer emits the positive form."""
+    item_kind = A._type_kind("long")
+    items = A.enc_long(10) + A.enc_long(20)
+    buf = A.enc_long(-2) + A.enc_long(len(items)) + items + A.enc_long(0)
+    vals, pos = A._dec_value("array", None, buf, 0, item_kind)
+    assert vals == [10, 20] and pos == len(buf)
 
 
 def test_uncommitted_dir_rejected(tmp_path):

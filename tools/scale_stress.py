@@ -270,6 +270,12 @@ def main() -> None:
         base = args[i + 1]
         del args[i : i + 2]
     subs = args
+    # flag validation (r5 advice): the --rest pool is defined against
+    # the uniform replica, and a skew factor below 1 replicates nothing
+    if rest and skew is not None:
+        sys.exit("scale_stress: --rest cannot be combined with --skew; run separately")
+    if skew is not None and skew < 1:
+        sys.exit("scale_stress: --skew requires a hot-copy count >= 1")
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
     from scache_spark.session import get_session
