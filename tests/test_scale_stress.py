@@ -73,3 +73,48 @@ def test_one_query_matches_oracle_on_replica(spark, x2_dir):
     odf = con.execute(oracle_sql()[name]).df()
     assert_frames_match(spdf, odf, name)
     assert len(spdf) > 0
+
+
+# ---------------------------------------------------------------------------
+# hot-shingle boilerplate stress (r5 verdict item 1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bp_dir():
+    from tools.scale_stress import BOILERPLATE_PCT_GUARDED, stage_boilerplate
+
+    out = stage_boilerplate("/root/testdata/sf0.001", 2, BOILERPLATE_PCT_GUARDED)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_boilerplate_plants_hot_bands_and_cap_triggers(bp_dir):
+    """The stress is only a stress if the shared preamble actually
+    produces band buckets over BAND_CAP — i.e. the demotion guard in
+    dedup_minhash_capped_pairs fires on this input (r5 verdict: 'a
+    test asserting the cap actually triggers')."""
+    from tools.scale_stress import hot_band_stats
+
+    stats = hot_band_stats(bp_dir)
+    assert stats["buckets_over_cap"] > 0
+    assert stats["max_bucket_docs"] > stats["band_cap"]
+
+
+def test_capped_dedup_matches_oracle_under_boilerplate(spark, bp_dir):
+    """The guarded operator must return the oracle answer on the
+    hot-shingle corpus — demotion happens identically in both engines,
+    so parity here proves the cap semantics, not just survival."""
+    from __spark_entry__ import oracle_sql
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    name = "dedup_minhash_capped_pairs"
+    spdf = REGISTRY[name].fn(spark, bp_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{bp_dir}/documents.parquet')"
+    )
+    odf = con.execute(oracle_sql()[name]).df()
+    assert_frames_match(spdf, odf, name)

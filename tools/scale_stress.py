@@ -136,6 +136,125 @@ SKEW_QUERIES = [
 ]
 
 
+# --boilerplate (r5 verdict item 1): hot-SHINGLE skew — a shared
+# preamble appended to a fraction of documents, the real-corpus
+# failure mode for banded LSH (every boilerplated doc's minhash is
+# dominated by the shared shingles, so one band bucket holds most of
+# the corpus).  Severity is split by DESIGN, disclosed here and in
+# the artifact:
+#   * GUARDED pool at the full 60%%-of-docs / 200-token severity —
+#     operators carrying an explicit skew guard (the BAND_CAP bucket
+#     demotion, the streaming bucket cap) must survive the worst case;
+#   * UNGUARDED pool at 1%% — the plain banded self-joins have no cap,
+#     and a 60%% shared preamble makes the TRUE answer itself
+#     quadratic (~1.4e9 near-dup pairs at x10: every boilerplated pair
+#     really is >=0.5 Jaccard), which no engine, oracle included, can
+#     list.  1%% keeps the true pair set ~1e5 rows while still
+#     planting band buckets ~100x over the uniform case, so AQE
+#     skew-split handling is exercised with a verifiable output.
+BOILERPLATE_WORDS = 200
+BOILERPLATE = " ".join(f"bp{i}" for i in range(BOILERPLATE_WORDS))
+BOILERPLATE_GUARDED = [
+    "dedup_exact_hash",            # hash-groupBy control: skew-immune
+    "dedup_minhash_capped_pairs",  # BAND_CAP demotion is the guard
+    "stream_neardup_suppress",     # capped keyed state is the guard
+]
+BOILERPLATE_UNGUARDED = [
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_incremental_batch",
+]
+BOILERPLATE_PCT_GUARDED = 60
+BOILERPLATE_PCT_UNGUARDED = 1
+
+
+def stage_boilerplate(base: str, factor: int, pct: int) -> str:
+    """Stage a xF replica where ``pct`` percent of documents carry a
+    shared BOILERPLATE preamble appended to their text; every other
+    table is staged exactly as :func:`stage`.  Both engines read the
+    same staged parquet, so the compare stays engine-vs-engine."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_x{factor}_bp{pct}")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        shifts = _SHIFTED.get(t)
+        if not shifts:
+            sel = f"SELECT * FROM {src}"
+        else:
+            shift_src = (
+                f"read_parquet('{base}/orders.parquet')" if t == "lineitem" else src
+            )
+            shift_col = "o_orderkey" if t == "lineitem" else shifts[0]
+            (span,) = con.execute(
+                f"SELECT max({shift_col}) + 1 FROM {shift_src}"
+            ).fetchone()
+            repl = ", ".join(f"s.{c} + t.i * {span} AS {c}" for c in shifts)
+            sel = (
+                f"SELECT s.* REPLACE ({repl}) FROM {src} s "
+                f"CROSS JOIN range({factor}) t(i)"
+            )
+        if t == "documents":
+            sel = (
+                f"SELECT * REPLACE (CASE WHEN doc_id % 100 < {pct} "
+                f"THEN text || ' {BOILERPLATE}' ELSE text END AS text) "
+                f"FROM ({sel})"
+            )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "factor": factor, "boilerplate_pct": pct}))
+    return out
+
+
+def hot_band_stats(sf_dir: str) -> dict:
+    """Diagnostic: size of the largest (band_id, band_hash) bucket and
+    the number of buckets the BAND_CAP guard demotes, computed on the
+    staged dir with the SAME band pipeline the queries use — this is
+    what proves the stress actually planted hot bands and the cap
+    actually triggered."""
+    from scache_spark.operators.dedup import (
+        _AUG_SQL,
+        _BAND_SQL,
+        _SHINGLE_SQL,
+        _SIG_SQL,
+        BAND_CAP,
+        N_BANDS,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    melted = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands"
+        for j in range(N_BANDS)
+    )
+    row = con.execute(
+        f"""
+        WITH {_AUG_SQL}, {_SHINGLE_SQL},
+        sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+        bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+        melted AS ({melted}),
+        buckets AS (SELECT band_id, band_hash, count(*) AS n
+                    FROM melted GROUP BY band_id, band_hash)
+        SELECT max(n), count(*) FILTER (n > {BAND_CAP}) FROM buckets
+        """
+    ).fetchone()
+    return {
+        "max_bucket_docs": int(row[0]),
+        "buckets_over_cap": int(row[1]),
+        "band_cap": BAND_CAP,
+    }
+
+
 # Excluded from the --rest sweep, each for a stated reason — never
 # silently (the no-silent-caps rule):
 REST_EXCLUDE = {
@@ -251,6 +370,82 @@ def stage(base: str, factor: int) -> str:
     return out
 
 
+def run_queries(spark, sf_dir: str, names: list[str], oracles: dict) -> dict:
+    """Run each query on the staged dir and compare against its DuckDB
+    oracle evaluated on the SAME dir; returns the per-query results."""
+    from scache_spark.registry import REGISTRY
+    from tests.conftest import assert_frames_match
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            spdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            assert_frames_match(spdf, odf, name)
+            status = "MATCH"
+            err = None
+        except Exception as ex:  # noqa: BLE001 - triage artifact
+            status = "FAIL"
+            err = str(ex)[:300]
+        dt = round(time.time() - t0, 1)
+        results[name] = {
+            "status": status,
+            "sec": dt,
+            "rows": None if err else len(spdf),
+            "err": err,
+        }
+        print(f"  {name:32s} {status}  {dt}s", flush=True)
+    return results
+
+
+def run_boilerplate(base: str, factor: int) -> None:
+    """The hot-shingle protocol: guarded operators at full severity,
+    unguarded banded self-joins at the mild severity (rationale at the
+    BOILERPLATE constants above), one disclosed artifact."""
+    from scache_spark.registry import _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    spark = get_session("scale-stress-boilerplate")
+    out: dict = {"base": base, "factor": factor, "pools": {}}
+    n_fail = 0
+    for label, pct, pool in (
+        ("guarded", BOILERPLATE_PCT_GUARDED, BOILERPLATE_GUARDED),
+        ("unguarded", BOILERPLATE_PCT_UNGUARDED, BOILERPLATE_UNGUARDED),
+    ):
+        print(f"staging x{factor} bp{pct} from {base} ...", flush=True)
+        sf_dir = stage_boilerplate(base, factor, pct)
+        print("  computing hot-band stats ...", flush=True)
+        stats = hot_band_stats(sf_dir)
+        print(f"  {stats}", flush=True)
+        results = run_queries(spark, sf_dir, pool, oracles)
+        n_fail += sum(1 for r in results.values() if r["status"] == "FAIL")
+        out["pools"][label] = {
+            "boilerplate_pct": pct,
+            "boilerplate_words": BOILERPLATE_WORDS,
+            "hot_band_stats": stats,
+            "queries": results,
+        }
+    g = out["pools"]["guarded"]["hot_band_stats"]
+    # the stress is only meaningful if the cap actually triggered
+    out["cap_triggered"] = g["buckets_over_cap"] > 0
+    out["n_fail"] = n_fail
+    path = os.path.join(REPO, "SCALE_STRESS_boilerplate.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail or not out["cap_triggered"] else 0)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     factor, base, skew = 10, "/root/testdata/sf0.1", None
@@ -265,6 +460,9 @@ def main() -> None:
     rest = "--rest" in args
     if rest:
         args.remove("--rest")
+    boilerplate = "--boilerplate" in args
+    if boilerplate:
+        args.remove("--boilerplate")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -276,6 +474,11 @@ def main() -> None:
         sys.exit("scale_stress: --rest cannot be combined with --skew; run separately")
     if skew is not None and skew < 1:
         sys.exit("scale_stress: --skew requires a hot-copy count >= 1")
+    if boilerplate and (rest or skew is not None):
+        sys.exit("scale_stress: --boilerplate runs its own two-severity protocol")
+    if boilerplate:
+        run_boilerplate(base, factor)
+        return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
     from scache_spark.session import get_session
@@ -308,31 +511,10 @@ def main() -> None:
         sf_dir = stage(base, factor)
 
     spark = get_session("scale-stress")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
     from __spark_entry__ import oracle_sql
 
     oracles = oracle_sql()
-    results: dict[str, dict] = {}
-    for name in names:
-        t0 = time.time()
-        try:
-            spdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
-            odf = con.execute(oracles[name]).df()
-            assert_frames_match(spdf, odf, name)
-            status = "MATCH"
-            err = None
-        except Exception as ex:  # noqa: BLE001 - triage artifact
-            status = "FAIL"
-            err = str(ex)[:300]
-        dt = round(time.time() - t0, 1)
-        results[name] = {"status": status, "sec": dt, "rows": None if err else len(spdf), "err": err}
-        print(f"  {name:32s} {status}  {dt}s", flush=True)
-
+    results = run_queries(spark, sf_dir, names, oracles)
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     out = {
         "base": base,
