@@ -266,11 +266,62 @@ REST_EXCLUDE = {
     # a grid of (bands, rows) configs — an offline design tool, not a
     # pipeline operator; 86s at sf0.1 already
     "lsh_design_curve",
-    # output is SF-proportional (6M rows at x10): the pandas/DuckDB
-    # COMPARE, not the engine, is the cost — verified at sf0.1
+    # output is SF-proportional (6M rows at x10), so the pandas frame
+    # COMPARE, not the engine, is the cost — these two are x10-verified
+    # by --checksum instead (count + order-independent XOR checksum on
+    # both engines, r5 verdict item 4)
     "math_funcs",
     "merge_upsert_orders",
 }
+
+# --checksum (r5 verdict item 4): the two SF-proportional-output
+# queries, verified at x10 by reducing BOTH engines' result sets to
+# (row count, XOR of per-row md5-derived 60-bit hashes) — O(1) compare
+# payload regardless of result size.  Doubles are rendered at fixed
+# %.6f precision on both sides (raw cast-to-string float rendering is
+# not engine-portable).
+CHECKSUM_QUERIES = ["merge_upsert_orders", "math_funcs"]
+_NULL_TOKEN = "\x00NULL"
+
+
+def _spark_checksum(df) -> tuple[int, int]:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    parts = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            s = F.format_string("%.6f", c.cast("double"))
+        else:
+            s = c.cast("string")
+        parts.append(F.coalesce(s, F.lit(_NULL_TOKEN)))
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(chr(31), *parts)), 1, 15), 16, 10
+    ).cast("long")
+    n, x = df.agg(
+        F.count(F.lit(1)).cast("long"), F.bit_xor(row_hash).cast("long")
+    ).first()
+    return int(n), int(x or 0)
+
+
+def _duckdb_checksum(con, oracle: str) -> tuple[int, int]:
+    cols = con.execute(f"DESCRIBE SELECT * FROM ({oracle}) q").fetchall()
+    parts = []
+    for name, typ, *_ in cols:
+        if typ.upper() in ("DOUBLE", "FLOAT", "REAL"):
+            s = f"printf('%.6f', CAST(\"{name}\" AS DOUBLE))"
+        else:
+            s = f'CAST("{name}" AS VARCHAR)'
+        parts.append(f"coalesce({s}, chr(0) || 'NULL')")
+    concat = " || chr(31) || ".join(parts)
+    row = con.execute(
+        f"""SELECT CAST(count(*) AS BIGINT),
+                   CAST(bit_xor(CAST('0x' || substr(md5({concat}), 1, 15)
+                        AS BIGINT)) AS BIGINT)
+            FROM ({oracle}) q"""
+    ).fetchone()
+    return int(row[0]), int(row[1] or 0)
 
 
 def stage_skew(base: str, hot_copies: int) -> str:
@@ -446,6 +497,65 @@ def run_boilerplate(base: str, factor: int) -> None:
     sys.exit(1 if n_fail or not out["cap_triggered"] else 0)
 
 
+def run_checksum(base: str, factor: int) -> None:
+    """x10-verify the SF-proportional-output queries by checksum and
+    MERGE the rows into SCALE_STRESS_x{F}_rest.json so the rest-sweep
+    artifact carries every query (the r5 exclusion note pointed here)."""
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    print(f"staging x{factor} from {base} ...", flush=True)
+    sf_dir = stage(base, factor)
+    spark = get_session("scale-stress-checksum")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name in CHECKSUM_QUERIES:
+        t0 = time.time()
+        try:
+            sn, sx = _spark_checksum(REGISTRY[name].fn(spark, sf_dir))
+            on, ox = _duckdb_checksum(con, oracles[name])
+            ok = (sn, sx) == (on, ox)
+            err = None if ok else f"spark=({sn},{sx}) oracle=({on},{ox})"
+        except Exception as ex:  # noqa: BLE001 - triage artifact
+            ok, err, sn = False, str(ex)[:300], None
+        n_fail += 0 if ok else 1
+        results[name] = {
+            "status": "MATCH" if ok else "FAIL",
+            "sec": round(time.time() - t0, 1),
+            "rows": sn,
+            "err": err,
+            "compare": "count+xor_checksum(%.6f doubles)",
+        }
+        print(f"  {name:32s} {results[name]['status']}  {results[name]['sec']}s "
+              f"({sn} rows)", flush=True)
+    path = os.path.join(REPO, f"SCALE_STRESS_x{factor}_rest.json")
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except OSError:
+        out = {"base": base, "mode": f"uniform x{factor}", "factor": factor,
+               "queries": {}}
+    out["queries"].update(results)
+    out["n_queries"] = len(out["queries"])
+    out["n_fail"] = sum(1 for r in out["queries"].values() if r["status"] == "FAIL")
+    out["total_sec"] = round(
+        sum(r.get("sec") or 0 for r in out["queries"].values()), 1
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — merged into {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     factor, base, skew = 10, "/root/testdata/sf0.1", None
@@ -463,6 +573,9 @@ def main() -> None:
     boilerplate = "--boilerplate" in args
     if boilerplate:
         args.remove("--boilerplate")
+    checksum = "--checksum" in args
+    if checksum:
+        args.remove("--checksum")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -474,10 +587,15 @@ def main() -> None:
         sys.exit("scale_stress: --rest cannot be combined with --skew; run separately")
     if skew is not None and skew < 1:
         sys.exit("scale_stress: --skew requires a hot-copy count >= 1")
-    if boilerplate and (rest or skew is not None):
+    if boilerplate and (rest or skew is not None or checksum):
         sys.exit("scale_stress: --boilerplate runs its own two-severity protocol")
+    if checksum and (rest or skew is not None):
+        sys.exit("scale_stress: --checksum runs only on the uniform replica")
     if boilerplate:
         run_boilerplate(base, factor)
+        return
+    if checksum:
+        run_checksum(base, factor)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
