@@ -133,6 +133,12 @@ SKEW_QUERIES = [
     "topk_per_group",
     "agg_battery",
     "skew_diagnosis_report",       # should now REPORT the planted whale
+    # streaming under the whale (r5 verdict item 8): per-user keyed
+    # state where one key receives most of the stream, and the CMS's
+    # adversarial case (one user = majority of all events)
+    "stream_stateful_user_totals",
+    "stream_update_mode_totals",
+    "stream_cms_heavy_users",
 ]
 
 
