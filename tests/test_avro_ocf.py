@@ -116,6 +116,26 @@ def test_spark_write_read_exact(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_spark_array_column_roundtrip(spark, tmp_path):
+    """The r6 array leg end-to-end through the registered data source:
+    array<float> (the embeddings shape) and a nullable array<bigint>
+    survive the distributed write/read bit-exactly."""
+    A.register_avro_ocf(spark)
+    df = spark.createDataFrame(
+        [
+            Row(k=1, emb=[0.5, -1.25, 3.0], tags=[10, 20]),
+            Row(k=2, emb=[], tags=None),
+            Row(k=3, emb=[7.5], tags=[]),
+        ],
+        "k bigint, emb array<float>, tags array<bigint>",
+    )
+    out = str(tmp_path / "avro_arr")
+    df.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
 # ---------------------------------------------------------------------------
 # property: arbitrary rows survive the full OCF round trip bit-exactly
 # ---------------------------------------------------------------------------
