@@ -17,9 +17,20 @@ find and the oracle verifies they find exactly the same ones.
 Scale design (100 TB): every stage is a pure shuffle-on-key dataflow —
 shingle explode → per-doc signature agg → band-key self-join (the LSH
 trick that replaces the O(n²) pair space with per-bucket joins) →
-verification only on candidates.  Skewed bands (e.g. boilerplate
-shingles) are bounded because band keys are 128-bit hashes of 2
-minhashes; residual skew is handled by AQE skew-join splitting.
+verification only on candidates.  Band-key skew is MEASURED, not
+assumed (SCALE_STRESS_boilerplate.json, r6): a shared 200-token
+preamble on 60% of documents at x10 concentrates 30,150 docs in one
+band bucket — at that severity the TRUE pair set is itself quadratic
+(~1.4e9 genuine >=0.5-Jaccard pairs), so no engine can list it and
+AQE skew-splitting is irrelevant; the BAND_CAP demotion guard
+(dedup_minhash_capped_pairs) is what survives, demoting 8,961 hot
+buckets before any pair materializes.  At that extreme the cap also
+costs full recall (every band of every boilerplated doc is hot) —
+the production answer is to strip boilerplate UPSTREAM with the
+C4-style span rewrite (corpus.py, dedup_span_rewrite) and run LSH on
+the rewritten text.  At mild skew (1% boilerplate: 840-doc buckets,
+~865k true pairs) the UNCAPPED join remains correct and bounded, and
+there AQE skew-join splitting is what rebalances the hot partitions.
 """
 
 from __future__ import annotations
