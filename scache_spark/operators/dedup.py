@@ -1060,6 +1060,135 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
+    melted AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
+    ),
+    keep AS (
+      SELECT band_id, band_hash FROM melted
+      GROUP BY band_id, band_hash
+      HAVING count(*) <= {BAND_CAP}
+    ),
+    capped AS (
+      SELECT m.* FROM melted m
+      JOIN keep k ON m.band_id = k.band_id AND m.band_hash = k.band_hash
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, sa.source AS src_1, sb.source AS src_2,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand c
+      JOIN shingled sa ON sa.doc_id = c.doc_a
+      JOIN shingled sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    )
+    SELECT least(src_1, src_2) AS src_a,
+           greatest(src_1, src_2) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM verified GROUP BY 1, 2
+    """,
+    tags=("B24", "B7", "B13"),
+    doc=f"Cross-SOURCE duplication matrix — the corpus-governance view "
+    "of near-dup structure: every capped-band verified near-dup pair "
+    "rolls up to an unordered (source, source) cell with pair count "
+    "and mean Jaccard, answering 'which ingestion sources copy from "
+    "which' (mirror detection, license triage, crawl-overlap "
+    "budgeting).  Shares the entire capped banded-LSH dataflow of "
+    f"dedup_minhash_capped_pairs (BAND_CAP={BAND_CAP} demotion before "
+    "any pair materializes), then joins each verified pair to its two "
+    "source labels and collapses to at most |sources|^2/2 rows — the "
+    "pair space never leaves the executors, only the tiny matrix "
+    "does.  At 100 TB this is the report a data-governance pass "
+    "publishes weekly; any blow-up is bounded by the same cap the "
+    "boilerplate stress (SCALE_STRESS_boilerplate.json) verified.",
+)
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (
+        shingled_docs(spark, sf_dir)
+        .select("doc_id", "source", "sh")
+        .localCheckpoint(eager=True)
+    )
+    sigs = sh.select("doc_id", *_signature_cols())
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")))
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).localCheckpoint(eager=True)
+    keep = (
+        melted.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BAND_CAP)
+        .select("band_id", "band_hash")
+    )
+    capped = melted.join(keep, ["band_id", "band_hash"])
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("src_1"),
+                F.col("sh").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("src_2"),
+                F.col("sh").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .select("src_1", "src_2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return verified.select(
+        F.least("src_1", "src_2").alias("src_a"),
+        F.greatest("src_1", "src_2").alias("src_b"),
+        "jaccard",
+    ).groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental dedup: new batch vs existing corpus (ingestion-time shape)
 # ---------------------------------------------------------------------------

@@ -196,6 +196,124 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ECE_FEATS_SQL = """
+    feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+             CAST(len(regexp_extract_all(text, '[^a-z ]')) AS INT) AS n_nonalpha,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> list_contains(['the','a','of','and','to'], w))) AS INT)
+                 AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+              + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+              + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) AS q,
+             CASE WHEN n_tok >= 60 THEN 1 ELSE 0 END AS label
+      FROM feats),
+    bucketed AS (
+      SELECT least(CAST(floor(q * 10) AS INT), 9) AS bucket, q, label
+      FROM scored),
+    bstats AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             avg(q) AS conf_raw,
+             avg(CAST(label AS DOUBLE)) AS acc_raw
+      FROM bucketed GROUP BY bucket)
+"""
+
+
+@register(
+    "quality_calibration_ece",
+    oracle=f"""
+    WITH {_ECE_FEATS_SQL}
+    SELECT b.bucket, b.n_docs,
+           round(b.conf_raw, 6) AS conf,
+           round(b.acc_raw, 6) AS acc,
+           round(abs(b.acc_raw - b.conf_raw), 6) AS gap,
+           round(e.ece_raw, 6) AS ece
+    FROM bstats b
+    CROSS JOIN (
+      SELECT sum(CAST(n_docs AS DOUBLE) * abs(acc_raw - conf_raw))
+             / sum(n_docs) AS ece_raw
+      FROM bstats) e
+    """,
+    tags=("B24", "B20", "B19"),
+    doc="Quality-classifier CALIBRATION audit — the gate check before "
+    "classifier-based corpus filtering (the FineWeb-Edu / CCNet-LM "
+    "pattern: a scored corpus is cut at a threshold, so a score that "
+    "is not calibrated silently biases the cut).  The heuristic "
+    "quality score is read as a keep-probability, reliability is "
+    "measured against a deterministic proxy target (n_tok >= 60), "
+    "and the standard reliability diagram drops out: per score "
+    "decile, count / mean confidence / empirical accuracy / |gap|, "
+    "plus the Expected Calibration Error (bucket-weighted mean gap) "
+    "broadcast-crossed onto every row.  Scale: one scan folds to 10 "
+    "bucket rows map-side; ECE is an aggregate OF the bucket frame — "
+    "the 100 TB corpus contributes exactly 10 rows past the first "
+    "shuffle, and the 1-row ECE side is a broadcast.",
+)
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lower_t = F.split(F.lower("text"), " ")
+    feats = d.select(
+        F.length("text").cast("int").alias("n_len"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+        F.size(F.expr("regexp_extract_all(text, '[^a-z ]', 0)"))
+        .cast("int")
+        .alias("n_nonalpha"),
+        F.size(
+            F.filter(lower_t, lambda w: w.isin(["the", "a", "of", "and", "to"]))
+        )
+        .cast("int")
+        .alias("n_stop"),
+    )
+    q = (
+        0.4 * F.least(F.col("n_tok").cast("double") / 100.0, F.lit(1.0))
+        + 0.4 * (F.col("n_stop").cast("double") / F.col("n_tok"))
+        + 0.2 * (1.0 - F.col("n_nonalpha").cast("double") / F.col("n_len"))
+    )
+    scored = feats.select(
+        q.alias("q"),
+        F.when(F.col("n_tok") >= 60, 1).otherwise(0).alias("label"),
+    )
+    bstats = (
+        scored.select(
+            F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bucket"),
+            "q",
+            "label",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.avg("q").alias("conf_raw"),
+            F.avg(F.col("label").cast("double")).alias("acc_raw"),
+        )
+        # two consumers (the rows + the ECE aggregate) would re-scan
+        # the corpus subtree twice; materialize the 10-row frame once
+        .localCheckpoint(eager=True)
+    )
+    ece = bstats.agg(
+        (
+            F.sum(
+                F.col("n_docs").cast("double")
+                * F.abs(F.col("acc_raw") - F.col("conf_raw"))
+            )
+            / F.sum("n_docs")
+        ).alias("ece_raw")
+    )
+    return bstats.crossJoin(F.broadcast(ece)).select(
+        "bucket",
+        "n_docs",
+        F.round("conf_raw", 6).alias("conf"),
+        F.round("acc_raw", 6).alias("acc"),
+        F.round(F.abs(F.col("acc_raw") - F.col("conf_raw")), 6).alias("gap"),
+        F.round("ece_raw", 6).alias("ece"),
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""
