@@ -68,6 +68,11 @@ HEADLINE = [
     "leakage_safe_split",
     "stream_neardup_suppress",
     "ivm_join_view_delta",
+    # round-6 additions (appended — shared-subset delta unaffected)
+    "dedup_minhash_capped_pairs",
+    "dedup_source_overlap_matrix",
+    "quality_calibration_ece",
+    "stream_cms_heavy_users",
 ]
 
 
