@@ -164,6 +164,12 @@ BOILERPLATE_GUARDED = [
     "dedup_exact_hash",            # hash-groupBy control: skew-immune
     "dedup_minhash_capped_pairs",  # BAND_CAP demotion is the guard
     "stream_neardup_suppress",     # capped keyed state is the guard
+    # the MITIGATION leg: at extreme severity the cap costs recall, so
+    # the production pipeline strips boilerplate upstream with the
+    # C4-style span rewrite — a linear pass (span-frequency agg + join
+    # back; state = distinct spans, never pairs), verified here on the
+    # worst-case corpus itself
+    "dedup_span_rewrite",
 ]
 BOILERPLATE_UNGUARDED = [
     "dedup_minhash_pairs",
