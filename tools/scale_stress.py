@@ -226,6 +226,100 @@ def stage_boilerplate(base: str, factor: int, pct: int) -> str:
     return out
 
 
+# --dirty (r6): DIRTY-CORPUS stress — the pathological document rows a
+# 100 TB web crawl certainly contains and the clean fixtures never
+# exercise: empty text, whitespace-only, NULL text, single tokens
+# (below the shingle width), a 500-char single token, unicode/emoji,
+# pure digits+punctuation, all-stopword uppercase, control characters,
+# massive single-word repetition.  Both engines read the same staged
+# parquet, so any disagreement is a real divide-by-zero / empty-array
+# / null-propagation semantics divergence in an operator or its
+# oracle.  Runs at BASE scale (edge cases don't need volume), over
+# every oracle-paired query whose oracle reads the documents table.
+_DIRTY_ROWS_SQL = """
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.text,
+           t.lang, t.source,
+           CAST(coalesce(length(t.text), 0) AS INT) AS n_chars
+    FROM (VALUES
+      (90001, '', 'en', 'dirty'),
+      (90002, '   ', 'en', 'dirty'),
+      (90003, 'word', 'en', 'dirty'),
+      (90004, 'two words', 'en', 'dirty'),
+      (90005, repeat('x', 500), 'en', 'dirty'),
+      (90006, 'héllo wörld ☃ 汉字 🤖', 'xx', 'dirty'),
+      (90007, rtrim(repeat('spam ', 101)), 'en', 'dirty'),
+      (90008, '123 456 !!! ???', 'en', 'dirty'),
+      (90009, NULL, 'en', 'dirty'),
+      (90010, 'THE A OF AND TO', 'en', 'dirty'),
+      (90011, 'a' || chr(9) || 'b' || chr(10) || 'c', 'en', 'dirty'),
+      (90012, ' leading  and trailing ', 'en', 'dirty')
+    ) t(doc_id, text, lang, source)
+"""
+
+
+def stage_dirty(base: str) -> str:
+    """Stage a replica whose documents table carries the 12 planted
+    pathological rows appended to the untouched fixture; every other
+    table is copied verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {_DIRTY_ROWS_SQL}"
+            if t == "documents"
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 12}))
+    return out
+
+
+def run_dirty(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    pool = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and "documents" in s.oracle
+    )
+    names = [n for n in pool if not subs or any(x in n for x in subs)]
+    print(f"staging dirty replica from {base} ...", flush=True)
+    sf_dir = stage_dirty(base)
+    spark = get_session("scale-stress-dirty")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-corpus (12 planted pathological document rows)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -588,6 +682,9 @@ def main() -> None:
     checksum = "--checksum" in args
     if checksum:
         args.remove("--checksum")
+    dirty = "--dirty" in args
+    if dirty:
+        args.remove("--dirty")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -603,11 +700,16 @@ def main() -> None:
         sys.exit("scale_stress: --boilerplate runs its own two-severity protocol")
     if checksum and (rest or skew is not None):
         sys.exit("scale_stress: --checksum runs only on the uniform replica")
+    if dirty and (rest or skew is not None or boilerplate or checksum):
+        sys.exit("scale_stress: --dirty is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
     if checksum:
         run_checksum(base, factor)
+        return
+    if dirty:
+        run_dirty(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
