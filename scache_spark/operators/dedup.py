@@ -50,9 +50,17 @@ SHINGLE_N = 3  # words per shingle
 # augmented corpus (shared by the dedup family)
 # ---------------------------------------------------------------------------
 
+# INGEST CONTRACT (r6, SCALE_STRESS_dirty.json): null-text and
+# blank-text documents are dropped at corpus load — a web crawl
+# carries them, and every downstream dedup semantics (hash grouping,
+# near-dup variant generation, shingling) is underdetermined on them.
+# The filter applies to the BASE scan and again to the generated
+# variants (a near-dup variant of a 1-token doc degenerates to '').
+# No-op on the clean fixtures.
 _AUG_SQL = """
-    base AS (SELECT doc_id, lower(text) AS text, source FROM documents),
-    aug AS (
+    base AS (SELECT doc_id, lower(text) AS text, source FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+    aug0 AS (
       SELECT doc_id, text, source FROM base
       UNION ALL
       SELECT doc_id + 100000, text, source FROM base WHERE doc_id % 10 = 0
@@ -61,13 +69,20 @@ _AUG_SQL = """
              array_to_string(string_split(text, ' ')[2:], ' ') AS text,
              source
       FROM base WHERE doc_id % 10 = 5
-    )
+    ),
+    aug AS (SELECT * FROM aug0 WHERE trim(text) <> '')
 """
 
+# SHINGLE PARTICIPATION CONTRACT (r6): a document below the shingle
+# width (< SHINGLE_N tokens) has NO shingles — it cannot participate
+# in shingle-granularity similarity, and keeping it would put empty
+# sets into Jaccard denominators (divide-by-zero under ANSI) and NULL
+# minhashes into band keys.  Dropped here, in both engines alike.
 _SHINGLE_SQL = (
-    "shingled AS (SELECT doc_id, source, "
+    "shingled AS (SELECT * FROM (SELECT doc_id, source, "
     "list_distinct([array_to_string(string_split(text, ' ')[i:i+2], ' ') "
-    "for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh FROM aug)"
+    "for i in range(1, len(string_split(text, ' ')) - 1)]) AS sh FROM aug) "
+    "WHERE len(sh) > 0)"
 )
 
 
@@ -90,7 +105,10 @@ def augment_doc_variants(raw: DataFrame) -> DataFrame:
     source) frame — narrow (per-row explode), so it applies unchanged
     to a STREAMING frame (the ingest-time near-dup suppressor replays
     the corpus through it)."""
-    base = raw.select("doc_id", F.lower("text").alias("text"), "source")
+    # ingest contract (see _AUG_SQL): null/blank docs never enter
+    base = raw.select("doc_id", F.lower("text").alias("text"), "source").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
     toks = F.split(F.col("text"), " ")
     near_text = F.concat_ws(
         " ", F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
@@ -120,6 +138,8 @@ def augment_doc_variants(raw: DataFrame) -> DataFrame:
             F.explode(F.filter(variants, lambda v: v["keep"])).alias("v")
         )
         .select("v.doc_id", "v.text", "v.source")
+        # a near-dup variant of a short doc can degenerate to blank
+        .filter(F.trim("text") != "")
     )
 
 
@@ -174,7 +194,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aug.select(
         "doc_id", "source", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)  # shingle participation contract (r6)
 
 
 def _signature_cols() -> list:

@@ -1361,7 +1361,15 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_checksum(table: str, cols: list[str]) -> str:
-    concat = " || chr(31) || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    # NULL cells must hash as a distinguished token, not erase the row:
+    # bare || propagates NULL through the whole concat, silently
+    # DROPPING every nulled row from the XOR — while Spark's concat_ws
+    # silently SKIPS the null cell.  Both are wrong for a
+    # reconciliation checksum; both sides coalesce to the same
+    # sentinel (r6, caught by the dirty-corpus stress).
+    concat = " || chr(31) || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL')" for c in cols
+    )
     return f"""
     SELECT '{table}' AS table_name,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -1397,11 +1405,22 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for t, cs in _CHECKSUM_TABLES.items():
         df = load_table(spark, sf_dir, t)
+        # coalesce each cell to a NUL-prefixed sentinel: concat_ws
+        # would silently SKIP a null cell (shifting the row's bytes),
+        # while the SQL twin's || would NULL the whole row out of the
+        # XOR — see _sql_checksum (r6 dirty-corpus finding)
         row_hash = F.conv(
             F.substring(
                 F.md5(
                     F.concat_ws(
-                        chr(31), *[F.col(c).cast("string") for c in cs]
+                        chr(31),
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"),
+                                F.lit("\x00NULL"),
+                            )
+                            for c in cs
+                        ],
                     )
                 ),
                 1,

@@ -34,7 +34,9 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").alias("asset_id"),
-        F.encode(F.col("text"), "UTF-8").alias("blob"),
+        # null-safe (r6 dirty contract): a NULL payload is the empty
+        # blob — decoders downstream must never see None
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("blob"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
@@ -96,10 +98,12 @@ def _fake_decode(blob: bytes) -> "pd.Series":
     """STUB for the real decoder (PIL.Image.open / librosa.load /
     av.open).  The container ships no media codecs, so we 'decode' the
     blob into its raw byte values — deterministic, so tests are exact.
-    Replace this function (only) to plug a real codec in."""
+    Replace this function (only) to plug a real codec in.  A None/
+    empty payload decodes to an empty sample array (r6 dirty
+    contract) — a decoder must degrade, not crash, on a bad asset."""
     import numpy as np
 
-    arr = np.frombuffer(blob, dtype=np.uint8).astype("float64")
+    arr = np.frombuffer(blob or b"", dtype=np.uint8).astype("float64")
     return arr
 
 
@@ -121,9 +125,11 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     mime,
                     int(n),
                     # round(6): numpy's pairwise summation vs the
-                    # oracle's sequential list_aggregate differ in ulps
-                    round(float(arr.mean()), 6) if n else 0.0,
-                    round(float(arr.std()), 6) if n else 0.0,
+                    # oracle's sequential list_aggregate differ in ulps.
+                    # An empty asset has NO moments — null, not 0.0
+                    # (r6 dirty contract, matching SQL NULL semantics).
+                    round(float(arr.mean()), 6) if n else None,
+                    round(float(arr.std()), 6) if n else None,
                     ",".join(str(int(x)) for x in arr[:4]),
                 )
             )
@@ -145,16 +151,18 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle="""
     WITH bytes AS (
       SELECT doc_id,
-             [CAST(ascii(substr(text, i, 1)) AS DOUBLE)
-              for i in range(1, length(text) + 1)] AS bv,
-             length(text) AS n
+             [CAST(CAST(('0x' || substr(hex(encode(coalesce(text, ''))),
+                                   2 * i + 1, 2)) AS INT) AS DOUBLE)
+              for i in range(0, octet_length(encode(coalesce(text, ''))))] AS bv,
+             octet_length(encode(coalesce(text, ''))) AS n
       FROM documents
     ),
     mom AS (
       SELECT doc_id, n,
              list_aggregate(bv, 'sum') / n AS mu,
              list_aggregate([x * x for x in bv], 'sum') / n AS m2,
-             array_to_string([CAST(x AS INT) for x in bv[1:least(n, 4)]], ',')
+             coalesce(array_to_string(
+                 [CAST(x AS INT) for x in bv[1:least(n, 4)]], ','), '')
                  AS head
       FROM bytes
     )
@@ -171,10 +179,12 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     tags=("north-star", "B23"),
     doc="mapInPandas decode+featurize pipeline over binary assets: "
     "Arrow batches in, typed features out.  Decode itself is stubbed "
-    "(no codecs in container) but deterministic — the fixture text is "
-    "ASCII, so byte == codepoint and the oracle recomputes every "
-    "feature in pure SQL (population std via E[x²]−μ², rounded on "
-    "both sides).",
+    "(no codecs in container) but deterministic, and the oracle "
+    "recomputes every feature in pure SQL over the TRUE UTF-8 bytes "
+    "(hex(encode(text)) byte extraction — r6: the old "
+    "ascii-codepoint shortcut diverged on non-ASCII payloads, caught "
+    "by the dirty-corpus stress; population std via E[x²]−μ², "
+    "rounded on both sides).",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = binary_assets(spark, sf_dir)
@@ -189,9 +199,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
                   ELSE 'video/mp4' END AS mime,
-             round(list_aggregate([CAST(ascii(substr(text, i, 1)) AS DOUBLE)
-                                   for i in range(1, length(text) + 1)], 'sum')
-                 / length(text), 6) AS feat_mean
+             round(list_aggregate(
+                     [CAST(CAST(('0x' || substr(hex(encode(coalesce(text, ''))),
+                                           2 * i + 1, 2)) AS INT) AS DOUBLE)
+                      for i in range(0, octet_length(encode(coalesce(text, ''))))],
+                     'sum')
+                 / octet_length(encode(coalesce(text, ''))), 6) AS feat_mean
       FROM documents)
     SELECT mime,
            CAST(count(*) AS BIGINT) AS n_assets,
@@ -200,9 +213,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("north-star",),
     doc="Cross-check of the pandas featurizer: byte-mean per asset "
-    "recomputed in pure SQL (ASCII text ⇒ byte==codepoint), "
-    "aggregated per mime class.  Hash-matches the oracle, proving "
-    "the UDF path and the declarative path agree.",
+    "recomputed in pure SQL over the true UTF-8 bytes (hex(encode) "
+    "extraction, r6), aggregated per mime class.  Hash-matches the "
+    "oracle, proving the UDF path and the declarative path agree.",
 )
 def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal_features(spark, sf_dir)
@@ -228,11 +241,20 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for aid, blob in zip(pdf["asset_id"], pdf["blob"]):
-            b = bytes(blob)
+            b = bytes(blob) if blob is not None else b""
             for g in range(min(len(b) // 64, 8)):
                 seg = b[g * 64 : (g + 1) * 64]
+                # signature = md5 of the slice's UPPERCASE HEX: a
+                # byte-exact canonical form both engines can compute
+                # for ANY payload (r6 — md5 over raw bytes is not
+                # SQL-expressible for non-UTF-8 slices)
                 rows.append(
-                    (int(aid), g, seg[0], hashlib.md5(seg).hexdigest())
+                    (
+                        int(aid),
+                        g,
+                        seg[0],
+                        hashlib.md5(seg.hex().upper().encode()).hexdigest(),
+                    )
                 )
         yield pd.DataFrame(
             rows,
@@ -243,13 +265,16 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_frame_sample",
     oracle="""
+    WITH hexed AS (
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+             octet_length(encode(coalesce(text, ''))) AS nb
+      FROM documents)
     SELECT doc_id AS asset_id,
            CAST(g AS INT) AS frame_no,
-           CAST(ascii(substr(text, g * 64 + 1, 1)) AS INT) AS first_byte,
-           md5(substr(text, g * 64 + 1, 64)) AS frame_sig
-    FROM documents, generate_series(0, 7) t(g)
-    WHERE doc_id % 3 = 2
-      AND g < least(octet_length(encode(text)) // 64, 8)
+           CAST(('0x' || substr(h, g * 128 + 1, 2)) AS INT) AS first_byte,
+           md5(substr(h, g * 128 + 1, 128)) AS frame_sig
+    FROM hexed, generate_series(0, 7) t(g)
+    WHERE doc_id % 3 = 2 AND g < least(nb // 64, 8)
     """,
     tags=("north-star", "B23"),
     doc="Video frame sampling over opaque binary assets: mapInPandas "
@@ -292,6 +317,10 @@ def _phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
             arr = _fake_decode(blob)
             n = len(arr)
+            if n == 0:
+                # an empty asset has no perceptual signature (r6 dirty
+                # contract) — it cannot participate in near-dup pairing
+                continue
             codes = [int(arr[(i * 7) % n]) for i in range(_PHASH_BITS)]
             mean = sum(codes) / 64.0
             bands = []
@@ -310,9 +339,12 @@ def _phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     WITH codes AS (
       SELECT doc_id,
-             [ascii(substr(text, ((i * 7) % length(text)) + 1, 1))
+             [CAST(('0x' || substr(hex(encode(text)),
+                                   2 * ((i * 7) % octet_length(encode(text))) + 1,
+                                   2)) AS INT)
               for i in range(0, {_PHASH_BITS})] AS c
       FROM documents
+      WHERE octet_length(encode(coalesce(text, ''))) > 0
     ),
     hashed AS (
       SELECT doc_id, c, list_aggregate(c, 'sum') / 64.0 AS m FROM codes

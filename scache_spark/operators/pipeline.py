@@ -40,7 +40,8 @@ STRIDE = 40  # tokens between chunk starts (10-token overlap)
 @register(
     "text_chunking",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+    WITH toks AS (SELECT doc_id,
+                         string_split(lower(coalesce(text, '')), ' ') AS t
                   FROM documents),
     chunked AS (
       SELECT doc_id,
@@ -61,7 +62,8 @@ STRIDE = 40  # tokens between chunk starts (10-token overlap)
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = F.split(F.lower("text"), " ")
+    # null-safe (r6 dirty contract): NULL text chunks as the empty doc
+    t = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
     docs = d.select("doc_id", t.alias("t"))
     # starts: 0, STRIDE, 2*STRIDE, ... < max(len - overlap, 1)
     starts = F.sequence(
@@ -631,7 +633,7 @@ def _nfd_pack(pdf):
     oracle=f"""
     WITH RECURSIVE toks AS (
       SELECT source, doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS tok
       FROM documents
     ),
     ordered AS (
@@ -677,7 +679,12 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("tok"),
+        # null-safe (r6): a NULL-text doc packs as the 1-token empty
+        # doc, identically in both engines (the unguarded size() fed
+        # NaN into the pandas packer)
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .cast("long")
+        .alias("tok"),
     )
     packed = docs.groupBy("source").applyInPandas(
         _nfd_pack, "source string, doc_id long, tok long, bin int"

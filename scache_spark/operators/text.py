@@ -133,44 +133,18 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    oracle="""
-    WITH feats AS (
-      SELECT doc_id, source,
-             CAST(length(text) AS INT) AS n_len,
-             CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-             CAST(len(regexp_extract_all(text, '[^a-z ]')) AS INT) AS n_nonalpha,
-             CAST(len(list_filter(string_split(lower(text), ' '),
-                  w -> list_contains(['the','a','of','and','to'], w))) AS INT)
-                 AS n_stop
-      FROM documents)
-    SELECT doc_id, source, n_len, n_tok,
-           CAST(n_nonalpha AS DOUBLE) / n_len AS punct_ratio,
-           CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
-           (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-            + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
-            + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) AS quality,
-           CASE WHEN (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-                + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
-                + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) >= 0.5
-                THEN 'keep' ELSE 'drop' END AS tier
-    FROM feats
-    """,
-    tags=("B24",),
-    doc="Heuristic quality score: length + stopword-density + "
-    "punctuation terms, with a keep/drop gate — the C4-style filter "
-    "shape.",
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    lower_t = F.split(F.lower("text"), " ")
-    feats = d.select(
-        "doc_id",
-        "source",
-        F.length("text").cast("int").alias("n_len"),
-        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
-        F.size(F.expr("regexp_extract_all(text, '[^a-z ]', 0)"))
+def _quality_feats(d: DataFrame) -> DataFrame:
+    """(n_len, n_tok, n_nonalpha, n_stop) over null-safe text — the
+    shared feature block of the quality family.  coalesce(text, '')
+    makes NULL text behave as empty (n_len 0), which the guarded
+    score maps to quality 0.0 / 'drop'."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lower_t = F.split(F.lower(t), " ")
+    return d.select(
+        "*",
+        F.coalesce(F.length("text"), F.lit(0)).cast("int").alias("n_len"),
+        F.size(F.split(t, " ")).cast("int").alias("n_tok"),
+        F.size(F.regexp_extract_all(t, F.lit("[^a-z ]"), 0))
         .cast("int")
         .alias("n_nonalpha"),
         F.size(
@@ -179,18 +153,71 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_stop"),
     )
-    quality = (
+
+
+def _quality_expr():
+    """Guarded score: 0.0 for empty/null docs (ANSI-safe — the raw
+    formula divides by n_len)."""
+    raw = (
         0.4 * F.least(F.col("n_tok").cast("double") / 100.0, F.lit(1.0))
         + 0.4 * (F.col("n_stop").cast("double") / F.col("n_tok"))
         + 0.2 * (1.0 - F.col("n_nonalpha").cast("double") / F.col("n_len"))
     )
+    return F.when(F.col("n_len") == 0, F.lit(0.0)).otherwise(raw)
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             CAST(coalesce(length(text), 0) AS INT) AS n_len,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tok,
+             CAST(len(regexp_extract_all(coalesce(text, ''), '[^a-z ]')) AS INT)
+                 AS n_nonalpha,
+             CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                  w -> list_contains(['the','a','of','and','to'], w))) AS INT)
+                 AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT *,
+             CASE WHEN n_len = 0 THEN 0.0
+                  ELSE CAST(n_nonalpha AS DOUBLE) / n_len END AS punct_ratio,
+             CASE WHEN n_len = 0 THEN 0.0
+                  ELSE CAST(n_stop AS DOUBLE) / n_tok END AS stop_ratio,
+             CASE WHEN n_len = 0 THEN 0.0
+                  ELSE (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+                        + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len))
+             END AS quality
+      FROM feats)
+    SELECT doc_id, source, n_len, n_tok, punct_ratio, stop_ratio, quality,
+           CASE WHEN quality >= 0.5 THEN 'keep' ELSE 'drop' END AS tier
+    FROM scored
+    """,
+    tags=("B24",),
+    doc="Heuristic quality score: length + stopword-density + "
+    "punctuation terms, with a keep/drop gate — the C4-style filter "
+    "shape.  Dirty-input contract (r6, SCALE_STRESS_dirty.json): "
+    "null/empty text scores 0.0 and tiers 'drop' — a quality FILTER "
+    "must gate garbage, not crash on it (the unguarded ratio divided "
+    "by zero under ANSI mode).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _quality_feats(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    zero_safe = lambda num, den: F.when(  # noqa: E731
+        F.col("n_len") == 0, F.lit(0.0)
+    ).otherwise(F.col(num).cast("double") / F.col(den))
+    quality = _quality_expr()
     return feats.select(
         "doc_id",
         "source",
         "n_len",
         "n_tok",
-        (F.col("n_nonalpha").cast("double") / F.col("n_len")).alias("punct_ratio"),
-        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("stop_ratio"),
+        zero_safe("n_nonalpha", "n_len").alias("punct_ratio"),
+        zero_safe("n_stop", "n_tok").alias("stop_ratio"),
         quality.alias("quality"),
         F.when(quality >= 0.5, "keep").otherwise("drop").alias("tier"),
     )
@@ -199,19 +226,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ECE_FEATS_SQL = """
     feats AS (
       SELECT doc_id,
-             CAST(length(text) AS INT) AS n_len,
-             CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
-             CAST(len(regexp_extract_all(text, '[^a-z ]')) AS INT) AS n_nonalpha,
-             CAST(len(list_filter(string_split(lower(text), ' '),
+             CAST(coalesce(length(text), 0) AS INT) AS n_len,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tok,
+             CAST(len(regexp_extract_all(coalesce(text, ''), '[^a-z ]')) AS INT)
+                 AS n_nonalpha,
+             CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
                   w -> list_contains(['the','a','of','and','to'], w))) AS INT)
                  AS n_stop
       FROM documents),
     scored AS (
       SELECT doc_id,
-             (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-              + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
-              + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len)) AS q,
-             CASE WHEN n_tok >= 60 THEN 1 ELSE 0 END AS label
+             CASE WHEN n_len = 0 THEN 0.0
+                  ELSE (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+                        + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len))
+             END AS q,
+             CASE WHEN n_tok >= 60 AND n_len > 0 THEN 1 ELSE 0 END AS label
       FROM feats),
     bucketed AS (
       SELECT least(CAST(floor(q * 10) AS INT), 9) AS bucket, q, label
@@ -256,28 +286,14 @@ _ECE_FEATS_SQL = """
     "shuffle, and the 1-row ECE side is a broadcast.",
 )
 def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    lower_t = F.split(F.lower("text"), " ")
-    feats = d.select(
-        F.length("text").cast("int").alias("n_len"),
-        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
-        F.size(F.expr("regexp_extract_all(text, '[^a-z ]', 0)"))
-        .cast("int")
-        .alias("n_nonalpha"),
-        F.size(
-            F.filter(lower_t, lambda w: w.isin(["the", "a", "of", "and", "to"]))
-        )
-        .cast("int")
-        .alias("n_stop"),
-    )
-    q = (
-        0.4 * F.least(F.col("n_tok").cast("double") / 100.0, F.lit(1.0))
-        + 0.4 * (F.col("n_stop").cast("double") / F.col("n_tok"))
-        + 0.2 * (1.0 - F.col("n_nonalpha").cast("double") / F.col("n_len"))
+    feats = _quality_feats(
+        load_table(spark, sf_dir, "documents").select("text")
     )
     scored = feats.select(
-        q.alias("q"),
-        F.when(F.col("n_tok") >= 60, 1).otherwise(0).alias("label"),
+        _quality_expr().alias("q"),
+        F.when((F.col("n_tok") >= 60) & (F.col("n_len") > 0), 1)
+        .otherwise(0)
+        .alias("label"),
     )
     bstats = (
         scored.select(
@@ -320,7 +336,8 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(
-                 string_split(lower(text), ' '))), ' ')) AS fingerprint
+                 string_split(lower(coalesce(text, '')), ' '))), ' '))
+                 AS fingerprint
       FROM documents)
     SELECT fingerprint,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -330,13 +347,21 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B24",),
     doc="Order-insensitive document fingerprint (md5 of sorted distinct "
     "vocabulary): catches permuted/reshuffled duplicates exact "
-    "hashing misses.",
+    "hashing misses.  Null-safe (r6): NULL and whitespace-only docs "
+    "share the empty fingerprint in BOTH engines (Spark's concat_ws "
+    "silently maps a null array to '' while SQL || propagates NULL — "
+    "the divergence the dirty-corpus stress caught).",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(
         F.concat_ws(
-            " ", F.array_sort(F.array_distinct(F.split(F.lower("text"), " ")))
+            " ",
+            F.array_sort(
+                F.array_distinct(
+                    F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+                )
+            ),
         )
     )
     return (
@@ -610,7 +635,8 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source,
              [array_to_string(t[i:i+2], ' ')
               for i in range(1, len(t) - 1)] AS g3
-      FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t
+      FROM (SELECT doc_id, source,
+                   string_split(lower(coalesce(text, '')), ' ') AS t
             FROM documents))
     SELECT doc_id, source,
            CAST(len(g3) AS INT) AS n_grams,

@@ -188,8 +188,8 @@ _CHUNK_STRIDE = 20  # tokens between chunk starts (5-token overlap)
     "udtf_chunk_spans",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             len(string_split(text, ' ')) AS n
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t,
+             len(string_split(coalesce(text, ''), ' ')) AS n
       FROM documents
     ),
     spans AS (
@@ -221,7 +221,9 @@ def udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, n_tokens int, first_token string")
     class ChunkSpans:
         def eval(self, text: str):
-            toks = text.split(" ")
+            # null-safe (r6 dirty contract): NULL text chunks as the
+            # empty doc — matching the oracle's coalesce(text, '')
+            toks = (text or "").split(" ")
             n = len(toks)
             s = 0
             idx = 0

@@ -526,7 +526,7 @@ def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select(
         "doc_id", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
-    )
+    ).filter(F.size("sh") > 0)  # shingle participation contract (r6)
     bands = sh.select("doc_id", *_signature_cols()).select(
         "doc_id", *_band_cols()
     )
@@ -568,10 +568,23 @@ def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Non-suppressed docs emit nothing (that is the whole point: the
     # firehose's verdict channel carries only suppressions); the full
     # doc list is recovered from the same deterministic augmented feed
-    # batch-side — a metadata-weight id column, never the text.
-    base = augment_doc_variants(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    ).select("doc_id")
+    # batch-side — a metadata-weight id column, never the text.  The
+    # universe is shingle-PARTICIPATING docs (same contract as the
+    # stream side and the oracle): a doc below the shingle width has
+    # no near-dup verdict at this granularity.
+    base = (
+        augment_doc_variants(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "source"
+            )
+        )
+        .select(
+            "doc_id",
+            word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id")
+    )
     return base.join(dup_counts, "doc_id", "left").select(
         "doc_id",
         F.col("n_dup_bands").isNotNull().alias("suppressed"),

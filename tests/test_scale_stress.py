@@ -118,3 +118,63 @@ def test_capped_dedup_matches_oracle_under_boilerplate(spark, bp_dir):
     )
     odf = con.execute(oracle_sql()[name]).df()
     assert_frames_match(spdf, odf, name)
+
+
+# ---------------------------------------------------------------------------
+# dirty-corpus contract (r6): the 12 pathological document rows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dirty_dir():
+    from tools.scale_stress import stage_dirty
+
+    out = stage_dirty("/root/testdata/sf0.001")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+# The 16 queries the dirty stress originally broke (ANSI div-by-zero,
+# pandas None-crashes, null-vs-skip checksum divergence, null/empty
+# semantic drift) — each now carries an explicit dirty-input contract.
+_DIRTY_REGRESSIONS = [
+    "dedup_exact_hash",
+    "dedup_materialize",
+    "dedup_ngram_jaccard",
+    "leakage_safe_split",
+    "multimodal_feature_agg",
+    "multimodal_features",
+    "multimodal_phash_neardup",
+    "multimodal_frame_sample",
+    "quality_calibration_ece",
+    "sequence_packing_bins",
+    "table_checksum_manifest",
+    "text_chunking",
+    "text_fingerprint",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "udtf_chunk_spans",
+]
+
+
+def test_dirty_corpus_contracts_hold(spark, dirty_dir):
+    """Every formerly-broken query must match its oracle on the
+    pathological corpus — the regression guard for the r6 dirty-input
+    contracts (SCALE_STRESS_dirty.json).  stream_neardup_suppress is
+    covered by the full --dirty artifact, not here (streaming in the
+    shared-session test suite is slow)."""
+    from __spark_entry__ import oracle_sql
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{dirty_dir}/{t}.parquet')"
+        )
+    for name in _DIRTY_REGRESSIONS:
+        spdf = REGISTRY[name].fn(spark, dirty_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert_frames_match(spdf, odf, name)
