@@ -114,6 +114,26 @@ def vec_cosine(a: Column, b: Column) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
+def cosine_ready(df, col: str = "embedding"):
+    """r6 VECTOR CONTRACT (SCALE_STRESS_dirty.json): NULL embeddings
+    are ingest rejects, and a ZERO-NORM vector (a dead encoder's
+    output — real data) has no defined cosine direction: 0/0.  Apply
+    at the load site of every cosine-family operator, paired with
+    ``SQL_COSINE_READY`` in its oracle.  Operators that never divide
+    by the norm (quantization, per-dimension stats) keep zero vectors
+    and need only the NULL filter."""
+    sq = F.aggregate(
+        F.col(col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    return df.filter(F.col(col).isNotNull() & (sq > 0))
+
+
+SQL_COSINE_READY = (
+    "(embedding IS NOT NULL AND "
+    "list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0)"
+)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments (kept beside the Spark builders so the two
 # definitions evolve together)

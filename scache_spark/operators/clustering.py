@@ -249,9 +249,10 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings
-      WHERE vec_id % 20 = 0
+      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
     ),
     seeds AS (SELECT vec_id AS cell, embedding AS centroid
               FROM embeddings WHERE vec_id < {K}),
@@ -294,9 +295,10 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell, and the canonical-min aggregate is map-side combinable.",
 )
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from scache_spark.functions import vec_dot, vec_norm
+    from scache_spark.functions import cosine_ready, vec_dot, vec_norm
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # cosine contract (r6): NULL / zero-norm vectors cannot pair
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     # Planted copies via explode-over-variant-array (the augmented_docs
     # shape): ONE corpus scan emits each vector plus its optional
     # planted duplicate map-side, where the union form re-scans the

@@ -567,9 +567,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH aug AS (
       SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
       UNION ALL
       SELECT vec_id + 100000, embedding, label FROM embeddings
-      WHERE vec_id % 20 = 0
+      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            (list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
@@ -598,9 +599,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Single-scan augmentation; checkpoint because aug feeds BOTH
     # sides of the label-block self-join.
-    aug = augmented_vectors(spark, sf_dir, with_label=True).localCheckpoint(
-        eager=True
-    )
+    from scache_spark.functions import cosine_ready
+
+    # cosine contract (r6): NULL / zero-norm vectors cannot pair
+    aug = cosine_ready(
+        augmented_vectors(spark, sf_dir, with_label=True)
+    ).localCheckpoint(eager=True)
     a = aug.select(
         F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
@@ -636,9 +640,10 @@ from scache_spark.operators.similarity import (  # noqa: E402
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings
-      WHERE vec_id % 20 = 0
+      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
     ),
     bucketed AS (
       SELECT vec_id, embedding,
@@ -664,7 +669,10 @@ from scache_spark.operators.similarity import (  # noqa: E402
     "against the label-blocked baseline.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_vectors(spark, sf_dir)
+    from scache_spark.functions import cosine_ready
+
+    # cosine contract (r6): NULL / zero-norm vectors cannot pair
+    aug = cosine_ready(augmented_vectors(spark, sf_dir))
     # bucketed feeds both sides of the bucket self-join — materialize
     # so the scan + hyperplane hashing run once.
     bucketed = aug.select(

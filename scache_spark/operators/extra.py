@@ -73,13 +73,17 @@ def collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, CAST(i - 1 AS INT) AS pos,
            CAST(embedding[i] AS DOUBLE) AS comp
     FROM embeddings, unnest(range(1, 6)) AS t(i)
+    WHERE embedding IS NOT NULL
     """,
     tags=("B17",),
     doc="posexplode (index-preserving explode) of the first 5 embedding "
     "components — ordinality matches Spark's 0-based pos.",
 )
 def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings explode to nothing (r6; explicit on both sides)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     return e.select(
         "vec_id", F.posexplode(F.slice("embedding", 1, 5)).alias("pos", "comp_f")
     ).select("vec_id", F.col("pos").cast("int"), F.col("comp_f").cast("double").alias("comp"))

@@ -520,9 +520,10 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
       UNION ALL
       SELECT vec_id + 100000, embedding, label FROM embeddings
-      WHERE vec_id % 20 = 0
+      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
     ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -536,7 +537,7 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
     grid AS (SELECT unnest([{_SWEEP_SQL_GRID}]) AS threshold),
     planted AS (
       SELECT CAST(count(*) AS BIGINT) AS n_planted_total
-      FROM embeddings WHERE vec_id % 20 = 0
+      FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
     )
     SELECT g.threshold,
            CAST(count(*) AS BIGINT) AS n_detected,
@@ -564,11 +565,14 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
 def cosine_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.operators.dedup import augmented_vectors
 
+    from scache_spark.functions import cosine_ready
+
     # Single-scan augmentation, checkpointed: aug feeds both self-join
-    # sides AND the planted-total count below.
-    aug = augmented_vectors(spark, sf_dir, with_label=True).localCheckpoint(
-        eager=True
-    )
+    # sides AND the planted-total count below.  cosine contract (r6):
+    # NULL / zero-norm vectors cannot pair.
+    aug = cosine_ready(
+        augmented_vectors(spark, sf_dir, with_label=True)
+    ).localCheckpoint(eager=True)
     a = aug.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
@@ -687,7 +691,7 @@ _RRF_QUERY_VEC = 42  # the query doc/vector id (ann_ivf_probe convention)
     ), vec AS (
       SELECT vec_id,
              round((list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum') / (sqrt(list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum')) * sqrt(list_aggregate([CAST(qv.q[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(qv.q) + 1)], 'sum')))), 6) AS cos
-      FROM embeddings e, qv
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
       WHERE vec_id <> {_RRF_QUERY_VEC}
       ORDER BY cos DESC, vec_id ASC
       LIMIT {_RRF_DEPTH}
@@ -731,7 +735,10 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("tr"),
     )
-    e = load_table(spark, sf_dir, "embeddings")
+    from scache_spark.functions import cosine_ready
+
+    # cosine contract (r6): NULL / zero-norm vectors cannot rank
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     qv = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         F.col("embedding").alias("q")
     )
@@ -785,7 +792,8 @@ _NDCG_QUERY = 42
              CAST(row_number() OVER (
                ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
                         vec_id ASC) AS INT) AS irk
-      FROM embeddings e, qv WHERE vec_id <> {_NDCG_QUERY}
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
+      WHERE vec_id <> {_NDCG_QUERY}
       QUALIFY irk <= {_NDCG_K}
     ),
     system AS (
@@ -793,7 +801,7 @@ _NDCG_QUERY = 42
              CAST(row_number() OVER (
                ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
                         vec_id ASC) AS INT) AS srk
-      FROM embeddings e, qv
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
       WHERE vec_id <> {_NDCG_QUERY}
         AND {sql_lsh_bucket("e.embedding")} = qv.qb
       QUALIFY srk <= {_NDCG_K}
@@ -830,7 +838,10 @@ _NDCG_QUERY = 42
     "transcendental, rounded at 6 dp.",
 )
 def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from scache_spark.functions import cosine_ready
+
+    # cosine contract (r6): NULL / zero-norm vectors cannot rank
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     qv = e.filter(F.col("vec_id") == _NDCG_QUERY).select(
         F.col("embedding").alias("q"),
         lsh_bucket(F.col("embedding")).alias("qb"),

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import bounded_window, sql_vec_cosine, vec_cosine
+from scache_spark.functions import (
+    bounded_window,
+    cosine_ready,
+    sql_vec_cosine,
+    vec_cosine,
+)
 from scache_spark.registry import register
 
 N_PLANES = 8
@@ -35,9 +40,10 @@ DIM = 64
 @register(
     "knn_brute_cosine",
     oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    WITH vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0),
+    q AS (SELECT embedding AS qv FROM vecs WHERE vec_id = 0)
     SELECT vec_id, {sql_vec_cosine("embedding", "qv")} AS cosine
-    FROM embeddings, q
+    FROM vecs, q
     WHERE vec_id <> 0
     ORDER BY cosine DESC, vec_id ASC
     LIMIT 10
@@ -48,7 +54,8 @@ DIM = 64
     "global sort even at 10⁹ vectors.",
 )
 def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # cosine contract (r6): NULL / zero-norm vectors cannot rank
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     return (
         e.filter(F.col("vec_id") != 0)
@@ -64,15 +71,16 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_batch_topk",
     oracle=f"""
-    WITH qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
-                FROM embeddings WHERE vec_id % 50 = 0)
+    WITH vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0),
+    qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+           FROM vecs WHERE vec_id % 50 = 0)
     SELECT * FROM (
       SELECT q_id, vec_id AS neighbor_id,
              {sql_vec_cosine("embedding", "qv")} AS cosine,
              CAST(row_number() OVER (PARTITION BY q_id
                   ORDER BY {sql_vec_cosine("embedding", "qv")} DESC, vec_id ASC)
                   AS INT) AS rk
-      FROM embeddings JOIN qs
+      FROM vecs JOIN qs
         ON label = q_label AND vec_id <> q_id
     ) WHERE rk <= 3
     """,
@@ -82,7 +90,8 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scanned once for all queries.",
 )
 def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # cosine contract (r6): NULL / zero-norm vectors cannot rank
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     qs = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qv"),
@@ -353,6 +362,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(i - 1 AS INT) AS dim,
              CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
+      WHERE embedding IS NOT NULL
     ),
     moments AS (
       SELECT dim,
@@ -383,7 +393,11 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical values (float-fold parity rule, FIXTURES.md).",
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no dimensions (r6; posexplode skips them
+    # implicitly — the filter makes the universe explicit on both sides)
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     moments = (
         e.select(F.posexplode("embedding").alias("dim", "val_f"))
         .select(F.col("dim").cast("int"), F.col("val_f").cast("double").alias("val"))

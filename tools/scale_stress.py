@@ -236,6 +236,28 @@ def stage_boilerplate(base: str, factor: int, pct: int) -> str:
 # / null-propagation semantics divergence in an operator or its
 # oracle.  Runs at BASE scale (edge cases don't need volume), over
 # every oracle-paired query whose oracle reads the documents table.
+# Pathological EMBEDDINGS (r6b): the vector-side analog — a zero
+# vector (dead encoder output: cosine is undefined, norms divide by
+# zero), a NULL embedding, a large-magnitude vector, and a NULL
+# label.  Dimension matches the fixture (64): dimension-MISMATCHED
+# vectors are excluded by schema contract (a fixed-dim embedding
+# column is a table invariant, not a row-level accident), and
+# magnitudes stay within float32-square range (beyond it, engines
+# legitimately differ in where they promote to double — an
+# arithmetic-order artifact, not a correctness contract; any real
+# pipeline normalizes embeddings at ingest).
+_DIRTY_VECS_SQL = """
+    SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+           CAST(t.embedding AS FLOAT[]) AS embedding,
+           CAST(t.label AS INT) AS label
+    FROM (VALUES
+      (990001, [0.0 for i in range(64)], 0),
+      (990002, NULL, 1),
+      (990003, [1000.0 for i in range(64)], 2),
+      (990004, [CAST(i AS DOUBLE) / 64 for i in range(64)], NULL)
+    ) t(vec_id, embedding, label)
+"""
+
 _DIRTY_ROWS_SQL = """
     SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.text,
            t.lang, t.source,
@@ -270,11 +292,12 @@ def stage_dirty(base: str) -> str:
     con = duckdb.connect()
     for t in TABLES:
         src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {_DIRTY_ROWS_SQL}"
-            if t == "documents"
-            else f"SELECT * FROM {src}"
-        )
+        if t == "documents":
+            sel = f"SELECT * FROM {src} UNION ALL {_DIRTY_ROWS_SQL}"
+        elif t == "embeddings":
+            sel = f"SELECT * FROM {src} UNION ALL {_DIRTY_VECS_SQL}"
+        else:
+            sel = f"SELECT * FROM {src}"
         con.execute(
             f"COPY ({sel}) TO '{out}/{t}.parquet' "
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
@@ -296,7 +319,8 @@ def run_dirty(base: str, subs: list[str]) -> None:
     pool = sorted(
         n
         for n, s in REGISTRY.items()
-        if s.oracle is not None and "documents" in s.oracle
+        if s.oracle is not None
+        and ("documents" in s.oracle or "embeddings" in s.oracle)
     )
     names = [n for n in pool if not subs or any(x in n for x in subs)]
     print(f"staging dirty replica from {base} ...", flush=True)
