@@ -937,13 +937,16 @@ def _mmr_greedy(pdf):
 @register(
     "mmr_diverse_rerank",
     oracle=f"""
-    WITH RECURSIVE q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QUERY}
+    WITH RECURSIVE vecs AS (
+      SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+    ),
+    q AS (
+      SELECT embedding AS qv FROM vecs WHERE vec_id = {_MMR_QUERY}
     ),
     scored AS (
       SELECT vec_id, embedding,
              round({sql_vec_cosine("embedding", "qv")}, 6) AS qcos
-      FROM embeddings, q WHERE vec_id <> {_MMR_QUERY}
+      FROM vecs, q WHERE vec_id <> {_MMR_QUERY}
     ),
     base AS (
       SELECT vec_id, embedding, qcos FROM scored
@@ -1003,7 +1006,10 @@ def _mmr_greedy(pdf):
     "pick identical argmaxes.",
 )
 def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from scache_spark.functions import cosine_ready
+
+    # cosine contract (r6): NULL / zero-norm vectors cannot rank
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     qv = e.filter(F.col("vec_id") == _MMR_QUERY).select(
         F.col("embedding").alias("qv")
     )

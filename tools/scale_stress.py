@@ -288,6 +288,16 @@ def stage_dirty(base: str) -> str:
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
+    # re-staging invalidates every cache DERIVED from this dir (the
+    # avro/csv/orc alt-format stagings, the streaming source copies) —
+    # they key on the dir path, not its contents
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
