@@ -154,6 +154,19 @@ _DIRTY_REGRESSIONS = [
     "text_quality_score",
     "text_repetition_ratio",
     "udtf_chunk_spans",
+    # vector pass (r6b): cosine contract + explicit NULL-embedding
+    # universe
+    "knn_brute_cosine",
+    "knn_batch_topk",
+    "cosine_threshold_sweep",
+    "hybrid_rrf_retrieval",
+    "retrieval_ndcg_at_k",
+    "mmr_diverse_rerank",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic_cells",
+    "embedding_dim_stats",
+    "posexplode_embedding_head",
 ]
 
 
