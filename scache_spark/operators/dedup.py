@@ -189,12 +189,20 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the md5 work it unlocks.  (At 100 TB the scan already has
     enough splits and AQE coalesces — the repartition is a no-op cost.)
     """
-    aug = augmented_docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # shingle participation contract (r6): a doc below the shingle
+    # width has no shingles.  The predicate is on TOKEN COUNT, before
+    # the shingle projection — filtering on size(sh) AFTER it lets
+    # Catalyst push the filter through the project and re-substitute
+    # word_shingles, computing the array twice (measured ~2x on the
+    # minhash family).  len(tokens) >= SHINGLE_N <=> len(sh) >= 1.
+    aug = (
+        augmented_docs(spark, sf_dir)
+        .filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_N)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     return aug.select(
         "doc_id", "source", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
-    ).filter(F.size("sh") > 0)  # shingle participation contract (r6)
+    )
 
 
 def _signature_cols() -> list:

@@ -521,12 +521,15 @@ _NEARDUP_MELT_SQL = " UNION ALL ".join(
     "shuffle to bucket keys, O(1)-ish state per bucket.",
 )
 def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shingle participation contract (r6): token-count predicate
+    # BEFORE the shingle projection (see dedup.shingled_docs — a
+    # post-projection size(sh) filter double-computes word_shingles)
     docs = augment_doc_variants(
         documents_stream(spark, sf_dir).select("doc_id", "text", "source")
-    )
+    ).filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_N)
     sh = docs.select(
         "doc_id", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
-    ).filter(F.size("sh") > 0)  # shingle participation contract (r6)
+    )
     bands = sh.select("doc_id", *_signature_cols()).select(
         "doc_id", *_band_cols()
     )
@@ -578,11 +581,7 @@ def stream_neardup_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "text", "source"
             )
         )
-        .select(
-            "doc_id",
-            word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
+        .filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_N)
         .select("doc_id")
     )
     return base.join(dup_counts, "doc_id", "left").select(
