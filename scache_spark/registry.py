@@ -80,11 +80,27 @@ PRIORITY: tuple[str, ...] = (
     "sort_nulls_handling",  # B9
     "theta_sketch_set_ops",  # B12/B7/B20 native theta set algebra (r5)
     "ivm_join_view_delta",  # B4/B7/B19 bilinear join-view IVM (r5)
-    # r6 rotation: the r5 verdict named the 15 strongest never-graded
+    # r7 rotation: the r6 verdict named the 15 strongest never-graded
     # queries; all 15 enter the window, 15 long-green veterans (each
     # graded in >=1 earlier round) cede seats.  Coverage invariant
     # (every B1-B27 + A.2/A.5/temporal/north-star inside the first 50)
     # re-checked by tests/test_registry_order.py.
+    "dedup_substring_pairs",  # B24 suffix-array substring dedup (r7)
+    "setjoin_prefix_filter",  # B24/B17 prefix-filtered set-similarity join (r7)
+    "multimodal_phash_neardup",  # north-star/B23/B24 perceptual-hash near-dup (r7)
+    "multimodal_audio_energy",  # north-star/B23/B16 audio frame energy (r7)
+    "multimodal_frame_sample",  # north-star/B23 video frame sampling (r7)
+    "text_repetition_signals",  # B24/B7 Gopher repetition signals (r7)
+    "tseries_subsequence_topk",  # temporal/B25/B17 matrix-profile-style top-k (r7)
+    "sentiment_lexicon_score",  # B24/B14 lexicon sentiment scoring (r7)
+    "corpus_ngram_novelty",  # B24/B7 cross-snapshot n-gram novelty (r7)
+    "heaps_law_fit",  # B24/B26/B20 Heaps-law vocabulary growth fit (r7)
+    "zipf_slope_fit",  # B24/B26/B16 Zipf rank-frequency slope fit (r7)
+    "sequence_packing_bins",  # B24/B23 LLM sequence packing (r7)
+    "leakage_safe_split",  # B24/B13 dedup-cluster-aware train/test split (r7)
+    "curriculum_interleave",  # B11/mining curriculum interleaving (r7)
+    "contamination_ngram_overlap",  # B24/B6 eval-contamination overlap (r7)
+    # r6 rotation survivors (first graded r6)
     "statestore_dedup_audit",  # B27/B22/B20 state-store reader audit (r6)
     "stream_scd2_pit_enrich",  # B27/B4/B11 SCD2 point-in-time enrich (r6)
     "mmr_diverse_rerank",  # B25/B10 maximal-marginal-relevance rerank (r6)
@@ -101,45 +117,42 @@ PRIORITY: tuple[str, ...] = (
     "table_checksum_manifest",  # B7/B16 order-independent table checksum (r6)
     "avro_source_roundtrip",  # B1/B7/B15 Avro OCF DataSource round-trip (r6)
     # hardest evaluation plans kept from earlier windows
-    "kll_sketch_ks_drift",  # B20/B16 KS drift from stored KLL sketches (r5)
-    "array_funcs",  # B17
     "mapstatus_highly_compressed",  # A.2/B16/B18 >2000-reducer MapStatus twin (r5)
     "lru_cache_hit_sim",  # A.3/B22 — the MemoryStore LRU policy, verified
     "skew_split_plan",  # A.2/A.5/B7/B11 AQE-style skew split planning (r5)
-    # partition control
-    "jsonl_corrupt_records_audit",  # B1/B18/B14 corrupt-record audit (r5)
     # UDF surface
     "broadcast_decision_audit",  # B22/B5/A.2 SizeEstimator admission audit (r5)
     # temporal
     "task_host_utilization_align",  # A.5/temporal sim/util.py span align (r5)
-    "funnel_session_conversion",
-    # similarity search
-    "dedup_semantic_cells",  # B25/B24 — IVF assignment as dedup blocking key
     # dedup / LLM pipeline
     "blocktrace_source_agg",  # B1/A.2 — custom Python data source scan
-    "dedup_embedding_lsh",  # B24/B25 — LSH-bucketed scale path
-    "dedup_span_rewrite",  # B24/B13 C4-style span REWRITE (r5)
-    "text_tfidf_top_terms",  # B24
-    "pq_adc_topk",  # B25 product-quantization ADC
-    "text_bm25_topk",  # B24/B10 ranked retrieval
-    # multimodal
-    "multimodal_features",  # north-star/B23
     # scheduling & prediction (Part A)
     "lpt_schedule_locality_swap",  # A.2 — the COMPLETE reference heuristic
-    "expected_reduce_size_weighted",  # B26/A.5
     "schedule_race_from_trace",  # A.2/A.5/B14 parsed trace → policy race (r5)
     # streaming
     "stream_cdc_serving_table",  # B27/B1 CDC upsert serving table (r5)
     "stream_neardup_suppress",  # B27/B24/B13 ingestion near-dup state (r5)
     "stream_cms_heavy_users",  # B27/B16 streaming Count-Min sketch (r5)
-    "stream_session_window",
     "stream_late_data_filter",
-    "stream_stateful_user_totals",
-    "dedup_clusters",  # B24 connected components
     # --- end of the 50-entry graded window ---
-    # Next in line if the driver widens its window: the r6
+    # Next in line if the driver widens its window: the r7
     # rotated-out veterans (all graded green in earlier rounds), then
-    # the r5 ones, then the round-2 training-pipeline layer.
+    # the r6/r5 ones, then the round-2 training-pipeline layer.
+    "kll_sketch_ks_drift",  # B20/B16 (r7: seat ceded to heaps_law_fit)
+    "array_funcs",  # B17 (r7: seat ceded to setjoin_prefix_filter)
+    "jsonl_corrupt_records_audit",  # B1/B18/B14 (r7: seat ceded to sentiment_lexicon_score)
+    "funnel_session_conversion",  # B11/B27/temporal (r7: seat ceded to curriculum_interleave)
+    "dedup_semantic_cells",  # B25/B24 (r7: seat ceded to tseries_subsequence_topk)
+    "dedup_embedding_lsh",  # B24/B25 (r7: seat ceded to dedup_substring_pairs)
+    "dedup_span_rewrite",  # B24/B13 (r7: seat ceded to leakage_safe_split)
+    "text_tfidf_top_terms",  # B24 (r7: seat ceded to text_repetition_signals)
+    "pq_adc_topk",  # B25/B10 (r7: seat ceded to zipf_slope_fit)
+    "text_bm25_topk",  # B24/B10 (r7: seat ceded to corpus_ngram_novelty)
+    "multimodal_features",  # north-star/B23 (r7: seat ceded to multimodal_phash_neardup)
+    "expected_reduce_size_weighted",  # B26/A.5 (r7: seat ceded to multimodal_audio_energy)
+    "stream_session_window",  # B27 (r7: seat ceded to multimodal_frame_sample)
+    "stream_stateful_user_totals",  # B23/B27 (r7: seat ceded to sequence_packing_bins)
+    "dedup_clusters",  # B24 (r7: seat ceded to contamination_ngram_overlap)
     "topk_per_group",  # B10 (r6: seat ceded to mmr_diverse_rerank)
     "window_analytics",  # B11 (r6: seat ceded to interval_union_minutes)
     "pagerank_event_graph",  # B4/B7/B11 (r6: seat ceded to cdc_agg_apply_delta)
@@ -182,10 +195,6 @@ PRIORITY: tuple[str, ...] = (
     "lpt_schedule",  # A.2 (seat ceded to the +locality-swap variant)
     "ann_lsh_probe",  # B25 (seat ceded to hybrid RRF fusion)
     "conditional_null",  # B19 (seat ceded to LRU sim; B19 via join_left_outer)
-    "sequence_packing_bins",
-    "leakage_safe_split",
-    "dedup_substring_pairs",
-    "setjoin_prefix_filter",
     "embedding_int8_quantize",
     "ann_lsh_multiprobe",
     "minhash_merge_property",

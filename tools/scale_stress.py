@@ -354,6 +354,122 @@ def run_dirty(base: str, subs: list[str]) -> None:
     sys.exit(1 if n_fail else 0)
 
 
+# --dirty-events (r7): DIRTY-EVENTS stress — the pathological event
+# rows a real firehose certainly carries and the clean fixture never
+# exercises: NULL event time, NULL/empty grouping keys, malformed /
+# truncated / non-object / NULL props JSON, out-of-INT-range and
+# float-valued JSON numbers, negative and absorbing-magnitude values,
+# duplicate timestamps ON window boundaries, a pre-epoch straggler, a
+# microsecond-precision tail event, and a full-row duplicate of an
+# existing event.  Both engines read the same staged parquet, so any
+# disagreement is a real null-propagation / JSON-strictness /
+# window-boundary semantics divergence in an operator or its oracle.
+# Note on watermark DROP timing: the availableNow replay stages the
+# whole corpus as one file-source batch, so rows are never dropped as
+# late mid-run — the late-arrival contract is pinned separately by
+# stream_late_data_filter's explicit filter; what IS observable here
+# is everything the watermark machinery does to NULL event times and
+# boundary timestamps (emission, state keying, dedup identity).
+_DIRTY_EVENTS_SQL = """
+    SELECT CAST(t.event_id AS BIGINT) AS event_id,
+           CAST(t.ts AS TIMESTAMP) AS ts,
+           CAST(t.user_id AS BIGINT) AS user_id,
+           t.event_type,
+           CAST(t.value AS DOUBLE) AS value,
+           t.props
+    FROM (VALUES
+      (9900001, NULL,                          7,    'click',    1.0,  '{"k": 1}'),
+      (9900002, TIMESTAMP '2024-01-15 00:00:00', NULL, 'view',   2.0,  '{"k": 2}'),
+      (9900003, TIMESTAMP '2024-01-15 00:00:00', 8,   NULL,      3.0,  '{"k": 3}'),
+      (9900004, TIMESTAMP '2024-01-15 00:05:00', 8,   '',        4.0,  '{"k": 4}'),
+      (9900005, TIMESTAMP '2024-01-15 00:05:00', 8,   'purchase', NULL, '{"k": 5}'),
+      (9900006, TIMESTAMP '2024-01-10 12:00:00.000001', 9, 'click', -273.15, '{}'),
+      (9900007, TIMESTAMP '2024-01-10 12:00:00.000001', 9, 'click', 1e308,
+                '{"k": 99999999999999999999}'),
+      (9900008, TIMESTAMP '2024-01-10 12:03:00', 9,   'click',   5.0,  '{"k": '),
+      (9900009, TIMESTAMP '2024-01-10 12:04:00', 10,  'view',    6.0,  'not json at all'),
+      (9900010, TIMESTAMP '2024-01-10 12:04:30', 10,  'view',    7.0,  NULL),
+      (9900011, TIMESTAMP '2023-12-31 23:59:59', 11,  'signup',  8.0,  '{"k": -5}'),
+      (9900012, TIMESTAMP '2024-01-30 23:59:59.999999', 12, 'purchase', 9.0,
+                '{"k": 3.7}')
+    ) t(event_id, ts, user_id, event_type, value, props)
+"""
+
+
+def stage_dirty_events(base: str) -> str:
+    """Stage a replica whose events table carries the 12 planted
+    pathological rows plus one full-row duplicate of event_id 42
+    appended to the untouched fixture; every other table is copied
+    verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_events")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        if t == "events":
+            sel = (
+                f"SELECT * FROM {src} UNION ALL {_DIRTY_EVENTS_SQL} "
+                f"UNION ALL SELECT * FROM {src} WHERE event_id = 42"
+            )
+        else:
+            sel = f"SELECT * FROM {src}"
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 13}))
+    return out
+
+
+def run_dirty_events(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    pool = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and "events" in s.oracle
+    )
+    names = [n for n in pool if not subs or any(x in n for x in subs)]
+    print(f"staging dirty-events replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_events(base)
+    spark = get_session("scale-stress-dirty-events")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-events (12 planted pathological event rows "
+        "+ 1 full-row duplicate of event_id 42)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_events{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -719,6 +835,9 @@ def main() -> None:
     dirty = "--dirty" in args
     if dirty:
         args.remove("--dirty")
+    dirty_events = "--dirty-events" in args
+    if dirty_events:
+        args.remove("--dirty-events")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -736,6 +855,10 @@ def main() -> None:
         sys.exit("scale_stress: --checksum runs only on the uniform replica")
     if dirty and (rest or skew is not None or boilerplate or checksum):
         sys.exit("scale_stress: --dirty is its own protocol")
+    if dirty_events and (
+        rest or skew is not None or boilerplate or checksum or dirty
+    ):
+        sys.exit("scale_stress: --dirty-events is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
@@ -744,6 +867,9 @@ def main() -> None:
         return
     if dirty:
         run_dirty(base, subs)
+        return
+    if dirty_events:
+        run_dirty_events(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded

@@ -2,13 +2,17 @@
 AT ALL (bitwise, after canonical sort) is a driver hash-fail risk.
 
 --changed [GITREF] (r5 verdict item 7): map a git diff (working tree
-vs GITREF, default HEAD) to the affected registry queries via each
-query fn's defining module, and re-verify exactly that subset at the x10
-staging — so a per-commit CI run exercises a change at scale without
-paying the ~2h full sweep.  Changes to shared engine files (catalog,
-functions, plans, session, registry) affect everything; those fall
-back to the scale_stress DEFAULT_QUERIES pool, disclosed in the
-artifact.  Writes CHANGED_AUDIT_x10.json.
+vs GITREF, default HEAD) to the affected registry queries and
+re-verify exactly that subset at the x10 staging — so a per-commit CI
+run exercises a change at scale without paying the ~2h full sweep.
+The mapping is the TRANSITIVE-IMPORT closure (r6 advice): a query is
+affected when its defining module imports the changed module directly
+or transitively (ast scan of every ``scache_spark`` import, absolute
+and relative), so oracle fragments and helpers that cross module
+boundaries (e.g. pipeline.py embedding dedup.py's _SHINGLE_SQL) pull
+their consumers in.  A changed module reached by NO query module
+(session, catalog) falls back to the scale_stress DEFAULT_QUERIES
+pool, disclosed in the artifact.  Writes CHANGED_AUDIT_x10.json.
 """
 import sys
 sys.path.insert(0, "/root/repo")
@@ -20,6 +24,72 @@ from scache_spark.session import get_session
 from tests.conftest import canonicalize
 
 _ensure_loaded()
+
+
+# registry._ensure_loaded imports EVERY operator module purely to
+# trigger @register side effects; following those edges would make
+# every module reach every other through the loader.  Registry is a
+# graph sink: modules that import it are affected by a registry
+# change, but its own loader imports carry no semantic dependence.
+_GRAPH_SINKS = {"scache_spark.registry"}
+
+
+def _module_import_graph() -> dict[str, set[str]]:
+    """module -> the scache_spark modules it imports (static ast scan
+    over the package; absolute and relative imports both resolved,
+    module-body and function-local alike — consumers lazily import
+    dedup helpers inside query fns)."""
+    import ast
+    import os
+
+    root = "/root/repo"
+    pkg = "scache_spark"
+    graph: dict[str, set[str]] = {}
+    for dirpath, _dirs, fnames in os.walk(os.path.join(root, pkg)):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in fnames:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root)[:-3].replace(os.sep, ".")
+            if rel.endswith(".__init__"):
+                rel = rel[: -len(".__init__")]
+            deps: set[str] = set()
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    for a in node.names:
+                        if a.name.startswith(pkg):
+                            deps.add(a.name)
+                elif isinstance(node, ast.ImportFrom):
+                    mod = node.module or ""
+                    if node.level:
+                        parts = rel.split(".")
+                        parts = parts[: len(parts) - node.level]
+                        mod = ".".join(parts + ([mod] if mod else []))
+                    if mod.startswith(pkg):
+                        deps.add(mod)
+                        # "from scache_spark.operators import dedup"
+                        # imports modules by name; non-module names are
+                        # harmless extra graph nodes with no out-edges
+                        for a in node.names:
+                            deps.add(f"{mod}.{a.name}")
+            graph[rel] = set() if rel in _GRAPH_SINKS else deps
+    return graph
+
+
+def _transitive_imports(mod: str, graph: dict[str, set[str]]) -> set[str]:
+    seen: set[str] = set()
+    stack = [mod]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        stack.extend(graph.get(m, ()))
+    return seen
 
 
 def _changed_mode(ref: str) -> None:
@@ -34,9 +104,16 @@ def _changed_mode(ref: str) -> None:
         ["git", "diff", "--name-only", ref],
         capture_output=True, text=True, cwd="/root/repo", check=True,
     ).stdout.split()
-    mod_queries: dict[str, list[str]] = {}
+    graph = _module_import_graph()
+    # query name -> every scache_spark module its defining module
+    # reaches (incl. itself): changing ANY of those re-verifies it
+    reach: dict[str, set[str]] = {}
+    closures: dict[str, set[str]] = {}
     for name, spec in REGISTRY.items():
-        mod_queries.setdefault(spec.fn.__module__, []).append(name)
+        d = spec.fn.__module__
+        if d not in closures:
+            closures[d] = _transitive_imports(d, graph)
+        reach[name] = closures[d]
     affected: set[str] = set()
     engine_wide: list[str] = []
     for f in files:
@@ -45,8 +122,9 @@ def _changed_mode(ref: str) -> None:
         mod = f[:-3].replace("/", ".")
         if mod.endswith(".__init__"):
             mod = mod[: -len(".__init__")]
-        if mod in mod_queries:
-            affected.update(mod_queries[mod])
+        hit = {n for n, mods in reach.items() if mod in mods}
+        if hit:
+            affected.update(hit)
         else:
             engine_wide.append(f)
     if engine_wide:
@@ -63,6 +141,9 @@ def _changed_mode(ref: str) -> None:
     )
     out: dict = {
         "ref": ref,
+        "mapping": "transitive-import closure (ast scan of "
+        "scache_spark imports, absolute+relative); unreached "
+        "changed modules fall back to DEFAULT_QUERIES",
         "changed_files": files,
         "engine_wide_files": engine_wide,
         "skipped_rest_excluded": skipped,
