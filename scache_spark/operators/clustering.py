@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
+from scache_spark.functions import SQL_COSINE_READY
 from scache_spark.registry import register
 
 K = 16  # IVF cells / k-means k
@@ -249,10 +250,10 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE {SQL_COSINE_READY}
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings
-      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     ),
     seeds AS (SELECT vec_id AS cell, embedding AS centroid
               FROM embeddings WHERE vec_id < {K}),

@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import bounded_window, salted_md5, word_shingles
+from scache_spark.functions import (
+    SQL_COSINE_READY,
+    bounded_window,
+    salted_md5,
+    word_shingles,
+)
 from scache_spark.registry import register
 
 N_MINHASH = 8  # permutations
@@ -572,13 +577,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding, label FROM embeddings
-      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE {SQL_COSINE_READY}
       UNION ALL
       SELECT vec_id + 100000, embedding, label FROM embeddings
-      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            (list_aggregate([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
@@ -648,10 +653,10 @@ from scache_spark.operators.similarity import (  # noqa: E402
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
-      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE {SQL_COSINE_READY}
       UNION ALL
       SELECT vec_id + 100000, embedding FROM embeddings
-      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     ),
     bucketed AS (
       SELECT vec_id, embedding,

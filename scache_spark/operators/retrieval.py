@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import bounded_window, sql_vec_cosine, vec_cosine
+from scache_spark.functions import (
+    SQL_COSINE_READY,
+    bounded_window,
+    sql_vec_cosine,
+    vec_cosine,
+)
 from scache_spark.operators.clustering import _SQL_ASSIGN0
 from scache_spark.operators.similarity import N_PLANES, lsh_bucket, sql_lsh_bucket
 from scache_spark.registry import register
@@ -520,10 +525,10 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
     oracle=f"""
     WITH aug AS (
       SELECT vec_id, embedding, label FROM embeddings
-      WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE {SQL_COSINE_READY}
       UNION ALL
       SELECT vec_id + 100000, embedding, label FROM embeddings
-      WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     ),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -537,7 +542,7 @@ _SWEEP_SQL_GRID = ", ".join(f"CAST('{t!r}' AS DOUBLE)" for t in _SWEEP_GRID)
     grid AS (SELECT unnest([{_SWEEP_SQL_GRID}]) AS threshold),
     planted AS (
       SELECT CAST(count(*) AS BIGINT) AS n_planted_total
-      FROM embeddings WHERE vec_id % 20 = 0 AND embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      FROM embeddings WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     )
     SELECT g.threshold,
            CAST(count(*) AS BIGINT) AS n_detected,
@@ -691,7 +696,7 @@ _RRF_QUERY_VEC = 42  # the query doc/vector id (ann_ivf_probe convention)
     ), vec AS (
       SELECT vec_id,
              round((list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum') / (sqrt(list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum')) * sqrt(list_aggregate([CAST(qv.q[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(qv.q) + 1)], 'sum')))), 6) AS cos
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
+      FROM (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}) e, qv
       WHERE vec_id <> {_RRF_QUERY_VEC}
       ORDER BY cos DESC, vec_id ASC
       LIMIT {_RRF_DEPTH}
@@ -792,7 +797,7 @@ _NDCG_QUERY = 42
              CAST(row_number() OVER (
                ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
                         vec_id ASC) AS INT) AS irk
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
+      FROM (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}) e, qv
       WHERE vec_id <> {_NDCG_QUERY}
       QUALIFY irk <= {_NDCG_K}
     ),
@@ -801,7 +806,7 @@ _NDCG_QUERY = 42
              CAST(row_number() OVER (
                ORDER BY round({sql_vec_cosine("e.embedding", "qv.q")}, 6) DESC,
                         vec_id ASC) AS INT) AS srk
-      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0) e, qv
+      FROM (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}) e, qv
       WHERE vec_id <> {_NDCG_QUERY}
         AND {sql_lsh_bucket("e.embedding")} = qv.qb
       QUALIFY srk <= {_NDCG_K}
@@ -938,7 +943,7 @@ def _mmr_greedy(pdf):
     "mmr_diverse_rerank",
     oracle=f"""
     WITH RECURSIVE vecs AS (
-      SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0
+      SELECT * FROM embeddings WHERE {SQL_COSINE_READY}
     ),
     q AS (
       SELECT embedding AS qv FROM vecs WHERE vec_id = {_MMR_QUERY}

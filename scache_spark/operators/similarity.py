@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
 from scache_spark.functions import (
+    SQL_COSINE_READY,
     bounded_window,
     cosine_ready,
     sql_vec_cosine,
@@ -40,7 +41,7 @@ DIM = 64
 @register(
     "knn_brute_cosine",
     oracle=f"""
-    WITH vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0),
+    WITH vecs AS (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}),
     q AS (SELECT embedding AS qv FROM vecs WHERE vec_id = 0)
     SELECT vec_id, {sql_vec_cosine("embedding", "qv")} AS cosine
     FROM vecs, q
@@ -71,7 +72,7 @@ def knn_brute_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_batch_topk",
     oracle=f"""
-    WITH vecs AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0),
+    WITH vecs AS (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}),
     qs AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
            FROM vecs WHERE vec_id % 50 = 0)
     SELECT * FROM (
