@@ -133,6 +133,33 @@ SQL_COSINE_READY = (
     "list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0)"
 )
 
+# DIRTY-EVENTS CONTRACT (SCALE_STRESS_dirty_events.json): events.props
+# is untrusted JSON and k is an INTEGER property.  Malformed/truncated/
+# non-object props, non-integer JSON values (3.7) and out-of-INT-range
+# numbers all extract as NULL.  Spark's try_cast / from_json('k INT') /
+# try_variant_get(..., 'int') give exactly that; the DuckDB twin needs
+# all three guards because json_extract_string THROWS on malformed
+# JSON and TRY_CAST rounds '3.7' to 4.
+SQL_PROPS_K_INT = (
+    "TRY_CAST(nullif(regexp_extract("
+    "CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END, "
+    "'^-?[0-9]+$', 0), '') AS INT)"
+)
+# ^ the json_valid guard must be the CASE condition itself, not one
+# arm of an AND: DuckDB does not short-circuit AND operands, so
+# json_extract_string would still THROW on malformed props under
+# some plans (observed: the filter plan of json_funcs, while the
+# aggregate plan of json_schema_parse_agg happened to survive).
+
+# DIRTY-EVENTS CONTRACT: moment statistics (variance / stddev /
+# covariance and anything else that squares a value) exclude
+# absorbing magnitudes — a single |value| >= 1e150 row squares past
+# DBL_MAX, which DuckDB raises as Out of Range while Spark silently
+# folds to inf/NaN; neither is a usable statistic.  NULL values stay
+# (aggregates skip them natively).  Paired Spark predicate:
+# F.col("value").isNull() | (F.abs("value") < 1e150).
+SQL_VALUE_FINITE_MOMENT = "(value IS NULL OR abs(value) < 1e150)"
+
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments (kept beside the Spark builders so the two

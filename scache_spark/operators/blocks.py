@@ -831,7 +831,7 @@ def _lru_sim(pdf):
       SELECT block, CAST(rn AS INT) AS rn FROM (
         SELECT CAST(user_id % 64 AS INT) AS block,
                row_number() OVER (ORDER BY ts, event_id) AS rn
-        FROM events)
+        FROM events WHERE ts IS NOT NULL)
       WHERE rn <= {_LRU_TRACE}
     ),
     sim AS (
@@ -875,7 +875,10 @@ def _lru_sim(pdf):
     "carries the cache list through a recursive CTE.",
 )
 def lru_cache_hit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: an access without a timestamp has no
+    # position in the replay trace (and the engines disagree on where
+    # NULL sorts) — excluded.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     trace = (
         ev.select(
             (F.col("user_id") % 64).cast("int").alias("block"), "ts", "event_id"

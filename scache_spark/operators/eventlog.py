@@ -605,13 +605,19 @@ def blockmanager_added_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_id % 13 = 0
                   THEN substr(json_object('event_id', event_id,
                                           'etype', event_type,
-                                          'cents', CAST(floor(value * 100)
-                                                        AS BIGINT))::VARCHAR,
+                                          'cents', CASE WHEN abs(value * 100)
+                                                          < 4.611686018427388e18
+                                                   THEN CAST(floor(value * 100)
+                                                             AS BIGINT) END
+                                          )::VARCHAR,
                               1, 10)
                   ELSE json_object('event_id', event_id,
                                    'etype', event_type,
-                                   'cents', CAST(floor(value * 100)
-                                                 AS BIGINT))::VARCHAR
+                                   'cents', CASE WHEN abs(value * 100)
+                                                   < 4.611686018427388e18
+                                            THEN CAST(floor(value * 100)
+                                                      AS BIGINT) END
+                                   )::VARCHAR
              END AS line
       FROM events
     ),
@@ -650,11 +656,19 @@ def blockmanager_added_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: cents is range-guarded (|value*100| <
+    # 2^62) BEFORE floor — Spark's floor(double) silently saturates
+    # inf to Long.MaxValue while DuckDB's CAST(inf AS BIGINT) throws;
+    # out-of-range and NULL values render as an ABSENT cents field on
+    # both sides and salvage as 0.
+    cents_ok = F.abs(F.col("value") * 100) < F.lit(float(2**62))
     line = F.to_json(
         F.struct(
             F.col("event_id").alias("event_id"),
             F.col("event_type").alias("etype"),
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            F.when(cents_ok, F.floor(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
         )
     )
     feed = ev.select(

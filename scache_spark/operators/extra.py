@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import bounded_window
+from scache_spark.functions import SQL_PROPS_K_INT, bounded_window
 from scache_spark.functions import kll_fold_double
 from scache_spark.registry import register
 
@@ -216,7 +216,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "histogram_event_values",
     oracle="""
-    SELECT CAST(floor(value / 10.0) AS INT) AS bucket,
+    SELECT TRY_CAST(floor(value / 10.0) AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
            min(value) AS lo,
            max(value) AS hi
@@ -225,12 +225,15 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B16", "B7"),
     doc="Fixed-width histogram via floor bucketing — one map-side-"
     "combined aggregate; the profile pass before choosing partition "
-    "boundaries (repartitionByRange's sampled equivalent, made exact).",
+    "boundaries (repartitionByRange's sampled equivalent, made exact). "
+    "DIRTY-EVENTS CONTRACT: values whose bucket index exceeds INT "
+    "range (1e308) land in the NULL overflow bucket alongside NULL "
+    "values — try_cast on both sides, never a crash.",
 )
 def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.floor(F.col("value") / 10.0).cast("int").alias("bucket")
+        F.floor(F.col("value") / 10.0).try_cast("int").alias("bucket")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("value").alias("lo"),
@@ -775,8 +778,13 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("pt"),
         )
 
+    # DIRTY-EVENTS CONTRACT: the two partition predicates must be a
+    # TOTAL split of the table or partial-merge != full recompute —
+    # a NULL ts fails both ts<cutoff and ts>=cutoff and silently
+    # vanishes from the view.  NULL-ts rows ride with the fresh
+    # partition (no event time => latest-arrival bucket).
     hist = partials(ev.filter(F.col("ts") < cutoff))
-    fresh = partials(ev.filter(F.col("ts") >= cutoff))
+    fresh = partials(ev.filter(~(F.col("ts") < cutoff) | F.col("ts").isNull()))
     return (
         hist.unionByName(fresh)
         .groupBy("event_type")
@@ -1208,7 +1216,8 @@ def cdc_agg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hll_sketch_union_bound",
     oracle="""
-    SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_sketches,
+    SELECT (SELECT CAST(count(*) AS BIGINT)
+            FROM (SELECT DISTINCT event_type FROM events)) AS n_sketches,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
            TRUE AS union_within_5pct
     FROM events
@@ -1223,7 +1232,9 @@ def cdc_agg_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct counting actually ships: per-partition/per-day sketch "
     "tables that re-aggregate to any rollup without touching raw "
     "data — the same merge law minhash_merge_property verifies for "
-    "signatures.",
+    "signatures.  DIRTY-EVENTS CONTRACT: a NULL event_type is a real "
+    "groupBy bucket (it gets its own sketch), so the oracle counts "
+    "distinct-including-NULL, not count(DISTINCT) which skips it.",
 )
 def hll_sketch_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1247,13 +1258,11 @@ def hll_sketch_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "variant_props_extract",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS INT) // 25 AS INT)
-               AS k_bucket,
+           TRY_CAST(floor({SQL_PROPS_K_INT} / 25.0) AS INT) AS k_bucket,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
-                AS BIGINT) AS k_sum
+           CAST(sum({SQL_PROPS_K_INT}) AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1, 2
     """,
@@ -1263,11 +1272,21 @@ def hll_sketch_union_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_variant_get extraction, then aggregate — the open-table "
     "semi-structured path that replaces per-query string re-parsing "
     "(get_json_object) with a parse-once columnar value.  Floor "
-    "division buckets keep everything integer-exact.",
+    "division buckets keep everything integer-exact.  DIRTY-EVENTS "
+    "CONTRACT: try_parse_json maps malformed props to NULL variant "
+    "(strict parse_json THROWS mid-aggregate) and try_variant_get "
+    "NULLs non-integer / out-of-range k — both planted classes land "
+    "in the NULL k_bucket, paired with SQL_PROPS_K_INT in the oracle.",
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    # extract as double and gate on integrality: try_variant_get(...,
+    # 'int') TRUNCATES 3.7 to 3 (variant cast semantics), which would
+    # diverge from the repo-wide integer-property contract
+    # (SQL_PROPS_K_INT: non-integer k => NULL); the final try_cast
+    # NULLs out-of-INT-range magnitudes like 1e20.
+    kd = F.try_variant_get(F.try_parse_json("props"), "$.k", "double")
+    k = F.when(kd % 1.0 == 0.0, kd).try_cast("int")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy(
@@ -1446,7 +1465,7 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH du AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     targets AS (
       SELECT CAST(u.day + t.i AS DATE) AS day, u.user_id,
@@ -1480,7 +1499,11 @@ def table_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical in both engines.",
 )
 def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: a NULL event time has no calendar day —
+    # excluded up front (the sketch-vs-exact join would silently drop
+    # the NULL-day row anyway; the filter makes the contract explicit
+    # and identical in the oracle).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     day = F.date_trunc("day", "ts").cast("date")
     # one distinct (day, user) frame; HLL is duplicate-insensitive, so
     # sketching the deduped frame is exactly the per-day user sketch

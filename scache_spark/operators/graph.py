@@ -50,11 +50,12 @@ _PR_ORACLE = (
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     edges AS (
       SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
-    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events
+               WHERE ts IS NOT NULL),
     nn AS (SELECT count(*) AS cnt FROM nodes),
     outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
     p0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
@@ -78,7 +79,11 @@ _PR_ORACLE = (
     "reorder across engines).",
 )
 def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL event time has no sequence position
+    # (Spark nulls-first vs DuckDB nulls-last would build different
+    # edges) — the whole graph (edges AND nodes) is built from the
+    # timed subset.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("dst_t"),
@@ -432,10 +437,10 @@ def bfs_levels_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH deg AS (
       SELECT user_id,
-             CAST(count(DISTINCT event_type
+             CAST(count(DISTINCT coalesce(event_type, chr(1))
                         || '|' || CAST(date_trunc('day', ts) AS VARCHAR))
                   AS BIGINT) AS degree
-      FROM events GROUP BY user_id
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
     ),
     dist AS (
       SELECT degree, CAST(count(*) AS BIGINT) AS n_users
@@ -463,12 +468,18 @@ def bfs_levels_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regr aggregate: the corpus is scanned once, nothing is sorted.",
 )
 def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: an activity cell needs a day (ts NOT
+    # NULL), and a NULL event_type is a REAL cell coordinate — but
+    # concat_ws silently skips NULLs (colliding (NULL, d) with
+    # ('', d)) while the oracle's || would propagate NULL and drop
+    # the cell; the CHR(1) sentinel keeps it real and distinct on
+    # both sides (table_checksum_manifest precedent).
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     deg = e.groupBy("user_id").agg(
         F.countDistinct(
             F.concat_ws(
                 "|",
-                F.col("event_type"),
+                F.coalesce(F.col("event_type"), F.lit("\x01")),
                 F.date_trunc("day", F.col("ts")).cast("string"),
             )
         )

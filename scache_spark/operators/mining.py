@@ -258,7 +258,7 @@ _SQL_LAG_COLS = ", ".join(
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
              round(sum(value), 4) AS x
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
       SELECT day, event_type, x, {_SQL_LAG_COLS}
@@ -284,7 +284,11 @@ _SQL_LAG_COLS = ", ".join(
     "bit-equal ratios, never ulp noise.",
 )
 def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL event time has no day — and the
+    # engines disagree on where a NULL day sorts in the lag window
+    # (Spark nulls-first, DuckDB nulls-last), which would misalign
+    # the whole lag chain.  Excluded on both sides.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(F.round(F.sum("value"), 4).alias("x"))
@@ -494,7 +498,7 @@ def revenue_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH days AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              user_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sizes AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM days GROUP BY day),
     overlap AS (
@@ -519,7 +523,8 @@ def revenue_gini_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as a broadcast.",
 )
 def dau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL-ts rows excluded (no activity day).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # The user-day set feeds the size table AND both self-join sides —
     # checkpoint so the events scan + distinct run once, not 4x.
     days = (
@@ -567,7 +572,8 @@ def dau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conversion_survival_curve",
     oracle="""
     WITH firsts AS (
-      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+      SELECT user_id, min(ts) AS first_ts FROM events
+      WHERE user_id IS NOT NULL GROUP BY user_id
     ),
     conv AS (
       SELECT f.user_id,
@@ -606,7 +612,12 @@ def dau_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "come from one pass.",
 )
 def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL user_id is not a user — the cohort
+    # denominator counts identified users only (the oracle's equi-join
+    # shape drops the NULL key implicitly; both sides now explicit).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     per_user = ev.groupBy("user_id").agg(
         F.min("ts").alias("first_ts"),
         F.min(
@@ -646,7 +657,7 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH days AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              user_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     firsts AS (SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id),
     flagged AS (
@@ -674,7 +685,8 @@ def conversion_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window runs over |days| rows only.",
 )
 def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL-ts rows excluded (no activity day).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = ev.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
@@ -706,7 +718,7 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -739,7 +751,8 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "what keeps the training table 100-1000x smaller than the log.",
 )
 def session_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL-ts rows excluded (unsessionizable).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = (
@@ -912,7 +925,7 @@ def _holt_forecast(pdf):
     WITH RECURSIVE daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              round(sum(value), 4) AS y
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     ranked AS (
       SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS INT) AS rn
@@ -959,7 +972,10 @@ def _holt_forecast(pdf):
     "carrying (level, trend).",
 )
 def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL-ts rows excluded — a NULL day would
+    # otherwise enter the series (and crash the horizon extrapolation,
+    # NaT + timedelta).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("y"))
@@ -979,7 +995,8 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                             THEN value ELSE 0 END), 4) AS x,
              round(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
                             THEN value ELSE 0 END), 4) AS y
-      FROM events GROUP BY user_id
+      FROM events WHERE (value IS NULL OR abs(value) < 1e150)
+      GROUP BY user_id
     ),
     s AS (
       SELECT CAST(count(*) AS BIGINT) AS n_users,
@@ -1012,7 +1029,11 @@ def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the moment pass so both engines fold identical doubles.",
 )
 def cuped_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT (SQL_VALUE_FINITE_MOMENT): absorbing
+    # magnitudes excluded before the covariance/variance pass.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNull() | (F.abs("value") < 1e150)
+    )
     cut = F.lit("2024-01-16").cast("timestamp")
     per_user = e.groupBy("user_id").agg(
         F.round(

@@ -272,21 +272,30 @@ def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+from scache_spark.functions import SQL_PROPS_K_INT as _ORACLE_K_INT  # noqa: E402
+
+
 @register(
     "json_funcs",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           {_ORACLE_K_INT} AS k_val,
            event_type
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    WHERE {_ORACLE_K_INT} >= 50
     """,
     tags=("B18", "B3"),
-    doc="JSON field extraction + predicate on the extracted value.",
+    doc="JSON field extraction + predicate on the extracted value.  "
+    "DIRTY-EVENTS CONTRACT (SCALE_STRESS_dirty_events.json): k is an "
+    "integer property — malformed props, non-integer JSON values "
+    "(3.7) and out-of-INT-range numbers all extract as NULL.  Spark's "
+    "try_cast gives exactly that; the oracle needs the json_valid + "
+    "integer-regex guard because DuckDB's TRY_CAST rounds '3.7' to 4 "
+    "and json_extract_string THROWS on malformed JSON.",
 )
 def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.select(
         "event_id", k.alias("k_val"), "event_type"
     ).filter(F.col("k_val") >= 50)
@@ -294,14 +303,18 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_schema_parse_agg",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+           avg({_ORACLE_K_INT}) AS avg_k,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY event_type
     """,
     tags=("B18", "B7"),
-    doc="from_json with explicit schema, then aggregate.",
+    doc="from_json with explicit schema, then aggregate.  Same "
+    "integer-property contract as json_funcs: from_json('k INT') "
+    "yields NULL for malformed props, float-valued and "
+    "out-of-range k, so the dirty rows fall out of avg() while "
+    "still counting in n.",
 )
 def json_schema_parse_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -143,7 +143,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -172,7 +172,10 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate is a scalar.",
 )
 def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: a NULL event time cannot be sessionized
+    # (and the engines even disagree on NULL sort position: Spark
+    # nulls-first, DuckDB nulls-last) — excluded on both sides.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # event_id tie-break: the sessionizer runs TWO window passes (gap
     # flag, then running sid), and with duplicate (user_id, ts) rows
     # an engine may re-sort between passes with a different tie order
@@ -569,7 +572,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type AS from_type,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS to_type
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     pairs AS (
       SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
       FROM seq WHERE to_type IS NOT NULL
@@ -591,7 +594,11 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
+        # DIRTY-EVENTS CONTRACT: NULL event time has no position in a
+        # per-user sequence (Spark nulls-first vs DuckDB nulls-last
+        # would split the tie differently) — excluded on both sides.
         load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .select(
             F.col("event_type").alias("from_type"),
             F.lead("event_type").over(w).alias("to_type"),
@@ -619,7 +626,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
       SELECT user_id, event_type, ts, event_id,
@@ -647,7 +654,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length, never corpus size.",
 )
 def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL-ts rows excluded (unsessionizable).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "user_id",
@@ -862,7 +870,7 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT user_id AS uid, ts, 1 AS side, event_id,
              CAST(NULL AS VARCHAR) AS dim_key
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     carried AS (
       SELECT uid, ts, side, event_id,
@@ -872,7 +880,7 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tagged
     )
     SELECT event_id, uid AS user_id, CAST(ts AS TIMESTAMP) AS ts,
-           split_part(last_dim, ':', 2) AS prio_at_event
+           nullif(split_part(last_dim, ':', 2), '') AS prio_at_event
     FROM carried WHERE side = 1
     """,
     tags=("temporal", "B11", "B4"),
@@ -890,7 +898,10 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: an event without a timestamp has no
+    # "as of" point — excluded (Spark would sort it before every
+    # dimension row, DuckDB after the last one).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     dim = o.select(
         F.col("o_custkey").alias("uid"),
         F.col("o_orderdate").alias("ts"),
@@ -938,7 +949,7 @@ _IV_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
              epoch_us(ts) AS s_us,
              epoch_us(ts) + {_IV_LEN_US} AS e_us,
              event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     flagged AS (
       SELECT user_id, s_us, e_us, event_id,
@@ -984,7 +995,8 @@ _IV_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
 def interval_union_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL ts opens no activity interval.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = ev.select(
         "user_id",
         F.unix_micros("ts").alias("s_us"),
@@ -1045,7 +1057,9 @@ _SS_LEN = 7  # subsequence length (days)
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              round(sum(value), 4) AS total
-      FROM events GROUP BY event_type, day
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 1e150)
+      GROUP BY event_type, day
     ),
     series AS (
       SELECT event_type, list(total ORDER BY day) AS vals
@@ -1106,7 +1120,13 @@ _SS_LEN = 7  # subsequence length (days)
 )
 def tseries_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     L = _SS_LEN
-    e = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL ts has no series position (and the
+    # engines disagree on NULL-day sort order); absorbing magnitudes
+    # excluded — the z-normalization squares window values.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & (F.col("value").isNull() | (F.abs("value") < 1e150))
+    )
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("total"))
@@ -1184,7 +1204,9 @@ def tseries_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              round(sum(value), 4) AS total
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts IS NOT NULL AND (value IS NULL OR abs(value) < 1e150)
+      GROUP BY 1, 2
     ),
     trended AS (
       SELECT event_type, day, total,
@@ -1230,7 +1252,12 @@ def tseries_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical doubles in both engines.",
 )
 def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
+    # DIRTY-EVENTS CONTRACT: NULL ts has no day; absorbing magnitudes
+    # (SQL_VALUE_FINITE_MOMENT) excluded before the stddev pass.
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & (F.col("value").isNull() | (F.abs("value") < 1e150))
+    )
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.round(F.sum("value"), 4).alias("total"))

@@ -244,7 +244,8 @@ _ECE_FEATS_SQL = """
              CASE WHEN n_tok >= 60 AND n_len > 0 THEN 1 ELSE 0 END AS label
       FROM feats),
     bucketed AS (
-      SELECT least(CAST(floor(q * 10) AS INT), 9) AS bucket, q, label
+      SELECT CAST(least(CAST(floor(q * 10) AS INT), 9) AS INT)
+                 AS bucket, q, label
       FROM scored),
     bstats AS (
       SELECT bucket,

@@ -75,7 +75,7 @@ def _update_user_totals(
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 4) AS total_value
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
     tags=("B27", "B23"),
     doc="applyInPandasWithState per-user running totals; cumulative "
@@ -222,7 +222,9 @@ def _update_type_mix(
 _TWS_ORACLE = """
     WITH c AS (
       SELECT user_id, event_type, count(*) AS n
-      FROM events GROUP BY user_id, event_type
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id, event_type
     ),
     tot AS (
       SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total,
@@ -257,9 +259,14 @@ def stream_transform_with_state_mix(spark: SparkSession, sf_dir: str) -> DataFra
     parallel arrays in the state tuple — identical emissions, same
     oracle, so the operator is green in every environment and the
     typed-MapState path lights up wherever the dependency exists."""
+    # DIRTY-EVENTS CONTRACT: user_id >= 0 drops the flush row AND the
+    # NULL key (keyed state needs a key); a NULL event_type is excluded
+    # because a type histogram needs a type — pandas groupby would
+    # silently drop it while SQL GROUP BY keeps it, so neither side may
+    # see it.
     s = (
         events_stream(spark, sf_dir)
-        .filter(F.col("user_id") >= 0)
+        .filter((F.col("user_id") >= 0) & F.col("event_type").isNotNull())
         .select("user_id", "event_type")
     )
     if _has_protobuf():

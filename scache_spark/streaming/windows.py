@@ -243,7 +243,7 @@ def run_stream(df, name: str, mode: str) -> DataFrame:
            event_type,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     tags=("B27",),
     doc="Tumbling 5-minute windowed aggregate with a 1-minute "
@@ -271,10 +271,11 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+      WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws,
              value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT CAST(ws AS TIMESTAMP) AS window_start,
            CAST(count(*) AS BIGINT) AS n,
@@ -304,7 +305,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -345,7 +346,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup",
     oracle="""
-    SELECT event_id, event_type, value FROM events
+    SELECT DISTINCT event_id, event_type, value FROM events
     """,
     tags=("B27", "B13"),
     doc="Streaming dedup: the staged source contains every event TWICE "
@@ -631,7 +632,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
                AS window_start,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
     tags=("B27", "B13", "B7"),
     doc="Streaming COUNT DISTINCT per tumbling window via two CHAINED "
@@ -643,7 +644,15 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and shuffles only (user, window) pairs, never full events.",
 )
 def stream_distinct_users_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = events_stream(spark, sf_dir).withWatermark("ts", "1 minute")
+    # DIRTY-EVENTS CONTRACT: count-distinct counts identified users —
+    # the NULL user_id would be a state key (and +1) in the dedup-
+    # then-count plan but is skipped by the oracle's count(DISTINCT);
+    # excluded explicitly.  NULL-ts rows never enter a time window.
+    s = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", "1 minute")
+    )
     pairs = s.select(
         "user_id", F.window("ts", "15 minutes").alias("w")
     ).dropDuplicates(["user_id", "w"])
@@ -704,7 +713,7 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, value,
              CASE WHEN event_type = 'error' THEN INTERVAL '5 minutes'
                   ELSE INTERVAL '10 minutes' END AS gap
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT user_id, ts, event_id, value,
@@ -764,7 +773,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, event_type,
              CAST(count(*) AS BIGINT) AS n, sum(value) AS v
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT CAST(time_bucket(INTERVAL '1 hour', ws) AS TIMESTAMP) AS hour_start,
            event_type,
@@ -922,7 +931,7 @@ def stream_update_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_within_watermark",
     oracle="""
-    SELECT event_id, event_type, value FROM events
+    SELECT DISTINCT event_id, event_type, value FROM events
     """,
     tags=("B27", "B13"),
     doc="Streaming dedup with GUARANTEED state eviction: "
@@ -1088,7 +1097,7 @@ def _stream_cms_oracle() -> str:
       SELECT time_bucket(INTERVAL '6 hours', ts) AS ws,
              user_id,
              CAST(user_id AS VARCHAR) AS uk
-      FROM events WHERE user_id >= 0
+      FROM events WHERE user_id >= 0 AND ts IS NOT NULL
     ),
     incs AS (
       SELECT ws, r.r AS r, {cell_case} AS cell
@@ -1226,14 +1235,19 @@ def stream_cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_cdc_serving_table",
     oracle="""
+    WITH g AS (
+      SELECT user_id, event_type,
+             CASE WHEN abs(value * 100) < 4.611686018427388e18
+                  THEN CAST(floor(value * 100) AS BIGINT) END AS cents
+      FROM events
+    )
     SELECT CAST(user_id % 10 AS INT) AS cohort,
            CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
                 AS BIGINT) AS n_live,
            CAST(sum(CASE WHEN event_type = 'error'
-                         THEN -CAST(floor(value * 100) AS BIGINT)
-                         ELSE CAST(floor(value * 100) AS BIGINT) END)
+                         THEN -cents ELSE cents END)
                 AS BIGINT) AS cents_live
-    FROM events GROUP BY 1
+    FROM g GROUP BY 1
     """,
     tags=("B27", "B7", "B1"),
     doc="CDC-consuming SERVING TABLE: the event stream is read as a "
@@ -1263,7 +1277,16 @@ def stream_cdc_serving_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = {"bid": -1}
 
     sign = F.when(F.col("event_type") == "error", -1).otherwise(1)
-    cents = F.floor(F.col("value") * 100).cast("long")
+    # DIRTY-EVENTS CONTRACT (jsonl_corrupt_records_audit precedent):
+    # cents is range-guarded before floor — an absorbing |value| would
+    # saturate to Long.MaxValue here and overflow the running sum
+    # (ANSI ARITHMETIC_OVERFLOW mid-batch) while DuckDB throws on the
+    # CAST; unrepresentable and NULL values contribute a NULL cents
+    # (the change still counts in n_live).
+    cents = F.when(
+        F.abs(F.col("value") * 100) < F.lit(float(2**62)),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         delta = batch_df.groupBy(
