@@ -8,12 +8,13 @@ DataFrame engine the serializer surface IS the source/sink surface).
 The sandbox has no ``spark-avro`` datasource jar and no Python avro
 package, so the codec is implemented here directly from the PUBLIC
 Apache Avro 1.11 specification (binary encoding + object container
-files).  Scope: the record schemas the fixtures need — null, boolean,
-int, long, float, double, bytes, string, nullable unions
-``["null", T]``, the date / timestamp-micros logical types, and
-(r6) arrays of those primitives (spec "Arrays": block-framed counts,
-negative-count byte-size form accepted on read) so the embeddings
-table's ``array<float>`` column round-trips.  Anything else fails
+files).  Scope: null, boolean, int, long, float, double, bytes,
+string, nullable unions ``["null", T]``, the date /
+timestamp-micros / local-timestamp-micros logical types, arrays
+(spec "Arrays": block-framed counts, negative-count byte-size form
+accepted on read), and (r7, datum-generic parity with
+GenericAvroSerializer.scala:36-71) string-keyed maps, nested
+records, and any nesting of the three.  Decimals/fixed/enums fail
 loudly at schema-mapping time.
 
 Scale shape: one OCF part file per write task (temp-name + rename so
@@ -46,6 +47,7 @@ from pyspark.sql.types import StructType
 MAGIC = b"Obj\x01"
 _EPOCH = datetime.date(1970, 1, 1)
 _EPOCH_TS_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+_EPOCH_TS_NAIVE = datetime.datetime(1970, 1, 1)
 
 # ---------------------------------------------------------------------------
 # primitive binary codec (Avro spec "Binary Encoding")
@@ -108,27 +110,72 @@ def _scalar_avro_type(dt_obj, where: str) -> object:
         return _SPARK_TO_AVRO[dt]
     if dt is T.DateType:
         return {"type": "int", "logicalType": "date"}
-    if dt is T.TimestampType or dt is T.TimestampNTZType:
+    if dt is T.TimestampType:
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if dt is T.TimestampNTZType:
+        # NTZ is WALL TIME, not an instant: the spec's
+        # local-timestamp-micros logical type, encoded with zero zone
+        # math (conflating it with timestamp-micros would bake the
+        # writer host's offset into a value that has none).
+        return {"type": "long", "logicalType": "local-timestamp-micros"}
     raise ValueError(f"avro_ocf: unsupported Spark type {dt_obj} for {where}")
 
 
-def spark_to_avro_schema(schema: StructType, name: str = "row") -> dict:
-    fields = []
-    for f in schema.fields:
-        if isinstance(f.dataType, T.ArrayType):
-            item = _scalar_avro_type(
-                f.dataType.elementType, f"array element of field {f.name!r}"
+_NESTED_SEQ = [0]  # unique record names: the spec requires fullname
+# uniqueness within a schema, and anonymous Spark structs have none
+
+
+def _avro_type(dt, where: str, name_hint: str) -> object:
+    """Recursive Spark type -> Avro type (r7: records, maps, and
+    arbitrarily nested arrays — the datum-generic parity leg with the
+    reference's GenericAvroSerializer.scala:36-71, which serializes
+    any GenericRecord, not just flat ones)."""
+    if isinstance(dt, T.ArrayType):
+        item = _avro_type(dt.elementType, f"array element of {where}", name_hint)
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                f"avro_ocf: map keys must be string for {where} "
+                "(Avro spec: maps have string keys)"
             )
-            at: object = {
-                "type": "array",
-                "items": ["null", item] if f.dataType.containsNull else item,
-            }
-        else:
-            at = _scalar_avro_type(f.dataType, f"field {f.name!r}")
-        fields.append(
-            {"name": f.name, "type": ["null", at] if f.nullable else at}
-        )
+        val = _avro_type(dt.valueType, f"map value of {where}", name_hint)
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
+    if isinstance(dt, T.StructType):
+        _NESTED_SEQ[0] += 1
+        return {
+            "type": "record",
+            "name": f"{name_hint}_r{_NESTED_SEQ[0]}",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": ["null", _avro_type(f.dataType, f"field {f.name!r} of {where}", name_hint)]
+                    if f.nullable
+                    else _avro_type(f.dataType, f"field {f.name!r} of {where}", name_hint),
+                }
+                for f in dt.fields
+            ],
+        }
+    return _scalar_avro_type(dt, where)
+
+
+def spark_to_avro_schema(schema: StructType, name: str = "row") -> dict:
+    _NESTED_SEQ[0] = 0
+    fields = [
+        {
+            "name": f.name,
+            "type": ["null", _avro_type(f.dataType, f"field {f.name!r}", name)]
+            if f.nullable
+            else _avro_type(f.dataType, f"field {f.name!r}", name),
+        }
+        for f in schema.fields
+    ]
     return {"type": "record", "name": name, "fields": fields}
 
 
@@ -146,12 +193,21 @@ def _avro_type_ddl(at) -> str:
     _, at = _unwrap_union(at)
     if isinstance(at, dict) and at.get("type") == "array":
         return f"array<{_avro_type_ddl(at['items'])}>"
+    if isinstance(at, dict) and at.get("type") == "map":
+        return f"map<string, {_avro_type_ddl(at['values'])}>"
+    if isinstance(at, dict) and at.get("type") == "record":
+        inner = ", ".join(
+            f"`{f['name']}`: {_avro_type_ddl(f['type'])}" for f in at["fields"]
+        )
+        return f"struct<{inner}>"
     logical = at.get("logicalType") if isinstance(at, dict) else None
     base = at["type"] if isinstance(at, dict) else at
     if logical == "date":
         return "date"
     if logical == "timestamp-micros":
         return "timestamp"
+    if logical == "local-timestamp-micros":
+        return "timestamp_ntz"
     return {
         "boolean": "boolean",
         "int": "int",
@@ -171,12 +227,16 @@ def avro_to_spark_ddl(avro_schema: dict) -> str:
 
 
 def _type_kind(at) -> tuple:
-    """(nullable, base_type, logical_type, item_kind) for one Avro
-    type; item_kind is the element's own kind tuple for arrays, else
-    None."""
+    """(nullable, base_type, logical_type, extra) for one Avro type;
+    ``extra`` is the element kind for arrays, the value kind for maps,
+    and the ordered field-kind list for records (r7)."""
     nullable, at = _unwrap_union(at)
     if isinstance(at, dict) and at.get("type") == "array":
         return nullable, "array", None, _type_kind(at["items"])
+    if isinstance(at, dict) and at.get("type") == "map":
+        return nullable, "map", None, _type_kind(at["values"])
+    if isinstance(at, dict) and at.get("type") == "record":
+        return nullable, "record", None, [_field_kind(f) for f in at["fields"]]
     if isinstance(at, dict):
         return nullable, at["type"], at.get("logicalType"), None
     return nullable, at, None, None
@@ -196,21 +256,34 @@ def _enc_value(base: str, logical: str | None, v, item_kind=None) -> bytes:
         return enc_long((v - _EPOCH).days)
     if logical == "timestamp-micros":
         # Python workers surface TimestampType as NAIVE datetimes in
-        # the OS-local timezone; attach that zone before converting so
-        # the stored micros are true UTC on any host (Avro spec:
-        # timestamp-micros is an instant, epoch-UTC).  astimezone() on
-        # a naive datetime assumes the local zone.
+        # the OS-local zone — measured, not assumed: with
+        # spark.sql.session.timeZone=Asia/Kolkata on a UTC host, the
+        # classic (pickled) DataSource write path still hands workers
+        # OS-local wall times and interprets reader output the same
+        # way, so the OS zone is the ONE zone that round-trips the
+        # instant exactly; attaching it makes the stored micros true
+        # UTC on any host (Avro spec: timestamp-micros is an instant,
+        # epoch-UTC), independent of the session timezone.
+        # astimezone() on a naive datetime assumes the OS-local zone
+        # and respects the fold attribute for DST-ambiguous times.
         if v.tzinfo is None:
             v = v.astimezone()
         return enc_long(
             (v - _EPOCH_TS_UTC) // datetime.timedelta(microseconds=1)
+        )
+    if logical == "local-timestamp-micros":
+        # wall time with NO zone: micros since 1970-01-01T00:00 local,
+        # zero zone math in either direction
+        return enc_long(
+            (v.replace(tzinfo=None) - _EPOCH_TS_NAIVE)
+            // datetime.timedelta(microseconds=1)
         )
     if base == "array":
         # spec "Arrays": blocks of (count, items...), 0-terminated; a
         # single positive block is the simplest spec-valid writing.
         nullable_i, base_i, logical_i, inner = item_kind
         out = bytearray()
-        if v:
+        if v is not None and len(v):
             out += enc_long(len(v))
             for x in v:
                 if nullable_i:
@@ -223,6 +296,30 @@ def _enc_value(base: str, logical: str | None, v, item_kind=None) -> bytes:
                 out += _enc_value(base_i, logical_i, x, inner)
         out += enc_long(0)
         return bytes(out)
+    if base == "map":
+        # spec "Maps": same block framing as arrays, entries are
+        # (string key, value) pairs.  Spark hands maps as dicts.
+        nullable_v, base_v, logical_v, inner = item_kind
+        out = bytearray()
+        if v:
+            out += enc_long(len(v))
+            for mk, mv in v.items():
+                out += enc_bytes(str(mk).encode("utf-8"))
+                if nullable_v:
+                    if mv is None:
+                        out += enc_long(0)
+                        continue
+                    out += enc_long(1)
+                elif mv is None:
+                    raise ValueError("avro_ocf: None in non-nullable map value")
+                out += _enc_value(base_v, logical_v, mv, inner)
+        out += enc_long(0)
+        return bytes(out)
+    if base == "record":
+        # nested record: field-by-field concatenation (spec "Records")
+        # — item_kind carries the ordered field kinds; Spark hands
+        # nested structs as Row (tuple-like).
+        return enc_record(item_kind, v)
     if base in ("long", "int"):
         return enc_long(int(v))
     if base == "double":
@@ -249,6 +346,8 @@ def _dec_value(base: str, logical: str | None, buf: bytes, pos: int, item_kind=N
             # converter expects for TimestampType.
             v = _EPOCH_TS_UTC + datetime.timedelta(microseconds=n)
             return v.astimezone().replace(tzinfo=None), pos
+        if logical == "local-timestamp-micros":
+            return _EPOCH_TS_NAIVE + datetime.timedelta(microseconds=n), pos
         return n, pos
     if base == "array":
         nullable_i, base_i, logical_i, inner = item_kind
@@ -268,6 +367,28 @@ def _dec_value(base: str, logical: str | None, buf: bytes, pos: int, item_kind=N
                         continue
                 x, pos = _dec_value(base_i, logical_i, buf, pos, inner)
                 vals.append(x)
+    if base == "map":
+        nullable_v, base_v, logical_v, inner = item_kind
+        m = {}
+        while True:
+            cnt, pos = dec_long(buf, pos)
+            if cnt == 0:
+                return m, pos
+            if cnt < 0:  # spec: negative count block carries a byte size
+                _, pos = dec_long(buf, pos)
+                cnt = -cnt
+            for _ in range(cnt):
+                kb, pos = dec_bytes(buf, pos)
+                mk = kb.decode("utf-8")
+                if nullable_v:
+                    idx, pos = dec_long(buf, pos)
+                    if idx == 0:
+                        m[mk] = None
+                        continue
+                mv, pos = _dec_value(base_v, logical_v, buf, pos, inner)
+                m[mk] = mv
+    if base == "record":
+        return dec_record(item_kind, buf, pos)
     if base == "double":
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if base == "float":

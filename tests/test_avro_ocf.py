@@ -9,6 +9,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from scache_spark.sources import avro_ocf as A
@@ -45,15 +46,15 @@ def test_ocf_file_roundtrip_with_nulls(tmp_path):
 
 
 def test_unsupported_type_fails_loudly():
-    st = T.StructType([T.StructField("a", T.MapType(T.StringType(), T.LongType()))])
+    st = T.StructType([T.StructField("a", T.DecimalType(10, 2))])
     with pytest.raises(ValueError, match="unsupported Spark type"):
         A.spark_to_avro_schema(st)
-    # arrays of primitives are supported (r6) but nesting is not
-    nested = T.StructType(
-        [T.StructField("a", T.ArrayType(T.ArrayType(T.LongType())))]
+    # Avro maps have string keys by spec — anything else is loud
+    intkey = T.StructType(
+        [T.StructField("a", T.MapType(T.LongType(), T.LongType()))]
     )
-    with pytest.raises(ValueError, match="unsupported Spark type"):
-        A.spark_to_avro_schema(nested)
+    with pytest.raises(ValueError, match="map keys must be string"):
+        A.spark_to_avro_schema(intkey)
 
 
 def test_ocf_array_roundtrip(tmp_path):
@@ -189,3 +190,150 @@ def test_ocf_roundtrip_property(tmp_path_factory, rows, block_rows):
             import struct as _s
             assert _s.pack("<d", got[2]) == _s.pack("<d", want[2])
         assert got[3] == want[3] and got[4] == want[4]
+
+
+# ---------------------------------------------------------------------------
+# r7: NTZ wall-time semantics + instant correctness under a foreign
+# session timezone (ADVICE r6: timestamp portability)
+# ---------------------------------------------------------------------------
+
+
+def test_ntz_local_timestamp_micros_roundtrip(spark, tmp_path):
+    """TimestampNTZType maps to the spec's local-timestamp-micros (NOT
+    timestamp-micros: NTZ is wall time, no instant semantics), and the
+    wall time round-trips exactly with zero zone math."""
+    wall = datetime.datetime(2024, 3, 10, 2, 30, 0, 123456)  # inside a
+    # US DST gap — a wall time no zone-math path can round-trip
+    A.register_avro_ocf(spark)
+    df = spark.createDataFrame(
+        [Row(k=1, t=wall), Row(k=2, t=None)],
+        "k bigint, t timestamp_ntz",
+    )
+    out = str(tmp_path / "avro_ntz")
+    df.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    parts = [f for f in os.listdir(out) if f.endswith(".avro")]
+    hdr = A.read_ocf_header(os.path.join(out, parts[0]))
+    (tf,) = [f for f in hdr["fields"] if f["name"] == "t"]
+    assert tf["type"][1]["logicalType"] == "local-timestamp-micros"
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # the stored long IS the naive wall micros — no host offset baked in
+    rows = [
+        r for p in parts for r in A.read_ocf(os.path.join(out, p))
+    ]
+    stored = {k: t for k, t in rows}
+    assert stored[1] == wall and stored[2] is None
+
+
+def test_timestamp_instant_true_utc_under_foreign_session_tz(spark, tmp_path):
+    """The instant path stores TRUE UTC micros even when
+    spark.sql.session.timeZone differs from the OS zone — measured
+    via cast-to-epoch (zone-independent) across the round trip.  This
+    pins the r6-probe finding: the classic pickled DataSource path
+    converts with the OS zone in BOTH directions, so the codec's
+    OS-zone attachment composes to the exact instant regardless of
+    the session setting."""
+    A.register_avro_ocf(spark)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        df = spark.createDataFrame(
+            [Row(k=1, ts=datetime.datetime(2024, 1, 2, 3, 4, 5, 123456))],
+            "k bigint, ts timestamp",
+        )
+        (epoch_in,) = df.select(F.unix_micros("ts")).first()
+        out = str(tmp_path / "avro_tz")
+        df.write.format("avro_ocf").option("path", out).mode(
+            "overwrite"
+        ).save()
+        back = spark.read.format("avro_ocf").option("path", out).load()
+        (epoch_out,) = back.select(F.unix_micros("ts")).first()
+        assert epoch_out == epoch_in
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ---------------------------------------------------------------------------
+# r7: nested types — records, maps, arrays-of-records
+# ---------------------------------------------------------------------------
+
+
+def test_nested_types_spark_roundtrip(spark, tmp_path):
+    """r7 datum-generic leg: struct, map<string,_>, array<struct>, and
+    array<array<_>> columns round-trip through the registered data
+    source exactly (GenericAvroSerializer.scala:36-71 serializes any
+    GenericRecord; the relation-format twin must too)."""
+    A.register_avro_ocf(spark)
+    ddl = (
+        "k bigint, "
+        "pt struct<x: double, y: double>, "
+        "attrs map<string, bigint>, "
+        "hops array<struct<node: string, ms: bigint>>, "
+        "grid array<array<bigint>>"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                {"x": 1.5, "y": -2.5},
+                {"a": 1, "b": None},
+                [{"node": "n1", "ms": 10}, {"node": "n2", "ms": 20}],
+                [[1, 2], [], [3]],
+            ),
+            (2, None, {}, [], None),
+            (3, {"x": 0.0, "y": 0.0}, None, None, [[]]),
+        ],
+        ddl,
+    )
+    out = str(tmp_path / "avro_nested")
+    df.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    assert back.schema == df.schema
+    a = sorted(back.collect(), key=lambda r: r.k)
+    b = sorted(df.collect(), key=lambda r: r.k)
+    assert a == b
+
+
+def test_nested_ocf_file_roundtrip(tmp_path):
+    """Codec-level nested round trip without Spark: record-in-record,
+    map values of arrays, nullable inner unions."""
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "inner",
+                "type": [
+                    "null",
+                    {
+                        "type": "record",
+                        "name": "inner_r",
+                        "fields": [
+                            {"name": "s", "type": ["null", "string"]},
+                            {
+                                "name": "vals",
+                                "type": {"type": "array", "items": "long"},
+                            },
+                        ],
+                    },
+                ],
+            },
+            {
+                "name": "m",
+                "type": {
+                    "type": "map",
+                    "values": ["null", {"type": "array", "items": "double"}],
+                },
+            },
+        ],
+    }
+    rows = [
+        (1, ("héllo", [1, 2, 3]), {"a": [1.5], "b": None}),
+        (2, None, {}),
+        (3, (None, []), {"z": []}),
+    ]
+    p = str(tmp_path / "nested.avro")
+    assert A.write_ocf(p, schema, rows, block_rows=2) == 3
+    assert list(A.read_ocf(p)) == rows
