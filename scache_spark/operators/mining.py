@@ -300,12 +300,19 @@ def ewma_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(EWMA_LAGS)],
     )
     num, den = _ewma_cols()
+    # try_divide, not /: a day whose values are ALL NULL has x NULL,
+    # and if its 13 trailing observations are too, den == 0 — DuckDB
+    # division by zero yields NULL while Spark ANSI throws mid-query
+    # (property-fuzz finding, tests/test_dirty_properties.py).  Same
+    # guard for ratio when the window's EWMA is legitimately 0.0.
     scored = lagged.select(
         "day",
         "event_type",
         "x",
-        F.round(num / den, 4).alias("ewma"),
-        F.round(F.col("x") / (num / den), 6).alias("ratio"),
+        F.round(F.try_divide(num, den), 4).alias("ewma"),
+        F.round(F.try_divide(F.col("x"), F.try_divide(num, den)), 6).alias(
+            "ratio"
+        ),
     )
     return scored.withColumn(
         "is_anomaly", (F.col("ratio") > 1.2) | (F.col("ratio") < 0.8)
