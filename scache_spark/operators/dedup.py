@@ -994,11 +994,14 @@ def minhash_merge_property(spark: SparkSession, sf_dir: str) -> DataFrame:
 BAND_CAP = 8  # max docs per (band_id, band_hash) bucket before demotion
 
 
-@register(
-    "dedup_minhash_capped_pairs",
-    oracle=f"""
-    WITH {_AUG_SQL}, {_SHINGLE_SQL},
-    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
+# Shared capped banded-LSH candidate stage (r7, ADVICE): signatures
+# melt to (doc_id, band_id, band_hash), hot buckets (> BAND_CAP
+# members) are demoted BEFORE any pair materializes, and surviving
+# buckets self-join into distinct (doc_a < doc_b) candidates.  One
+# definition per engine side — dedup_minhash_capped_pairs and
+# dedup_source_overlap_matrix consume BOTH, so the cap semantics
+# cannot drift between them.
+_CAPPED_CAND_SQL = f"""sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
     bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
     melted AS (
       {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
@@ -1017,7 +1020,57 @@ BAND_CAP = 8  # max docs per (band_id, band_hash) bucket before demotion
       FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    )"""
+
+
+def _capped_candidate_pairs(sh):
+    """Spark twin of ``_CAPPED_CAND_SQL``: given the checkpointed
+    shingle frame, return the distinct (doc_a, doc_b) candidates that
+    survive BAND_CAP demotion.  The LEAN melt (doc_id, band_id,
+    band_hash — no shingle payload) is checkpointed once and feeds
+    the cap count plus both self-join sides."""
+    sigs = sh.select("doc_id", *_signature_cols())
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")))
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    ).localCheckpoint(eager=True)
+    keep = (
+        melted.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= BAND_CAP)
+        .select("band_id", "band_hash")
     )
+    capped = melted.join(keep, ["band_id", "band_hash"])
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_capped_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL}, {_SHINGLE_SQL},
+    {_CAPPED_CAND_SQL}
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
@@ -1049,43 +1102,7 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sh")
         .localCheckpoint(eager=True)
     )
-    sigs = sh.select("doc_id", *_signature_cols())
-    melted = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")))
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    ).localCheckpoint(eager=True)
-    keep = (
-        melted.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= BAND_CAP)
-        .select("band_id", "band_hash")
-    )
-    capped = melted.join(keep, ["band_id", "band_hash"])
-    a = capped.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_hash"
-    )
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_hash").alias("band_hash_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("band_id_b"))
-            & (F.col("band_hash") == F.col("band_hash_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _capped_candidate_pairs(sh)
     verified = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
@@ -1105,26 +1122,7 @@ def dedup_minhash_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_source_overlap_matrix",
     oracle=f"""
     WITH {_AUG_SQL}, {_SHINGLE_SQL},
-    sigs AS (SELECT doc_id, {_SIG_SQL} FROM shingled),
-    bands AS (SELECT doc_id, {_BAND_SQL} FROM sigs),
-    melted AS (
-      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band_id, band_{j} AS band_hash FROM bands" for j in range(N_BANDS))}
-    ),
-    keep AS (
-      SELECT band_id, band_hash FROM melted
-      GROUP BY band_id, band_hash
-      HAVING count(*) <= {BAND_CAP}
-    ),
-    capped AS (
-      SELECT m.* FROM melted m
-      JOIN keep k ON m.band_id = k.band_id AND m.band_hash = k.band_hash
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM capped a JOIN capped b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    ),
+    {_CAPPED_CAND_SQL},
     verified AS (
       SELECT c.doc_a, c.doc_b, sa.source AS src_1, sb.source AS src_2,
              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -1162,41 +1160,7 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "sh")
         .localCheckpoint(eager=True)
     )
-    sigs = sh.select("doc_id", *_signature_cols())
-    melted = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat(F.col(f"sig_{2 * j}"), F.col(f"sig_{2 * j + 1}")))
-                    for j in range(N_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
-    ).localCheckpoint(eager=True)
-    keep = (
-        melted.groupBy("band_id", "band_hash")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= BAND_CAP)
-        .select("band_id", "band_hash")
-    )
-    capped = melted.join(keep, ["band_id", "band_hash"])
-    a = capped.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash")
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("band_id_b"),
-        F.col("band_hash").alias("band_hash_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("band_id_b"))
-            & (F.col("band_hash") == F.col("band_hash_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _capped_candidate_pairs(sh)
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )

@@ -514,14 +514,14 @@ def hot_band_stats(sf_dir: str) -> dict:
 # Excluded from the --rest sweep, each for a stated reason — never
 # silently (the no-silent-caps rule):
 REST_EXCLUDE = {
-    # brute-force validators, quadratic BY DESIGN (they exist to
-    # validate the bucketed operators, which ARE swept):
+    # brute-force validator, quadratic BY DESIGN over the replicated
+    # documents table (x10 verbatim copies => 100x pair space); it
+    # exists to validate the bucketed operators, which ARE swept.
+    # (fuzzy_match_levenshtein left the list in r7: it reads only the
+    # part DIM, which the replica copies verbatim, so its x10 cost is
+    # its sf0.1 cost; lsh_design_curve likewise rejoined the sweep
+    # with a measured x10 artifact.)
     "dedup_ngram_jaccard",
-    "fuzzy_match_levenshtein",
-    # LSH parameter-sweep evaluation harness: runs the banded join at
-    # a grid of (bands, rows) configs — an offline design tool, not a
-    # pipeline operator; 86s at sf0.1 already
-    "lsh_design_curve",
     # output is SF-proportional (6M rows at x10), so the pandas frame
     # COMPARE, not the engine, is the cost — these two are x10-verified
     # by --checksum instead (count + order-independent XOR checksum on
