@@ -272,6 +272,91 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_normalized_exact",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    fmt AS (
+      SELECT doc_id, text, source FROM aug
+      UNION ALL
+      SELECT doc_id + 300000,
+             '  ' || replace(upper(text), ' ', '   ') || '  ' AS text,
+             source
+      FROM aug WHERE doc_id % 10 = 3
+    ),
+    normed AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                 AS norm
+      FROM fmt
+    )
+    SELECT md5(norm) AS norm_hash,
+           min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+    FROM normed WHERE norm <> ''
+    GROUP BY md5(norm)
+    """,
+    tags=("B13", "B24", "B14"),
+    doc="NORMALIZED exact dedup — the standard pre-MinHash pass "
+    "(RefinedWeb/CCNet convention): case-fold, squash every "
+    "non-alphanumeric run to one space, trim, then hash-group.  "
+    "Catches the formatting-variant duplicates raw-hash dedup "
+    "misses (casing, whitespace runs, punctuation) without paying "
+    "for shingling; n_raw_variants counts how many distinct raw "
+    "texts each normalized group collapsed.  Planted ground truth: "
+    "doc_id%10==3 gets an UPPERCASED triple-spaced +300000 variant "
+    "that raw md5 would keep separate.  DIRTY CONTRACT: a doc that "
+    "normalizes to the empty string (pure punctuation/whitespace/"
+    "control bytes) has no content to dedup and is excluded.  At "
+    "100 TB the shape is dedup_exact_hash's: normalization and "
+    "hashing are map-side, the shuffle carries (16-byte digest, id) "
+    "pairs only.",
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = augmented_docs(spark, sf_dir)
+    fmt_variant = F.concat(
+        F.lit("  "),
+        F.upper(F.regexp_replace("text", " ", "   ")),
+        F.lit("  "),
+    )
+    variants = F.array(
+        F.struct(
+            F.col("doc_id").alias("doc_id"),
+            F.col("text").alias("text"),
+            F.lit(True).alias("keep"),
+        ),
+        F.struct(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            fmt_variant.alias("text"),
+            (F.col("doc_id") % 10 == 3).alias("keep"),
+        ),
+    )
+    fmt = aug.select(
+        F.explode(F.filter(variants, lambda v: v["keep"])).alias("v")
+    ).select("v.doc_id", "v.text")
+    norm = F.trim(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+    )
+    normed = fmt.select("doc_id", "text", norm.alias("norm")).filter(
+        F.col("norm") != ""
+    )
+    # project to digests BEFORE the shuffle — text never moves
+    return (
+        normed.select(
+            F.md5("norm").alias("norm_hash"),
+            "doc_id",
+            F.md5("text").alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("raw_hash").cast("long").alias("n_raw_variants"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -2205,3 +2205,81 @@ def kll_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_rank_within_5pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# in-flight pipeline metrics via the Observation API (Spark 3.3+/4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observe_scan_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_ts,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_user,
+           CAST(sum(CASE WHEN props IS NULL OR NOT json_valid(props)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_props,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events
+    """,
+    tags=("B22", "B20", "B18"),
+    doc="In-flight data-quality metrics via df.observe() + Observation "
+    "— Spark's zero-extra-scan pipeline instrumentation: the metric "
+    "aggregates ride the SAME job that consumes the scan (here a "
+    "noop-sink write, the v2 no-op action), so a 100 TB ingest gets "
+    "row counts, null-key counts, malformed-props counts and the "
+    "event-time span for free instead of paying a second pass.  The "
+    "observed values come back on the driver as one tiny dict and "
+    "are re-emitted as a 1-row frame — this is the supported "
+    "metrics-plane surface (QueryExecutionListener-visible), not a "
+    "collect of data rows.  Malformed-props detection reuses the "
+    "untrusted-props contract: a bad props is NULL or MALFORMED, "
+    "detected with try_parse_json — the variant parser is NULL "
+    "exactly where DuckDB's json_valid is false (from_json would "
+    "NOT work here: PERMISSIVE mode returns a struct of NULL "
+    "fields, not a NULL struct, for malformed input — the dirty "
+    "replica caught that).  Valid non-objects like [1,2] parse on "
+    "both sides.  Timestamps travel as epoch micros (unix_micros "
+    "== epoch_us), never wall strings.",
+)
+def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    bad_props = F.when(F.try_parse_json("props").isNull(), 1).otherwise(0)
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_ts"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_user"),
+        F.sum(bad_props).cast("long").alias("n_bad_props"),
+        F.min(F.unix_micros("ts")).cast("long").alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+    )
+    # the action the metrics ride on: a v2 noop-sink write consumes
+    # every row without collecting any
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_ts"],
+                m["n_null_user"],
+                m["n_bad_props"],
+                m["min_ts_us"],
+                m["max_ts_us"],
+            )
+        ],
+        "n_rows long, n_null_ts long, n_null_user long, n_bad_props long, "
+        "min_ts_us long, max_ts_us long",
+    )

@@ -1521,3 +1521,57 @@ _RECURSIVE_REACH_SQL = """
 def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0, SPARK-49555): the |> operator chain
+# ---------------------------------------------------------------------------
+
+_PIPE_SQL = """
+FROM events
+|> WHERE ts IS NOT NULL AND user_id IS NOT NULL
+|> EXTEND CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+       AS purchase_value
+|> AGGREGATE COUNT(*) AS n_events,
+             ROUND(SUM(value), 4) AS total_value,
+             ROUND(SUM(purchase_value), 4) AS purchase_revenue
+   GROUP BY event_type
+|> WHERE n_events >= 100
+|> EXTEND ROUND(purchase_revenue / total_value, 6) AS purchase_share
+|> DROP purchase_revenue
+"""
+
+
+@register(
+    "sql_pipe_syntax_agg",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 4) AS total_value,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END), 4) AS purchase_revenue
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_events, total_value,
+           round(purchase_revenue / total_value, 6) AS purchase_share
+    FROM agg WHERE n_events >= 100
+    """,
+    tags=("B1", "B7", "B3"),
+    doc="SQL PIPE SYNTAX (Spark 4.0, SPARK-49555): the same logical "
+    "plan as a classic GROUP BY + HAVING query, written as a linear "
+    "|> chain — FROM, WHERE, EXTEND (computed column), AGGREGATE "
+    "... GROUP BY, post-aggregation WHERE (HAVING without the "
+    "special case), EXTEND again over aggregate outputs, DROP.  "
+    "Each pipe stage is a complete relational operator application "
+    "in reading order, which is exactly how Catalyst receives it — "
+    "the optimized plan is identical to the nested-SQL twin (the "
+    "oracle states the classic form), so the surface costs nothing "
+    "at 100 TB: one partial-aggregated shuffle on event_type, the "
+    "dirty-events timed/keyed contracts applied in the first stage.",
+)
+def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_PIPE_SQL)

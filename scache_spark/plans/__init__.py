@@ -135,7 +135,24 @@ def shape_counts(df: DataFrame) -> dict[str, int]:
     Generator (tools/gen_plan_baseline.py) and checker
     (tests/test_plan_baseline.py) both call THIS, so the two can
     never measure differently."""
+    r = plan_report(df)
+    return {"exchanges": r["exchanges"], "broad_scans": r["broad_scans"]}
+
+
+def plan_report(df: DataFrame) -> dict:
+    """ONE formatted-plan extraction serving every plan consumer (r7:
+    the ratchet and the lint each re-explained all ~290 queries —
+    ~2 min of CI doing the same Catalyst work twice).  Returns the
+    plan text plus the shared shape numbers; scan-count detail comes
+    from the same text via _scan_counts_from_plan."""
+    plan = formatted_plan(df)
     return {
-        "exchanges": exchange_count(df),
-        "broad_scans": sum(broad_scan_counts(df).values()),
+        "plan": plan,
+        "exchanges": len(
+            re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE)
+        ),
+        "broad_scans": sum(
+            _scan_counts_from_plan(plan, broad_only=True).values()
+        ),
+        "broad_scan_detail": _scan_counts_from_plan(plan, broad_only=True),
     }

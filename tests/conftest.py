@@ -133,3 +133,27 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
         else:
             for i, (a, b) in enumerate(zip(sv, ov)):
                 assert _cell_equal(a, b), f"{name}.{col}[{i}]: {a!r} != {b!r}"
+
+
+@pytest.fixture(scope="session")
+def plan_reports(spark):
+    """ONE plan sweep shared by the shape ratchet and the lint (r7):
+    each batch query's DataFrame is built once and explained once —
+    previously both tests independently re-built and re-explained all
+    ~290 plans (~2 min of duplicated Catalyst work, plus re-executing
+    every eager localCheckpoint builder twice)."""
+    from scache_spark import plans
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    reports: dict[str, object] = {}
+    for name, spec in REGISTRY.items():
+        if name.startswith(plans.SHAPE_SKIP_PREFIXES):
+            continue
+        try:
+            reports[name] = plans.plan_report(
+                spec.fn(spark, "/root/testdata/sf0.01")
+            )
+        except Exception as exc:  # the consumers decide how to report
+            reports[name] = exc
+    return reports

@@ -49,15 +49,19 @@ def test_every_batch_query_has_a_baseline():
     )
 
 
-def test_no_plan_shape_regressions(spark):
+def test_no_plan_shape_regressions(plan_reports):
     """One sweep (explain only, nothing executes): current exchange and
-    broad-scan counts must not exceed the recorded baseline."""
+    broad-scan counts must not exceed the recorded baseline.  The
+    sweep itself is the session-shared plan_reports fixture."""
     regressions = []
     for name in BATCH_QUERIES:
         rec = BASELINE.get(name)
         if rec is None:  # reported by the test above
             continue
-        cur = shape_counts(REGISTRY[name].fn(spark, _BASELINE_SF))
+        rep = plan_reports[name]
+        if isinstance(rep, Exception):
+            raise rep
+        cur = {"exchanges": rep["exchanges"], "broad_scans": rep["broad_scans"]}
         if (
             cur["exchanges"] > rec["exchanges"]
             or cur["broad_scans"] > rec["broad_scans"]

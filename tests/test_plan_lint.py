@@ -11,10 +11,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def test_no_plan_antipatterns(spark):
+def test_no_plan_antipatterns(spark, plan_reports):
     from tools.plan_lint import lint_all
 
-    flagged = lint_all(spark)
+    flagged = lint_all(spark, reports=plan_reports)
     assert not flagged, "plan lint regressions:\n" + "\n".join(
         f"  {n}: {', '.join(iss)}" for n, iss in flagged.items()
     )

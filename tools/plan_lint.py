@@ -52,17 +52,27 @@ RESCAN_OK: set[str] = {
 }
 
 
-def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
+def lint_all(
+    spark, sf: str = "/root/testdata/sf0.01", reports: dict | None = None
+) -> dict[str, list[str]]:
     """Run the lint over every non-streaming, non-eager registered
-    query; returns {query_name: [issue, ...]} for flagged queries."""
+    query; returns {query_name: [issue, ...]} for flagged queries.
+    ``reports`` takes precomputed {name: plans.plan_report(df) | Exception}
+    so CI's ratchet and lint share ONE sweep (r7)."""
     _ensure_loaded()
     flagged: dict[str, list[str]] = {}
     for name, spec in REGISTRY.items():
         if name.startswith(SKIP_PREFIXES):
             continue
         try:
-            df = spec.fn(spark, sf)
-            p = plans.formatted_plan(df)
+            rep = (
+                reports[name]
+                if reports is not None
+                else plans.plan_report(spec.fn(spark, sf))
+            )
+            if isinstance(rep, Exception):
+                raise rep
+            p = rep["plan"]
         except Exception as exc:  # pragma: no cover - report, don't die
             flagged[name] = [f"ERROR {str(exc)[:100]}"]
             continue
@@ -71,7 +81,7 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
             issues.append("CARTESIAN")
         if "BatchEvalPython " in p and "ArrowEvalPython" not in p:
             issues.append("PY-UDF")
-        nex = plans.exchange_count(df)
+        nex = rep["exchanges"]
         if nex > MAX_EXCHANGES:
             issues.append(f"EXCHANGES={nex}")
         # Redundant-scan rule (r3 judge item 3): >2 broad FileScans of
@@ -82,7 +92,7 @@ def lint_all(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, list[str]]:
         # broad_scan_counts never double-counts them.  Fix with eager
         # localCheckpoint on the shared frame, or justify in RESCAN_OK.
         if name not in RESCAN_OK:
-            for base, n in plans.broad_scan_counts(df).items():
+            for base, n in rep["broad_scan_detail"].items():
                 if n > MAX_SAME_FILE_SCANS:
                     issues.append(f"RESCAN={base}x{n}")
         if issues:
