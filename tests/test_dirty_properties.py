@@ -196,7 +196,12 @@ def test_document_contracts_fuzzed(spark, tmp_path_factory, texts):
     _check(
         spark,
         sf,
-        ["dedup_exact_hash", "text_fingerprint", "dedup_minhash_pairs"],
+        [
+            "dedup_exact_hash",
+            "dedup_normalized_exact",
+            "text_fingerprint",
+            "dedup_minhash_pairs",
+        ],
         ["documents"],
     )
 
