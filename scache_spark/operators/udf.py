@@ -298,3 +298,72 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy batch surface (no pandas materialization)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_token_stats(batches):
+    """Pure-pyarrow per-batch transform: token counts from Arrow
+    string kernels — the RecordBatch never becomes pandas objects, so
+    a 100 TB text column streams through C++ compute with zero
+    Python-object churn (the difference from mapInPandas, which
+    materializes every string as a PyObject)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        # single-space token count == len(string_split(text, ' ')):
+        # occurrences + 1, empties included — integer-exact in both
+        # engines (no whitespace-class ambiguity)
+        n_tokens = pc.add(pc.count_substring(text, " "), 1)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("source"), pc.cast(n_tokens, pa.int64())],
+            ["source", "n_tokens"],
+        )
+
+
+@register(
+    "arrow_token_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT)
+               AS max_tokens
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+    tags=("B23", "B24"),
+    doc="mapInArrow token statistics — the LAST tier of the UDF "
+    "surface matrix (row-pickled < Arrow-batched scalar < pandas "
+    "vectorized < pure-Arrow batches): the text column flows through "
+    "pyarrow's C++ string kernels (count_substring) without ever "
+    "materializing a Python or pandas object, which is the right "
+    "shape for per-row transforms over 100 TB payload columns.  "
+    "Token count = single-space occurrences + 1, exactly "
+    "len(string_split(text, ' ')) — integer-exact, no whitespace-"
+    "class ambiguity.  DIRTY CONTRACT: NULL text is excluded on "
+    "both sides (count_substring(NULL) is NULL, not a crash).  The "
+    "per-batch output is (source, n_tokens) only — the text never "
+    "crosses the post-UDF shuffle, which carries one small row per "
+    "doc into the per-source aggregate.",
+)
+def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "text")
+    )
+    counted = docs.mapInArrow(
+        _arrow_token_stats, "source string, n_tokens long"
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
