@@ -73,6 +73,12 @@ HEADLINE = [
     "dedup_source_overlap_matrix",
     "quality_calibration_ece",
     "stream_cms_heavy_users",
+    # round-7 additions (appended — shared-subset delta unaffected)
+    "dedup_normalized_exact",
+    "arrow_token_stats",
+    "fastss_edit1_pairs",
+    "snm_neighbor_pairs",
+    "pareto_frontier_docs",
 ]
 
 

@@ -18,10 +18,24 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    """The formatted physical plan as a string.
+
+    Taken from the JVM directly (the same call DataFrame.explain
+    prints) rather than capturing stdout: redirect_stdout is
+    process-GLOBAL, so concurrent explains interleave their output
+    into whichever buffer is active — the threaded plan sweep in
+    tests/conftest.py produced shuffled shape counts that way.
+    """
+    try:
+        jvm = df.sparkSession._jvm
+        return jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> str:

@@ -223,6 +223,7 @@ def _ensure_loaded() -> None:
         eventlog,
         extra,
         graph,
+        linkage,
         mining,
         multimodal,
         pipeline,
