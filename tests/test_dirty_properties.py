@@ -201,6 +201,10 @@ def test_document_contracts_fuzzed(spark, tmp_path_factory, texts):
             "dedup_normalized_exact",
             "text_fingerprint",
             "dedup_minhash_pairs",
+            # window-formulated skyline vs its brute-force NOT-EXISTS
+            # oracle: fuzzing proves the two-window dominance algebra
+            # on arbitrary dirty corpora, not just the fixture
+            "pareto_frontier_docs",
         ],
         ["documents"],
     )
