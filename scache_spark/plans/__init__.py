@@ -170,3 +170,44 @@ def plan_report(df: DataFrame) -> dict:
         ),
         "broad_scan_detail": _scan_counts_from_plan(plan, broad_only=True),
     }
+
+
+def sweep_plan_reports(
+    spark, sf: str = "/root/testdata/sf0.01", max_workers: int = 8
+) -> dict[str, object]:
+    """plan_report for every non-streaming registered query — the ONE
+    sweep shared by the CI shape ratchet/lint fixture and the baseline
+    generator, so both measure identically and both get the threaded
+    speedup (~165 s serial -> tens of seconds).
+
+    DataFrame CONSTRUCTION is serialized under a lock: some builders
+    register fixed-name temp views or flip session confs, and
+    concurrent builds cross-contaminate (observed as shuffled shape
+    counts).  Only the explain/analysis threads — that work is JVM-
+    side behind py4j with the GIL released.  A builder that raises is
+    recorded as the exception; consumers decide how to report it.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    build_lock = threading.Lock()
+
+    def one(item):
+        name, spec = item
+        try:
+            with build_lock:
+                df = spec.fn(spark, sf)
+            return name, plan_report(df)
+        except Exception as exc:
+            return name, exc
+
+    todo = [
+        (n, s)
+        for n, s in REGISTRY.items()
+        if not n.startswith(SHAPE_SKIP_PREFIXES)
+    ]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return dict(pool.map(one, todo))

@@ -142,38 +142,6 @@ def plan_reports(spark):
     previously both tests independently re-built and re-explained all
     ~290 plans (~2 min of duplicated Catalyst work, plus re-executing
     every eager localCheckpoint builder twice)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from scache_spark.plans import sweep_plan_reports
 
-    from scache_spark import plans
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-
-    _ensure_loaded()
-
-    import threading
-
-    # DataFrame CONSTRUCTION must stay serial: some builders register
-    # fixed-name temp views or flip session confs, which cross-
-    # contaminate concurrent builds (observed as shuffled shape
-    # counts).  Only the explain/analysis (plan_report) runs threaded.
-    build_lock = threading.Lock()
-
-    def one(item):
-        name, spec = item
-        try:
-            with build_lock:
-                df = spec.fn(spark, "/root/testdata/sf0.01")
-            return name, plans.plan_report(df)
-        except Exception as exc:  # the consumers decide how to report
-            return name, exc
-
-    todo = [
-        (n, s)
-        for n, s in REGISTRY.items()
-        if not n.startswith(plans.SHAPE_SKIP_PREFIXES)
-    ]
-    # Catalyst analysis is JVM-side behind py4j (GIL released), so the
-    # sweep threads well; 8 workers cut the ~165 s serial sweep to
-    # tens of seconds on local[32].
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        reports = dict(pool.map(one, todo))
-    return reports
+    return sweep_plan_reports(spark)

@@ -12,6 +12,8 @@ deliberately after a plan-improving change:
     python tools/gen_plan_baseline.py
 
 A new query must be added here (by regenerating) before CI accepts it.
+The sweep is the same threaded sweep_plan_reports the CI fixture uses,
+so generator and checker can never measure differently.
 """
 
 from __future__ import annotations
@@ -22,26 +24,24 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from scache_spark.plans import SHAPE_SKIP_PREFIXES, shape_counts
-from scache_spark.registry import REGISTRY, _ensure_loaded
+from scache_spark.plans import sweep_plan_reports
 from scache_spark.session import get_session
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_baseline.json")
 
 
-def snapshot(spark, sf: str = "/root/testdata/sf0.01") -> dict[str, dict[str, int]]:
-    _ensure_loaded()
-    base: dict[str, dict[str, int]] = {}
-    for name, spec in sorted(REGISTRY.items()):
-        if name.startswith(SHAPE_SKIP_PREFIXES):
-            continue
-        base[name] = shape_counts(spec.fn(spark, sf))
-    return base
-
-
 def main() -> None:
     spark = get_session("plan-baseline")
-    base = snapshot(spark)
+    reports = sweep_plan_reports(spark)
+    errs = {n: r for n, r in reports.items() if isinstance(r, Exception)}
+    if errs:
+        for n, e in errs.items():
+            print(f"ERROR {n}: {e}")
+        sys.exit(1)
+    base = {
+        n: {"exchanges": r["exchanges"], "broad_scans": r["broad_scans"]}
+        for n, r in sorted(reports.items())
+    }
     with open(OUT, "w") as f:
         json.dump(base, f, indent=1, sort_keys=True)
         f.write("\n")
