@@ -39,6 +39,8 @@ __all__ = [
     "perplexity_buckets",
     "cms_sketch",
     "cms_estimate",
+    "edit_distance_pairs",
+    "skyline_2d",
 ]
 
 
@@ -808,3 +810,97 @@ def cms_estimate(
         .groupBy(*probe_cols)
         .agg(F.min(F.coalesce(F.col("__cms_cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, max_dist: int = 1
+) -> DataFrame:
+    """All pairs within ``max_dist`` Levenshtein edits, without a
+    blocking key and without the O(n²) pair space (FastSS deletion
+    neighborhoods; cf. registry ``fastss_edit1_pairs``).
+
+    Candidate generation is EXACT for distance <= 1: two strings are
+    within one edit iff their {self} ∪ {single-character deletions}
+    variant sets intersect, so candidates come from an equi-join on
+    O(n·L) variant keys (codegen substr/transform — no UDF) and a
+    levenshtein verify touches only survivors.  Verify cost scales
+    with true-near-match density, not corpus size².  Only
+    ``max_dist=1`` is supported: k-deletion neighborhoods grow
+    O(L^k) per string, a different cost regime the caller should opt
+    into via repeated application or LSH instead.
+
+    Returns (id_a, id_b, edit_dist) with id_a < id_b, duplicates
+    collapsed.  NULL text never joins (variant key of NULL is NULL).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            f"edit_distance_pairs supports max_dist=1 only, got {max_dist}"
+            " — deletion neighborhoods grow O(L^k); use minhash_pairs"
+            " for looser similarity"
+        )
+    s = F.col(text_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            s.substr(F.lit(1), i - F.lit(1)),
+            s.substr(i + F.lit(1), F.length(s)),
+        ),
+    )
+    variants = df.select(
+        F.col(id_col).alias("__k"),
+        s.alias("__nm"),
+        F.explode(F.array_distinct(F.array_append(dels, s))).alias("__v"),
+    )
+    other = variants.select(
+        F.col("__k").alias("__k2"), F.col("__nm").alias("__nm2"), F.col("__v")
+    )
+    return (
+        variants.join(other, "__v")
+        .where(F.col("__k") < F.col("__k2"))
+        .select("__k", "__k2", "__nm", "__nm2")
+        .distinct()
+        .where(F.levenshtein("__nm", "__nm2") <= max_dist)
+        .select(
+            F.col("__k").alias("id_a"),
+            F.col("__k2").alias("id_b"),
+            F.levenshtein("__nm", "__nm2").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rows not strictly dominated when MAXIMIZING both ``x_col`` and
+    ``y_col`` — the 2-D Pareto frontier (cf. registry
+    ``pareto_frontier_docs``).
+
+    O(n log n), never a self-join: fold to one (x, max y) row per
+    distinct x, then one ROWS window ordered by x DESC — the running
+    max over the 1-PRECEDING frame is the best y among STRICTLY
+    larger x (each row is a distinct x, so a ROWS offset is exact for
+    any orderable metric type, where a RANGE -1 frame would be wrong
+    for non-integer x).  A row is on the frontier iff its y equals
+    its x-group's max and beats every larger-x max.  Ties share the
+    frontier (equal-metric rows do not dominate each other).  The
+    per-x frame is metric-resolution-bounded, far below row count at
+    scale; rows with NULL in either metric are excluded (dominance
+    is undefined on NULL).
+    """
+    m = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per_x = m.groupBy(x_col).agg(F.max(y_col).alias("__ymax"))
+    w_gt = (
+        Window.partitionBy(F.pmod(F.hash(x_col), F.lit(1)))
+        .orderBy(F.col(x_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.select(
+            x_col,
+            "__ymax",
+            F.max("__ymax").over(w_gt).alias("__best_gt"),
+        )
+        .where(
+            F.col("__best_gt").isNull() | (F.col("__best_gt") < F.col("__ymax"))
+        )
+        .select(x_col, F.col("__ymax").alias(y_col))
+    )
+    return m.join(frontier, [x_col, y_col])

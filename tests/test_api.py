@@ -423,3 +423,59 @@ def test_windowed_pair_join_boundary_rows(spark):
         left, right, on="k", left_ts="lts", right_ts="rts", window="30 minutes"
     )
     assert sorted(r["rid"] for r in out.collect()) == [10, 12, 14]
+
+
+def test_edit_distance_pairs_exact_and_complete(spark):
+    rows = [
+        (1, "kitten"),
+        (2, "sitten"),   # 1 substitution from kitten
+        (3, "kitte"),    # 1 deletion from kitten
+        (4, "kittens"),  # 1 insertion from kitten
+        (5, "kitten"),   # exact duplicate
+        (6, "unrelated"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = api.edit_distance_pairs(df, "id", "s").toPandas()
+    got = {(r.id_a, r.id_b): r.edit_dist for r in out.itertuples()}
+    # brute-force ground truth over all 15 pairs
+    import itertools
+
+    def lev(a, b):
+        m = [[i + j if i * j == 0 else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[-1][-1]
+
+    want = {
+        (a, b): lev(sa, sb)
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= 1
+    }
+    assert got == want
+
+
+def test_edit_distance_pairs_rejects_k_above_one(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    with pytest.raises(ValueError, match="max_dist=1"):
+        api.edit_distance_pairs(df, "id", "s", max_dist=2)
+
+
+def test_skyline_2d_float_metrics_and_ties(spark):
+    rows = [
+        (1, 1.0, 9.0),   # frontier (best y)
+        (2, 1.5, 8.5),   # frontier: x beats 1.0, y beats every larger-x max
+        (3, 1.4, 8.5),   # dominated by (1.5, 8.5) — the RANGE(-1) trap:
+                         # x differs by < 1 unit
+        (4, 3.0, 2.0),   # frontier (best x)
+        (5, 3.0, 2.0),   # tie of 4 — shares the frontier
+        (6, 2.0, 2.0),   # dominated by (3.0, 2.0)
+        (7, None, 5.0),  # NULL metric — excluded
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = api.skyline_2d(df, "x", "y").toPandas()
+    assert sorted(out["id"]) == [1, 2, 4, 5]
