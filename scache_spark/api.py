@@ -829,6 +829,15 @@ def edit_distance_pairs(
     O(L^k) per string, a different cost regime the caller should opt
     into via repeated application or LSH instead.
 
+    Edit distance is defined over UTF-8 BYTES (SCALE.md §16): the
+    verify runs on a byte-faithful latin-1 decode of the UTF-8
+    encoding, so ASCII pairs behave as expected and an é-for-e
+    substitution costs 2 — the locale-free definition engines agree
+    on (DuckDB's levenshtein is byte-based; Spark's is code-point-
+    based).  Char-deletion candidates remain complete for byte
+    distance <= 1: between valid UTF-8 strings, a single-byte edit
+    is always a single-ASCII-char edit.
+
     Returns (id_a, id_b, edit_dist) with id_a < id_b, duplicates
     collapsed.  NULL text never joins (variant key of NULL is NULL).
     """
@@ -854,16 +863,20 @@ def edit_distance_pairs(
     other = variants.select(
         F.col("__k").alias("__k2"), F.col("__nm").alias("__nm2"), F.col("__v")
     )
+    byte_dist = F.levenshtein(
+        F.decode(F.encode(F.col("__nm"), "UTF-8"), "ISO-8859-1"),
+        F.decode(F.encode(F.col("__nm2"), "UTF-8"), "ISO-8859-1"),
+    )
     return (
         variants.join(other, "__v")
         .where(F.col("__k") < F.col("__k2"))
         .select("__k", "__k2", "__nm", "__nm2")
         .distinct()
-        .where(F.levenshtein("__nm", "__nm2") <= max_dist)
+        .where(byte_dist <= max_dist)
         .select(
             F.col("__k").alias("id_a"),
             F.col("__k2").alias("id_b"),
-            F.levenshtein("__nm", "__nm2").cast("int").alias("edit_dist"),
+            byte_dist.cast("int").alias("edit_dist"),
         )
     )
 

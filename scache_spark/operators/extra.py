@@ -254,7 +254,12 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Fuzzy string matching: Levenshtein edit distance within brand "
     "blocks.  Blocking is mandatory at scale — edit distance is "
     "O(len²) per pair, so the pair space must be bounded by an equi "
-    "key first (same LSH principle as dedup).",
+    "key first (same LSH principle as dedup).  Distance is over "
+    "UTF-8 BYTES (dirty-catalog contract, SCALE.md §16): Spark "
+    "counts code points where DuckDB counts bytes, so the engine "
+    "side compares the byte-faithful latin-1 decode — identical for "
+    "ASCII, and unicode pairs no longer straddle the threshold "
+    "differently per engine.",
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
@@ -268,7 +273,10 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("part_b"),
         F.col("p_name").alias("name_b"),
     )
-    dist = F.levenshtein("name_a", "name_b")
+    dist = F.levenshtein(
+        F.decode(F.encode(F.col("name_a"), "UTF-8"), "ISO-8859-1"),
+        F.decode(F.encode(F.col("name_b"), "UTF-8"), "ISO-8859-1"),
+    )
     return (
         a.join(
             b,
@@ -302,7 +310,11 @@ def _staged_alt(spark: SparkSession, sf_dir: str, fmt: str, table: str) -> str:
         df = load_table(spark, sf_dir, table)
         w = df.repartition(2).write.mode("overwrite")
         if fmt == "csv":
-            w.option("header", "true").csv(out)
+            # NULL sentinel contract (sources.read_csv): \N for NULL,
+            # quoted empty for '' — lossless text round trip
+            w.option("header", "true").option("nullValue", "\\N").option(
+                "emptyValue", '""'
+            ).csv(out)
         elif fmt == "avro":
             from scache_spark.sources.avro_ocf import register_avro_ocf
 

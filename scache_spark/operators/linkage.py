@@ -57,10 +57,18 @@ from scache_spark.registry import register
     "{self} ∪ {single-char deletions} variant sets intersect — so "
     "the join is an EQUI-join on O(n·L) variant keys (codegen "
     "substr/transform, no UDF), then a levenshtein verify on the "
-    "surviving candidates only.  At 100 TB the variant explode is "
-    "map-side and the verify cost is bounded by true-near-match "
-    "density, not corpus size²; contrast fuzzy_match_levenshtein, "
-    "which needs a natural equi blocking key to stay sub-quadratic.",
+    "surviving candidates only.  Edit distance is defined over "
+    "UTF-8 BYTES (the dirty-catalog contract, SCALE.md §16): "
+    "Spark's levenshtein counts code points while DuckDB's counts "
+    "bytes, so the verify runs on a byte-faithful latin-1 decode of "
+    "the UTF-8 encoding — ASCII pairs are unchanged and an é-for-e "
+    "substitution costs 2 in both engines.  Candidate generation by "
+    "char deletion remains complete for byte distance <= 1 (between "
+    "valid UTF-8 strings a single-byte edit is always a single-"
+    "ASCII-char edit).  At 100 TB the variant explode is map-side "
+    "and the verify cost is bounded by true-near-match density, not "
+    "corpus size²; contrast fuzzy_match_levenshtein, which needs a "
+    "natural equi blocking key to stay sub-quadratic.",
 )
 def fastss_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
@@ -80,16 +88,22 @@ def fastss_edit1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = variants.select(
         F.col("k").alias("k2"), F.col("nm").alias("nm2"), F.col("v")
     )
+    # byte-faithful levenshtein: latin-1 decode of the UTF-8 bytes
+    # turns Spark's code-point distance into DuckDB's byte distance
+    def _bytestr(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    byte_dist = F.levenshtein(_bytestr(F.col("nm")), _bytestr(F.col("nm2")))
     return (
         variants.join(b, "v")
         .where(F.col("k") < F.col("k2"))
         .select("k", "k2", "nm", "nm2")
         .distinct()
-        .where(F.levenshtein("nm", "nm2") <= 1)
+        .where(byte_dist <= 1)
         .select(
             F.col("k").alias("supp_a"),
             F.col("k2").alias("supp_b"),
-            F.levenshtein("nm", "nm2").cast("int").alias("edit_dist"),
+            byte_dist.cast("int").alias("edit_dist"),
         )
     )
 
@@ -278,7 +292,10 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS DOUBLE) AS n_customers,
              round(avg(c_acctbal), 2) AS avg_bal,
              round(max(c_acctbal), 2) AS max_bal
-      FROM customer GROUP BY c_mktsegment
+      FROM customer
+      WHERE c_mktsegment IN
+        ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')
+      GROUP BY c_mktsegment
     )
     SELECT 'n_customers' AS key,
            max(CASE WHEN seg='AUTOMOBILE' THEN n_customers END) AS "AUTOMOBILE",
@@ -314,11 +331,18 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table), which is why the aggregate runs first and the "
     "transpose sees 5 rows regardless of SF.  All metrics are cast "
     "to DOUBLE before transposing so the value columns share one "
-    "type, and the segment domain is the fixture's closed "
-    "5-value enum, so the output schema is stable.",
+    "type, and the segment domain is EXPLICITLY pinned to the "
+    "closed 5-value enum: transpose turns DATA into COLUMN NAMES, "
+    "so an open domain makes the output schema data-dependent — a "
+    "planted lowercase/padded/NULL segment would mint new columns "
+    "(the dirty-catalog divergence, SCALE.md §16).  Unknown "
+    "segments are excluded by the IN filter on both sides.",
 )
 def transpose_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
+    _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_SEGMENTS)
+    )
     agg = (
         c.groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(

@@ -727,8 +727,10 @@ def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT p_partkey,
-             list_distinct(string_split(lower(p_name), ' ')) AS a,
-             list_distinct(string_split(lower(p_type), ' ')) AS b
+             list_distinct(string_split(lower(coalesce(p_name, '')), ' '))
+               AS a,
+             list_distinct(string_split(lower(coalesce(p_type, '')), ' '))
+               AS b
       FROM part)
     SELECT p_partkey,
            coalesce(array_to_string(
@@ -749,12 +751,19 @@ def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_intersect preserve first-argument order, but DuckDB's "
     "list_distinct does NOT — so every serialized set is explicitly "
     "sorted on both engines; never rely on a set op's element order "
-    "cross-engine.  All higher-order "
+    "cross-engine.  NULL name/type behaves as empty (dirty-catalog "
+    "contract: a NULL input array silently NULLs every downstream "
+    "set op in Spark while the oracle's coalesce masks it — both "
+    "sides now coalesce the STRING first).  All higher-order "
     "codegen — no explode, no shuffle, one scan.",
 )
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = F.array_distinct(F.split(F.lower("p_name"), " "))
-    b = F.array_distinct(F.split(F.lower("p_type"), " "))
+    a = F.array_distinct(
+        F.split(F.lower(F.coalesce(F.col("p_name"), F.lit(""))), " ")
+    )
+    b = F.array_distinct(
+        F.split(F.lower(F.coalesce(F.col("p_type"), F.lit(""))), " ")
+    )
     return load_table(spark, sf_dir, "part").select(
         "p_partkey",
         F.array_join(F.array_sort(F.array_except(a, b)), ",").alias(
@@ -781,16 +790,19 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                            x)) AS c
       FROM part)
     SELECT p_partkey,
-           unnest(CASE WHEN len(c) = 0 THEN [NULL] ELSE c END) AS word
+           unnest(CASE WHEN c IS NULL OR len(c) = 0 THEN [NULL] ELSE c END)
+             AS word
     FROM t
     """,
     tags=("B17", "B19"),
-    doc="explode_outer null semantics: rows whose array is EMPTY "
-    "survive as a single null row instead of vanishing — the corner "
+    doc="explode_outer null semantics: rows whose array is EMPTY — or "
+    "NULL (a NULL p_name propagates; dirty-catalog contract) — "
+    "survive as a single null row instead of vanishing, the corner "
     "that silently loses data when a pipeline uses plain explode on "
     "sparse arrays (every part whose name shares no word with its "
     "type would disappear from a per-part report).  The oracle "
-    "emulates it with unnest over a [NULL] substitution.",
+    "emulates it with unnest over a [NULL] substitution; len(NULL) "
+    "is NULL, not 0, so the CASE must test IS NULL explicitly.",
 )
 def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.array_distinct(F.split(F.lower("p_name"), " "))

@@ -30,12 +30,37 @@ def read_csv(
     sep: str = ",",
 ) -> DataFrame:
     """Schema-required CSV: inference reads the whole dataset twice at
-    100 TB — never."""
+    100 TB — never.
+
+    NULL sentinel contract (dirty-catalog, SCALE.md §16): text formats
+    cannot natively distinguish NULL from the empty string — Spark's
+    default read maps BOTH the unquoted empty field and a quoted
+    \"\" to NULL, so a NULL/'' distinction written by the parquet
+    source is silently destroyed by a CSV round trip.  Writer
+    (write_csv below) and reader agree on the explicit ``\\N``
+    sentinel for NULL and keep '' as a quoted empty — the round trip
+    is lossless.
+    """
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("mode", "PERMISSIVE")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV writer matching read_csv's NULL sentinel contract: NULL
+    fields serialize as ``\\N``, empty strings as a quoted empty —
+    the two survive the text round trip distinctly."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("nullValue", "\\N")
+        .option("emptyValue", "\"\"")
         .csv(path)
     )
 

@@ -191,3 +191,58 @@ def test_dirty_corpus_contracts_hold(spark, dirty_dir):
         spdf = REGISTRY[name].fn(spark, dirty_dir).toPandas()
         odf = con.execute(oracles[name]).df()
         assert_frames_match(spdf, odf, name)
+
+
+# ---------------------------------------------------------------------------
+# dirty-catalog contract (r7): pathological part/supplier/customer rows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dirty_catalog_dir():
+    from tools.scale_stress import stage_dirty_catalog
+
+    out = stage_dirty_catalog("/root/testdata/sf0.001")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+# The 5 queries the dirty-catalog stress originally broke (NULL name
+# NULLing downstream array set ops, len(NULL)!=0 dropping the
+# explode_outer null row, CSV destroying the NULL-vs-'' distinction,
+# byte-vs-codepoint levenshtein, transpose minting data-dependent
+# columns) — each now carries an explicit dirty-catalog contract
+# (SCALE.md §16); fuzzy_match_levenshtein joins as the latent
+# byte-distance case the artifact proved only accidentally green.
+_DIRTY_CATALOG_REGRESSIONS = [
+    "array_set_ops",
+    "csv_source_agg",
+    "explode_outer_nulls",
+    "fastss_edit1_pairs",
+    "transpose_segment_stats",
+    "fuzzy_match_levenshtein",
+    "snm_neighbor_pairs",
+    "collated_group_dedup",
+]
+
+
+def test_dirty_catalog_contracts_hold(spark, dirty_catalog_dir):
+    """Every formerly-broken query must match its oracle on the
+    pathological catalog — the regression guard for the r7
+    dirty-catalog contracts (SCALE_STRESS_dirty_catalog.json)."""
+    from __spark_entry__ import oracle_sql
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_catalog_dir}/{t}.parquet')"
+        )
+    for name in _DIRTY_CATALOG_REGRESSIONS:
+        spdf = REGISTRY[name].fn(spark, dirty_catalog_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert_frames_match(spdf, odf, name)

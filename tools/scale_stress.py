@@ -470,6 +470,145 @@ def run_dirty_events(base: str, subs: list[str]) -> None:
     sys.exit(1 if n_fail else 0)
 
 
+# --dirty-catalog (r7): DIRTY-CATALOG stress — pathological rows in the
+# relational STRING columns (part/supplier/customer names, market
+# segments) that every upstream master-data feed eventually delivers
+# and the clean TPC-H-shaped fixtures never exercise: NULL / empty /
+# whitespace-only names, exact-duplicate and case-variant names,
+# unicode, a very long name, a single-token name, NULL balances, and
+# NULL / empty / lowercase / padded / unicode market segments.  Keys
+# stay unique and valid (PK violations are a schema contract, not a
+# row-level accident).  Both engines read the same staged parquet, so
+# any disagreement is a real NULL-ordering / collation / split /
+# open-domain-pivot divergence in an operator or its oracle.  Pool:
+# every oracle-paired query whose oracle reads a planted column.
+_DIRTY_PART_SQL = """
+    SELECT CAST(t.p_partkey AS BIGINT) AS p_partkey, t.p_name,
+           t.p_brand, t.p_type,
+           CAST(t.p_size AS INT) AS p_size,
+           CAST(t.p_retailprice AS DOUBLE) AS p_retailprice
+    FROM (VALUES
+      (9900001, NULL,                    'Brand#1', 'ECONOMY', 1, 1.0),
+      (9900002, '',                      'Brand#1', 'ECONOMY', 1, 2.0),
+      (9900003, '   ',                   'Brand#1', 'SMALL',   2, 3.0),
+      (9900004, 'small  ring',           'Brand#2', 'SMALL',   2, 4.0),
+      (9900005, 'SMALL RING',            'Brand#2', 'MEDIUM',  3, 5.0),
+      (9900006, 'pequeño añillo ☃',      'Brand#3', 'MEDIUM',  3, 6.0),
+      (9900007, rtrim(repeat('x ', 50)), 'Brand#3', 'LARGE',   4, 7.0),
+      (9900008, 'small ring',            'Brand#4', 'LARGE',   4, 8.0),
+      (9900009, 'ring',                  'Brand#4', 'ECONOMY', 5, 9.0)
+    ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+"""
+
+_DIRTY_SUPPLIER_SQL = """
+    SELECT CAST(t.s_suppkey AS BIGINT) AS s_suppkey, t.s_name,
+           CAST(t.s_nationkey AS INT) AS s_nationkey,
+           CAST(t.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM (VALUES
+      (9900001, NULL,                 0, 0.0),
+      (9900002, '',                   0, NULL),
+      (9900003, 'Supplier#000000001', 1, -999.99),
+      (9900004, 'Supplier#00000000',  1, 1.0),
+      (9900005, 'SUPPLIER#000000001', 2, 2.0),
+      (9900006, 'Suppliér#000000001', 2, 3.0)
+    ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+"""
+
+_DIRTY_CUSTOMER_SQL = """
+    SELECT CAST(t.c_custkey AS BIGINT) AS c_custkey, t.c_name,
+           CAST(t.c_nationkey AS INT) AS c_nationkey,
+           CAST(t.c_acctbal AS DOUBLE) AS c_acctbal, t.c_mktsegment
+    FROM (VALUES
+      (9900001, NULL,         0, NULL, NULL),
+      (9900002, '',           0, 0.0,  ''),
+      (9900003, 'Customer#X', 1, -5.0, 'automobile'),
+      (9900004, 'Customer#Y', 1, 5.0,  ' BUILDING '),
+      (9900005, 'Customer#Z', 2, 5.0,  'ünïcode')
+    ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+"""
+
+_DIRTY_CATALOG_COLS = (
+    "p_name", "s_name", "c_name", "c_mktsegment", "p_brand", "p_type",
+)
+
+
+def stage_dirty_catalog(base: str) -> str:
+    """Stage a replica with the planted pathological rows appended to
+    part, supplier and customer; every other table copies verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_catalog")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    extra = {
+        "part": _DIRTY_PART_SQL,
+        "supplier": _DIRTY_SUPPLIER_SQL,
+        "customer": _DIRTY_CUSTOMER_SQL,
+    }
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {extra[t]}"
+            if t in extra
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 9 + 6 + 5}))
+    return out
+
+
+def run_dirty_catalog(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    pool = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+        and any(c in s.oracle for c in _DIRTY_CATALOG_COLS)
+    )
+    names = [n for n in pool if not subs or any(x in n for x in subs)]
+    print(f"staging dirty-catalog replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_catalog(base)
+    spark = get_session("scale-stress-dirty-catalog")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-catalog (20 planted pathological part/supplier/"
+        "customer rows: NULL/empty/dup/case/unicode names, NULL "
+        "balances, NULL/empty/lowercase/padded segments)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_catalog{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -847,6 +986,9 @@ def main() -> None:
     dirty_events = "--dirty-events" in args
     if dirty_events:
         args.remove("--dirty-events")
+    dirty_catalog = "--dirty-catalog" in args
+    if dirty_catalog:
+        args.remove("--dirty-catalog")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -868,6 +1010,10 @@ def main() -> None:
         rest or skew is not None or boilerplate or checksum or dirty
     ):
         sys.exit("scale_stress: --dirty-events is its own protocol")
+    if dirty_catalog and (
+        rest or skew is not None or boilerplate or checksum or dirty or dirty_events
+    ):
+        sys.exit("scale_stress: --dirty-catalog is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
@@ -879,6 +1025,9 @@ def main() -> None:
         return
     if dirty_events:
         run_dirty_events(base, subs)
+        return
+    if dirty_catalog:
+        run_dirty_catalog(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
