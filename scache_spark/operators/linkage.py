@@ -336,23 +336,27 @@ def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so an open domain makes the output schema data-dependent — a "
     "planted lowercase/padded/NULL segment would mint new columns "
     "(the dirty-catalog divergence, SCALE.md §16).  Unknown "
-    "segments are excluded by the IN filter on both sides.",
+    "segments are excluded by the IN filter on both sides, and the "
+    "aggregate LEFT-joins onto a literal 5-row segment SPINE so an "
+    "ABSENT segment still yields its (NULL-valued) column — "
+    "presence-dependent schemas are the second half of the closed-"
+    "domain contract (found by the catalog property fuzz: a corpus "
+    "missing a segment dropped that column entirely).",
 )
 def transpose_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     c = load_table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment").isin(_SEGMENTS)
     )
-    agg = (
-        c.groupBy(F.col("c_mktsegment").alias("seg"))
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
-        .orderBy("seg")
+    agg = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
-    return agg.transpose()
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _SEGMENTS])).alias("seg")
+    )
+    return spine.join(agg, "seg", "left").orderBy("seg").transpose()
 
 
 # ---------------------------------------------------------------------------

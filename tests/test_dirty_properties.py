@@ -255,3 +255,122 @@ def test_event_contracts_fuzzed(spark, tmp_path_factory, rows):
         ],
         ["events"],
     )
+
+
+# --- catalog fuzz (r7: the dirty-catalog contract class) -------------------
+
+_supplier_name = st.one_of(
+    st.integers(min_value=0, max_value=30).map(lambda i: f"Supplier#{i:09d}"),
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.integers(min_value=0, max_value=30).map(
+        lambda i: f"SUPPLIER#{i:09d}"  # case variant
+    ),
+    st.integers(min_value=0, max_value=30).map(
+        lambda i: f"Suppliér#{i:09d}"  # multibyte substitution
+    ),
+)
+
+_ADJ = ["small", "red", "blue", "hot", "SMALL"]
+_NOUN = ["ring", "bolt", "gear", "añillo"]
+_part_name = st.one_of(
+    st.tuples(st.sampled_from(_ADJ), st.sampled_from(_NOUN)).map(" ".join),
+    st.none(),
+    st.just(""),
+    st.just("ring"),           # single token
+    st.just("small  ring"),    # double space
+)
+
+_segment = st.one_of(
+    st.sampled_from(
+        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    ),
+    st.none(),
+    st.just(""),
+    st.just("automobile"),
+    st.just(" BUILDING "),
+)
+
+
+def _stage_catalog(tmp, suppliers, parts, customers) -> str:
+    con = duckdb.connect()
+    pdf = pd.DataFrame(suppliers, columns=["s_suppkey", "s_name"])
+    pdf["s_nationkey"] = [k % 3 for k in pdf["s_suppkey"]]
+    pdf["s_acctbal"] = [float(k) - 5.0 for k in pdf["s_suppkey"]]
+    con.register("s", pdf)
+    # every string column is CAST explicitly: an all-None fuzzed
+    # column otherwise infers a numeric pandas dtype and writes an
+    # INT32 parquet column Spark refuses to read as string
+    con.execute(
+        f"""COPY (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                    CAST(s_name AS VARCHAR) AS s_name,
+                    CAST(s_nationkey AS INT) AS s_nationkey,
+                    CAST(s_acctbal AS DOUBLE) AS s_acctbal FROM s)
+            TO '{tmp}/supplier.parquet' (FORMAT PARQUET)"""
+    )
+    pdf = pd.DataFrame(parts, columns=["p_partkey", "p_name"])
+    pdf["p_brand"] = [f"Brand#{k % 4}" for k in pdf["p_partkey"]]
+    pdf["p_type"] = [
+        ["ECONOMY", "SMALL", "MEDIUM"][k % 3] for k in pdf["p_partkey"]
+    ]
+    pdf["p_size"] = [k % 10 for k in pdf["p_partkey"]]
+    pdf["p_retailprice"] = [float(k) for k in pdf["p_partkey"]]
+    con.register("p", pdf)
+    con.execute(
+        f"""COPY (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+                    CAST(p_name AS VARCHAR) AS p_name,
+                    p_brand, p_type, CAST(p_size AS INT) AS p_size,
+                    CAST(p_retailprice AS DOUBLE) AS p_retailprice FROM p)
+            TO '{tmp}/part.parquet' (FORMAT PARQUET)"""
+    )
+    pdf = pd.DataFrame(customers, columns=["c_custkey", "c_mktsegment"])
+    pdf["c_name"] = [f"Customer#{k:09d}" for k in pdf["c_custkey"]]
+    pdf["c_nationkey"] = [k % 3 for k in pdf["c_custkey"]]
+    pdf["c_acctbal"] = [float(k) * 1.5 for k in pdf["c_custkey"]]
+    con.register("c", pdf)
+    con.execute(
+        f"""COPY (SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+                    CAST(c_nationkey AS INT) AS c_nationkey,
+                    CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+                    CAST(c_mktsegment AS VARCHAR) AS c_mktsegment
+                  FROM c)
+            TO '{tmp}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    return str(tmp)
+
+
+@_SETTINGS
+@given(
+    snames=st.lists(_supplier_name, min_size=10, max_size=25),
+    pnames=st.lists(_part_name, min_size=10, max_size=25),
+    segs=st.lists(_segment, min_size=10, max_size=25),
+)
+def test_catalog_contracts_fuzzed(spark, tmp_path_factory, snames, pnames, segs):
+    """The dirty-catalog contracts (SCALE.md §16) hold for ANY mix of
+    NULL/empty/case-variant/unicode names and segments: byte-defined
+    levenshtein, NULL-as-empty array set ops, explode_outer's null
+    row, SNM windows, collated grouping, closed-domain transpose."""
+    tmp = tmp_path_factory.mktemp("fuzz_catalog")
+    # guarantee one near-dup supplier pair and one duplicate part name
+    snames = snames + ["Supplier#000000001", "Supplier#000000002"]
+    pnames = pnames + ["small ring", "small ring"]
+    sf = _stage_catalog(
+        tmp,
+        [(i, n) for i, n in enumerate(snames)],
+        [(i, n) for i, n in enumerate(pnames)],
+        [(i, s) for i, s in enumerate(segs)],
+    )
+    _check(
+        spark,
+        sf,
+        [
+            "fastss_edit1_pairs",
+            "snm_neighbor_pairs",
+            "array_set_ops",
+            "explode_outer_nulls",
+            "collated_group_dedup",
+            "transpose_segment_stats",
+        ],
+        ["supplier", "part", "customer"],
+    )
