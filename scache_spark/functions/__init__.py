@@ -161,6 +161,24 @@ SQL_PROPS_K_INT = (
 SQL_VALUE_FINITE_MOMENT = "(value IS NULL OR abs(value) < 1e150)"
 
 
+def sql_money_domain(col: str) -> str:
+    """Domain predicate for BINNED statistics over a money column
+    (dirty-orders contract, SCALE.md §17): NULL and absurd-magnitude
+    values (|x| >= 1e9 — beyond any ledger) are excluded BEFORE
+    equal-width or equal-depth binning, because a single planted
+    ±1e12 stretches the bin range so every real row collapses into
+    one bin (zero cells -> ln(0) errors in DuckDB, NULL in Spark)
+    and bin-edge floating point becomes magnitude-dominated.
+    Paired Spark predicate: money_domain(col)."""
+    return f"({col} IS NOT NULL AND abs({col}) < 1e9)"
+
+
+def money_domain(col: Column | str) -> Column:
+    """Spark twin of sql_money_domain."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.abs(c) < F.lit(1e9))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle fragments (kept beside the Spark builders so the two
 # definitions evolve together)

@@ -274,15 +274,19 @@ _WOE_BINS = 8
 @register(
     "woe_iv_binning",
     oracle=f"""
-    WITH rng AS (
-      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    WITH dom AS (
+      SELECT o_totalprice, o_orderstatus FROM orders
+      WHERE (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
+    ),
+    rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
       SELECT CAST(least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_WOE_BINS}.0)),
                         {_WOE_BINS - 1}) AS INT) AS bin,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-      FROM orders, rng
+      FROM dom, rng
     ),
     cells AS (
       SELECT bin,
@@ -295,9 +299,13 @@ _WOE_BINS = 8
       FROM cells
     )
     SELECT bin, n_pos, n_neg,
-           round(ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6) AS woe,
-           round((n_pos * 1.0 / tp - n_neg * 1.0 / tn)
-                 * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6) AS iv_term
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6)
+           END AS woe,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round((n_pos * 1.0 / tp - n_neg * 1.0 / tn)
+                           * ln((n_pos * 1.0 / tp) / (n_neg * 1.0 / tn)), 6)
+           END AS iv_term
     FROM cells, tot
     """,
     tags=("B16", "B7", "B19"),
@@ -315,7 +323,11 @@ _WOE_BINS = 8
     "(transcendental ulp rule).",
 )
 def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    o = load_table(spark, sf_dir, "orders").where(
+        money_domain("o_totalprice")
+    )
     rng = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
@@ -347,6 +359,14 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_pos",
         "n_neg",
-        F.round(F.log(pp / pn), 6).alias("woe"),
-        F.round((pp - pn) * F.log(pp / pn), 6).alias("iv_term"),
+        # zero cells have no finite WoE: NULL on both sides (DuckDB
+        # raises on ln(0); Spark silently NULLs)
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.log(pp / pn), 6),
+        ).alias("woe"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round((pp - pn) * F.log(pp / pn), 6),
+        ).alias("iv_term"),
     )

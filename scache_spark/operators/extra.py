@@ -428,8 +428,11 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
-        F.min("o_orderdate").alias("first_date"),
-        F.max("o_orderdate").alias("last_date"),
+        # cast to DATE on BOTH sides: the oracle truncates, and only
+        # the fixture's midnight-only timestamps hid the asymmetry
+        # (dirty-orders planted a noon order and diverged)
+        F.min("o_orderdate").cast("date").alias("first_date"),
+        F.max("o_orderdate").cast("date").alias("last_date"),
     )
     epath = _staged_alt(spark, sf_dir, "avro", "embeddings")
     e = spark.read.format("avro_ocf").option("path", epath).load()
@@ -1557,7 +1560,7 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variance_partial_merge",
     oracle="""
     SELECT l_returnflag,
-           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(l_extendedprice) AS BIGINT) AS n,
            round(avg(l_extendedprice), 4) AS mean_price,
            round(stddev_samp(l_extendedprice), 4) AS std_price
     FROM lineitem GROUP BY l_returnflag
@@ -1575,40 +1578,62 @@ def hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "monitors (drift, z-scores) update from per-shard state.  Output is the STDDEV (price-scale magnitude) rather than the ~1e9-scale variance, so the 4-dp rounding grid sits far above merge-path ulp noise.",
 )
 def variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dirty-orders contract (SCALE.md §17): the merge must be total —
+    # a group may exist in only ONE shard (full-outer, not inner), the
+    # group key may be NULL (eqNullSafe, not =), and n counts NON-NULL
+    # values (count(*) over-counts when the measured column is NULL,
+    # diverging from the oracle's null-skipping avg/stddev).  n<=1
+    # groups have no sample variance: NULL, matching stddev_samp.
     li = load_table(spark, sf_dir, "lineitem")
 
     def partials(df: DataFrame) -> DataFrame:
         # (n, mean, M2) per group: M2 = var_samp * (n - 1)
         return df.groupBy("l_returnflag").agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count("l_extendedprice").cast("double").alias("n"),
             F.avg("l_extendedprice").alias("m"),
-            (F.var_samp("l_extendedprice") * (F.count(F.lit(1)) - 1)).alias("m2"),
+            (
+                F.var_samp("l_extendedprice")
+                * (F.count("l_extendedprice") - 1)
+            ).alias("m2"),
         )
+
     a = partials(li.filter(F.col("l_orderkey") % 2 == 0)).select(
-        "l_returnflag",
+        F.col("l_returnflag").alias("flag_a"),
         F.col("n").alias("na"),
         F.col("m").alias("ma"),
         F.col("m2").alias("m2a"),
     )
     b = partials(li.filter(F.col("l_orderkey") % 2 == 1)).select(
-        "l_returnflag",
+        F.col("l_returnflag").alias("flag_b"),
         F.col("n").alias("nb"),
         F.col("m").alias("mb"),
         F.col("m2").alias("m2b"),
     )
-    d = F.col("mb") - F.col("ma")
-    n = F.col("na") + F.col("nb")
-    merged_mean = F.col("ma") + d * F.col("nb") / n
-    merged_m2 = (
-        F.col("m2a")
-        + F.col("m2b")
-        + d * d * F.col("na") * F.col("nb") / n
+    joined = a.join(
+        b, F.col("flag_a").eqNullSafe(F.col("flag_b")), "full_outer"
     )
-    return a.join(b, "l_returnflag").select(
-        "l_returnflag",
-        n.cast("long").alias("n"),
+    na = F.coalesce(F.col("na"), F.lit(0.0))
+    nb = F.coalesce(F.col("nb"), F.lit(0.0))
+    ma = F.coalesce(F.col("ma"), F.col("mb"))
+    mb = F.coalesce(F.col("mb"), F.col("ma"))
+    d = mb - ma
+    n = na + nb
+    merged_mean = ma + d * nb / F.nullif(n, F.lit(0.0))
+    merged_m2 = (
+        F.coalesce(F.col("m2a"), F.lit(0.0))
+        + F.coalesce(F.col("m2b"), F.lit(0.0))
+        + d * d * na * nb / F.nullif(n, F.lit(0.0))
+    )
+    return joined.select(
+        F.coalesce(F.col("flag_a"), F.col("flag_b")).alias("l_returnflag"),
+        (
+            F.coalesce(F.col("na"), F.lit(0.0))
+            + F.coalesce(F.col("nb"), F.lit(0.0))
+        ).cast("long").alias("n"),
         F.round(merged_mean, 4).alias("mean_price"),
-        F.round(F.sqrt(merged_m2 / (n - 1)), 4).alias("std_price"),
+        F.when(
+            n > 1, F.round(F.sqrt(merged_m2 / (n - 1)), 4)
+        ).alias("std_price"),
     )
 
 

@@ -529,20 +529,25 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            lag(o_totalprice, 1) OVER w AS prev_price,
            lead(o_totalprice, 1) OVER w AS next_price,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                AS running_total,
            CAST(ntile(4) OVER w AS INT) AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC)
     """,
     tags=("B11",),
-    doc="Ranking + analytic + running-frame windows per customer.",
+    doc="Ranking + analytic + running-frame windows per customer.  "
+    "NULL ordering is EXPLICIT (dirty-orders contract, SCALE.md §17): "
+    "Spark ASC defaults to NULLS FIRST while DuckDB defaults to NULLS "
+    "LAST, so any nullable window key left to engine defaults "
+    "silently reorders the whole partition's lag/lead/rank chain.",
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One window spec → one shuffle+sort serves all six functions.
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        F.col("o_orderdate").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return load_table(spark, sf_dir, "orders").select(
@@ -769,9 +774,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            nth_value(o_orderkey, 2) OVER wf AS second_ok
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_totalprice ASC, o_orderkey ASC),
+                 ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC),
            wf AS (PARTITION BY o_custkey
-                  ORDER BY o_totalprice ASC, o_orderkey ASC
+                  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     tags=("B11",),
@@ -783,8 +788,9 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLS FIRST explicit on the nullable key (dirty-orders contract)
     w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_first(), F.col("o_orderkey").asc()
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return load_table(spark, sf_dir, "orders").select(

@@ -72,15 +72,19 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("B14",),
     doc="split + element access (ShuffleKey.fromString done right — the "
-    "reference's version mis-parses, util/ShuffleKey.scala:8-14).",
+    "reference's version mis-parses, util/ShuffleKey.scala:8-14).  "
+    "Out-of-bounds access is NULL, not an error (dirty-orders "
+    "contract): a malformed single-token priority has no second "
+    "element — F.get() gives the tolerate-and-NULL semantics DuckDB's "
+    "list index has natively, where getItem() raises under ANSI.",
 )
 def string_split_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     parts = F.split(F.col("o_orderpriority"), "-")
     return o.select(
         "o_orderkey",
-        parts.getItem(0).alias("prio_code"),
-        parts.getItem(1).alias("prio_name"),
+        F.get(parts, 0).alias("prio_code"),
+        F.get(parts, 1).alias("prio_name"),
         F.size(parts).cast("int").alias("n_parts"),
     )
 
@@ -154,7 +158,8 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(ln(l_extendedprice), 6) AS ln_price,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS ln_price,
            CAST(ceil(ln(greatest(l_extendedprice, 1.0)) / ln(1.1)) AS INT)
                AS size_compressed,
            round(power(l_discount, 2), 10) AS disc_sq,
@@ -162,12 +167,17 @@ def date_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            round(l_extendedprice, 1) AS price_round,
            abs(l_discount - 0.05) AS disc_dev,
-           sqrt(l_quantity) AS qty_sqrt
+           CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt
     FROM lineitem
     """,
     tags=("B16",),
     doc="Math battery; size_compressed is exactly the reference's 1-byte "
-    "MapStatus encoding ⌈log₁.₁ size⌉ (scheduler/MapStatus.scala:62-81).",
+    "MapStatus encoding ⌈log₁.₁ size⌉ (scheduler/MapStatus.scala:62-81).  "
+    "Domain guards (dirty-orders contract, SCALE.md §17): ln and sqrt "
+    "map out-of-domain inputs to NULL on BOTH sides — Spark's log() "
+    "already NULLs non-positive input and sqrt() returns NaN, while "
+    "DuckDB raises Out of Range on both; the explicit CASE/when makes "
+    "the NULL contract engine-independent.",
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -177,7 +187,10 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round(6): libm vs JVM ln differ in the last ulp per row, and
         # at 10dp an ulp can straddle the rounding boundary (seen at
         # sf0.01); 6dp puts the boundary ~9 orders beyond ulp noise
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log(F.col("l_extendedprice")), 6),
+        ).alias("ln_price"),
         F.ceil(
             F.log(F.greatest(F.col("l_extendedprice"), F.lit(1.0))) / F.log(F.lit(1.1))
         )
@@ -190,7 +203,9 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_quantity").cast("long").alias("qty_floor"),
         F.round(F.col("l_extendedprice"), 1).alias("price_round"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias(
+            "qty_sqrt"
+        ),
     )
 
 
@@ -577,7 +592,8 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_extendedprice AS price,
              ntile(8) OVER (ORDER BY l_extendedprice,
                             l_orderkey, l_linenumber) AS bin
-      FROM lineitem)
+      FROM lineitem
+      WHERE (l_extendedprice IS NOT NULL AND abs(l_extendedprice) < 1e9))
     SELECT CAST(bin AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS n_rows,
            round(min(price), 4) AS lo,
@@ -599,8 +615,12 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def equi_depth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    from scache_spark.functions import money_domain
+
     w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = load_table(spark, sf_dir, "lineitem").select(
+    ranked = load_table(spark, sf_dir, "lineitem").where(
+        money_domain("l_extendedprice")
+    ).select(
         F.col("l_extendedprice").alias("price"),
         F.ntile(8).over(w).alias("bin"),
     )
@@ -618,16 +638,20 @@ _EDH_K = 8  # target buckets
 @register(
     "equi_depth_hist_binning",
     oracle=f"""
-    WITH rng AS (
+    WITH dom AS (
+      SELECT l_extendedprice FROM lineitem
+      WHERE (l_extendedprice IS NOT NULL AND abs(l_extendedprice) < 1e9)
+    ),
+    rng AS (
       SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
-      FROM lineitem
+      FROM dom
     ),
     binned AS (
       SELECT l_extendedprice AS price,
              CAST(least(floor((l_extendedprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_EDH_BINS}.0)),
                         {_EDH_BINS - 1}) AS INT) AS bin
-      FROM lineitem, rng
+      FROM dom, rng
     ),
     hist AS (
       SELECT bin, CAST(count(*) AS BIGINT) AS c,
@@ -663,8 +687,12 @@ _EDH_K = 8  # target buckets
     "semantics.",
 )
 def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("price")
+    from scache_spark.functions import money_domain
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(money_domain("l_extendedprice"))
+        .select(F.col("l_extendedprice").alias("price"))
     )
     rng = li.agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / float(_EDH_BINS)
@@ -1087,6 +1115,7 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice AS v,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
       FROM orders
+      WHERE (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
     ),
     totals AS (
       SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
@@ -1122,7 +1151,11 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    flagged = load_table(spark, sf_dir, "orders").select(
+    from scache_spark.functions import money_domain
+
+    flagged = load_table(spark, sf_dir, "orders").where(
+        money_domain("o_totalprice")
+    ).select(
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
         .otherwise(0)
@@ -1162,15 +1195,19 @@ _PSI_BINS = 10
 @register(
     "psi_drift_bins",
     oracle=f"""
-    WITH rng AS (
-      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    WITH dom AS (
+      SELECT o_totalprice, o_orderpriority FROM orders
+      WHERE (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
+    ),
+    rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
       SELECT CAST(least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_PSI_BINS}.0)),
                         {_PSI_BINS - 1}) AS INT) AS bin,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
-      FROM orders, rng
+      FROM dom, rng
     ),
     cells AS (
       SELECT bin,
@@ -1183,8 +1220,10 @@ _PSI_BINS = 10
       FROM cells
     )
     SELECT bin, n_a, n_b,
-           round((n_a * 1.0 / ta - n_b * 1.0 / tb)
-                 * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)), 6) AS psi_term
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN round((n_a * 1.0 / ta - n_b * 1.0 / tb)
+                           * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)), 6)
+           END AS psi_term
     FROM cells, tot
     """,
     tags=("B20", "B16", "B7"),
@@ -1199,7 +1238,11 @@ _PSI_BINS = 10
     "(>0.25 = action threshold by convention).",
 )
 def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    o = load_table(spark, sf_dir, "orders").where(
+        money_domain("o_totalprice")
+    )
     rng = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
@@ -1231,7 +1274,13 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_a",
         "n_b",
-        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        # zero cells have no finite PSI term: NULL, not an error
+        # (DuckDB raises on ln(0); Spark silently NULLs — the CASE
+        # pins the NULL contract on both sides)
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round((pa - pb) * F.log(pa / pb), 6),
+        ).alias("psi_term"),
     )
 
 
@@ -1241,15 +1290,19 @@ _KSB_BINS = 64  # ECDF resolution for the scale-safe KS path
 @register(
     "ks_drift_binned",
     oracle=f"""
-    WITH rng AS (
-      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    WITH dom AS (
+      SELECT o_totalprice, o_orderpriority FROM orders
+      WHERE (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
+    ),
+    rng AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
       SELECT CAST(least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_KSB_BINS}.0)),
                         {_KSB_BINS - 1}) AS INT) AS bin,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
-      FROM orders, rng
+      FROM dom, rng
     ),
     hist AS (
       SELECT bin,
@@ -1289,7 +1342,11 @@ _KSB_BINS = 64  # ECDF resolution for the scale-safe KS path
     "before the final 6dp round.",
 )
 def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    o = load_table(spark, sf_dir, "orders").where(
+        money_domain("o_totalprice")
+    )
     rng = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
@@ -1478,7 +1535,9 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(count(*) FILTER (WHERE l_quantity = 25) AS BIGINT)
+           CAST(count(*) FILTER (WHERE l_quantity = 25
+                                    OR l_quantity IS NULL
+                                    OR l_extendedprice IS NULL) AS BIGINT)
              AS n_div_zero_null,
            CAST(count(*) FILTER (WHERE l_orderkey > 1) AS BIGINT)
              AS n_overflow_null,
@@ -1582,6 +1641,7 @@ def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                               AS VARCHAR), 1, 1) AS INT) AS digit
       FROM orders
+      WHERE o_totalprice >= 1 AND o_totalprice < 1e9
     ),
     obs AS (
       SELECT digit, CAST(count(*) AS BIGINT) AS n,
@@ -1613,7 +1673,13 @@ def trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate; the total rides a window over the 9-row frame.",
 )
 def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # Benford domain: first SIGNIFICANT digit needs a positive integer
+    # part (dirty-orders contract: a negative total's leading '-' is
+    # not a digit — ANSI cast raises where DuckDB errs differently);
+    # the 1e9 ceiling is the shared money-domain bound.
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") >= 1) & (F.col("o_totalprice") < 1e9)
+    )
     digits = o.select(
         F.substring(
             F.floor("o_totalprice").cast("long").cast("string"), 1, 1
@@ -1805,6 +1871,7 @@ _KSD_STEP = 9500  # 64 bins cover prices 1000 .. 609000; outliers clip
                   AS INT) AS bin,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
       FROM orders
+      WHERE (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
     ),
     hist AS (
       SELECT bin,
@@ -1852,7 +1919,9 @@ _KSD_STEP = 9500  # 64 bins cover prices 1000 .. 609000; outliers clip
     "pattern's point.",
 )
 def kll_sketch_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    o = load_table(spark, sf_dir, "orders").where(money_domain("o_totalprice"))
     is_a = F.col("o_orderpriority") == "1-URGENT"
     price = F.col("o_totalprice")
     bin_col = (

@@ -306,14 +306,15 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              lag(o_orderstatus) OVER w AS prev
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     ), flagged AS (
       SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderstatus
                      THEN 1 ELSE 0 END AS brk
       FROM h
     ), grp AS (
       SELECT *, sum(brk) OVER (PARTITION BY o_custkey
-                ORDER BY o_orderdate, o_orderkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey
                 ROWS UNBOUNDED PRECEDING) AS version_no
       FROM flagged
     )
@@ -339,7 +340,11 @@ def gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # NULLS FIRST explicit on the nullable date key (dirty-orders
+    # contract, SCALE.md §17): engine defaults differ
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     flagged = o.select(
         "o_custkey",
         "o_orderstatus",
@@ -866,7 +871,7 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(-1 AS BIGINT) AS event_id,
              lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 20, '0')
                || ':' || o_orderpriority AS dim_key
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
       UNION ALL
       SELECT user_id AS uid, ts, 1 AS side, event_id,
              CAST(NULL AS VARCHAR) AS dim_key
@@ -897,7 +902,11 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inequality join.",
 )
 def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # NULL-dated dimension rows are not valid change points — same
+    # no-as-of-point contract as the events leg (dirty-orders, §17)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     # DIRTY-EVENTS CONTRACT: an event without a timestamp has no
     # "as of" point — excluded (Spark would sort it before every
     # dimension row, DuckDB after the last one).
@@ -932,9 +941,12 @@ def pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("uid").alias("user_id"),
         "ts",
-        F.split_part(F.col("last_dim"), F.lit(":"), F.lit(2)).alias(
-            "prio_at_event"
-        ),
+        # nullif('') matches the oracle: an empty-string priority (a
+        # planted dirty value) reads as "no priority", not '' — the
+        # clean fixture never exercised the difference
+        F.nullif(
+            F.split_part(F.col("last_dim"), F.lit(":"), F.lit(2)), F.lit("")
+        ).alias("prio_at_event"),
     )
 
 
@@ -1313,7 +1325,10 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              sum(CAST(floor(o_totalprice) AS BIGINT)) AS rev
-      FROM orders GROUP BY 1
+      FROM orders
+      WHERE o_orderdate IS NOT NULL
+        AND (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
+      GROUP BY 1
     ),
     tot AS (
       SELECT sum(rev) AS total, count(*) AS n_days FROM daily
@@ -1354,7 +1369,14 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "beyond that, scale the walk in units of 10^3 dollars.",
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    # time series are keyed by time: NULL-dated facts are excluded by
+    # contract, and the money-domain bound keeps the BIGINT product
+    # sums in range (dirty-orders contract, SCALE.md §17)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & money_domain("o_totalprice")
+    )
     daily = o.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).alias("day")
     ).agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))
@@ -1396,7 +1418,10 @@ _ACF_LAGS = 7
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
              sum(CAST(floor(o_totalprice) AS BIGINT)) AS rev
-      FROM orders GROUP BY 1
+      FROM orders
+      WHERE o_orderdate IS NOT NULL
+        AND (o_totalprice IS NOT NULL AND abs(o_totalprice) < 1e9)
+      GROUP BY 1
     ),
     m AS (
       SELECT CAST(sum(rev) // count(*) AS BIGINT) AS mu FROM daily
@@ -1439,7 +1464,14 @@ _ACF_LAGS = 7
     "single row of sums unpivoted to 7 rows.",
 )
 def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    from scache_spark.functions import money_domain
+
+    # time series are keyed by time: NULL-dated facts are excluded by
+    # contract, and the money-domain bound keeps the BIGINT product
+    # sums in range (dirty-orders contract, SCALE.md §17)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & money_domain("o_totalprice")
+    )
     daily = o.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).alias("day")
     ).agg(F.sum(F.floor("o_totalprice").cast("long")).alias("rev"))

@@ -37,7 +37,7 @@ from scache_spark.registry import register
     WITH cost AS (
       SELECT l_partkey AS pk, l_suppkey AS sk,
              round(min(l_extendedprice / l_quantity), 4) AS unit_cost
-      FROM lineitem GROUP BY 1, 2),
+      FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
     eligible AS (
       SELECT pk, sk, unit_cost, s_acctbal, n_name
       FROM cost
@@ -67,7 +67,10 @@ from scache_spark.registry import register
     "broadcast hints).",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # unit cost is undefined for a non-positive quantity (dirty-orders
+    # contract: qty=0 is an ANSI divide-by-zero in Spark, inf in
+    # DuckDB — neither is a price)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     cost = li.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(

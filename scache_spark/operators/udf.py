@@ -256,7 +256,11 @@ def _make_priority_udf():
         """Row-logic too branchy for a comfortable column expression —
         the case for a Python UDF; useArrow=True keeps the transfer
         Arrow-batched (~10x over pickled rows) even though the
-        function body is per-row."""
+        function body is per-row.  NULL in -> NULL out (dirty-orders
+        contract): a Python UDF sees None, and None.split() kills the
+        worker — every Python UDF must declare its NULL behavior."""
+        if priority is None or total is None:
+            return None
         tier = priority.split("-")[0].strip()
         if total >= 250_000.0:
             return f"{tier}:jumbo"
@@ -270,10 +274,13 @@ def _make_priority_udf():
 @register(
     "udf_arrow_scalar",
     oracle="""
-    SELECT trim(string_split(o_orderpriority, '-')[1]) ||
-           CASE WHEN o_totalprice >= 250000 THEN ':jumbo'
-                WHEN o_totalprice >= 100000 THEN ':large'
-                ELSE ':standard' END AS band,
+    SELECT CASE WHEN o_orderpriority IS NULL OR o_totalprice IS NULL
+                THEN NULL
+                ELSE trim(string_split(o_orderpriority, '-')[1]) ||
+                     CASE WHEN o_totalprice >= 250000 THEN ':jumbo'
+                          WHEN o_totalprice >= 100000 THEN ':large'
+                          ELSE ':standard' END
+           END AS band,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(o_totalprice), 2) AS total
     FROM orders GROUP BY 1

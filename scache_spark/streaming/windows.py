@@ -431,14 +431,15 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
              lag(o_orderstatus) OVER w AS prev
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     ), flagged AS (
       SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderstatus
                      THEN 1 ELSE 0 END AS brk
       FROM h
     ), grp AS (
       SELECT *, sum(brk) OVER (PARTITION BY o_custkey
-                ORDER BY o_orderdate, o_orderkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey
                 ROWS UNBOUNDED PRECEDING) AS version_no
       FROM flagged
     ), hist AS (

@@ -246,3 +246,75 @@ def test_dirty_catalog_contracts_hold(spark, dirty_catalog_dir):
         spdf = REGISTRY[name].fn(spark, dirty_catalog_dir).toPandas()
         odf = con.execute(oracles[name]).df()
         assert_frames_match(spdf, odf, name)
+
+
+# ---------------------------------------------------------------------------
+# dirty-orders contract (r7): pathological fact-table dates & numerics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dirty_orders_dir():
+    from tools.scale_stress import stage_dirty_orders
+
+    out = stage_dirty_orders("/root/testdata/sf0.001")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+# The 20 queries the dirty-orders stress originally broke (NULL window
+# keys under divergent engine NULL-ordering defaults, ln/sqrt domain
+# errors, ANSI overflow/div-by-zero vs DuckDB promotion/inf, Benford's
+# '-' digit, out-of-bounds split access, inner-join shard merges
+# dropping one-sided and NULL groups, Python UDF None crashes, a
+# presence-masked timestamp-vs-date cast) — each now an explicit
+# engine+oracle contract (SCALE.md §17).  stream_scd2_pit_enrich is
+# covered by the full --dirty-orders artifact, not here (streaming in
+# the shared-session suite is slow); the two latent binning twins
+# (ks_drift_binned, equi_depth_hist_binning) joined the domain-guard
+# contract preemptively and are guarded too.
+_DIRTY_ORDERS_REGRESSIONS = [
+    "autocorrelation_daily",
+    "avro_source_roundtrip",
+    "benford_digit_audit",
+    "cusum_changepoint",
+    "equi_depth_binning",
+    "equi_depth_hist_binning",
+    "kll_sketch_ks_drift",
+    "ks_drift_binned",
+    "ks_drift_statistic",
+    "math_funcs",
+    "pit_dimension_join",
+    "psi_drift_bins",
+    "scd2_status_history",
+    "string_split_parse",
+    "tpch_q2_min_cost_supplier",
+    "try_arithmetic_battery",
+    "udf_arrow_scalar",
+    "variance_partial_merge",
+    "window_analytics",
+    "window_distribution",
+    "woe_iv_binning",
+]
+
+
+def test_dirty_orders_contracts_hold(spark, dirty_orders_dir):
+    """Every formerly-broken query must match its oracle on the
+    pathological fact tables — the regression guard for the r7
+    dirty-orders contracts (SCALE_STRESS_dirty_orders.json)."""
+    from __spark_entry__ import oracle_sql
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_orders_dir}/{t}.parquet')"
+        )
+    for name in _DIRTY_ORDERS_REGRESSIONS:
+        spdf = REGISTRY[name].fn(spark, dirty_orders_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert_frames_match(spdf, odf, name)

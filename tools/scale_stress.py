@@ -532,6 +532,139 @@ _DIRTY_CATALOG_COLS = (
 )
 
 
+# --dirty-orders (r7): DIRTY-ORDERS stress — pathological rows in the
+# FACT tables' dates and numerics: NULL / epoch / far-future order and
+# ship dates, zero / negative / absurd-magnitude prices and
+# quantities, a 100% and a negative discount, a 100% tax, NULL / empty
+# status and priority strings.  Keys stay unique and referentially
+# valid (planted lineitems reference planted orders and existing
+# part/supplier keys).  This is the input class the temporal + TPC-H +
+# mining families consume and no prior axis dirtied: NULL ordering
+# keys inside windows, date arithmetic on NULL/boundary timestamps,
+# ANSI division on zero quantities, sign-sensitive money rollups.
+_DIRTY_ORDERS_SQL = """
+    SELECT CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(t.o_custkey AS BIGINT) AS o_custkey,
+           t.o_orderstatus,
+           CAST(t.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(t.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           t.o_orderpriority
+    FROM (VALUES
+      (99000001, 0, 'O', 0.0,     TIMESTAMP '1970-01-01 00:00:00', '1-URGENT'),
+      (99000002, 0, 'F', -1e9,    TIMESTAMP '2099-12-31 23:59:59', '5-LOW'),
+      (99000003, 1, 'O', 1e12,    NULL,                            '3-MEDIUM'),
+      (99000004, 1, NULL, NULL,   TIMESTAMP '2024-02-29 12:00:00', NULL),
+      (99000005, 2, '',  123.45,  TIMESTAMP '2024-01-01 00:00:00', '')
+    ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        o_orderpriority)
+"""
+
+_DIRTY_LINEITEM_SQL = """
+    SELECT CAST(t.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(t.l_partkey AS BIGINT) AS l_partkey,
+           CAST(t.l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(t.l_linenumber AS INT) AS l_linenumber,
+           CAST(t.l_quantity AS DOUBLE) AS l_quantity,
+           CAST(t.l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(t.l_discount AS DOUBLE) AS l_discount,
+           CAST(t.l_tax AS DOUBLE) AS l_tax,
+           t.l_returnflag, t.l_linestatus,
+           CAST(t.l_shipdate AS TIMESTAMP) AS l_shipdate
+    FROM (VALUES
+      (99000001, 0, 0, 1, 0.0,  0.0,    0.0,  0.0, 'N', 'O',
+       TIMESTAMP '1970-01-01 00:00:00'),
+      (99000001, 1, 1, 2, -5.0, -100.0, 1.0,  1.0, 'R', 'F',
+       TIMESTAMP '2099-12-31 23:59:59'),
+      (99000002, 2, 2, 1, 1e6,  1e12,   -0.1, 0.5, NULL, NULL, NULL),
+      (99000003, 3, 0, 1, NULL, NULL,   NULL, NULL, 'A', 'F',
+       TIMESTAMP '2024-02-29 12:00:00'),
+      (99000004, 4, 1, 1, 1.0,  50.0,   0.05, 0.08, '', '',
+       TIMESTAMP '2024-01-01 00:00:00')
+    ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        l_shipdate)
+"""
+
+_DIRTY_ORDERS_COLS = (
+    "o_orderdate", "o_totalprice", "o_orderstatus", "o_orderpriority",
+    "l_shipdate", "l_quantity", "l_discount", "l_extendedprice",
+    "l_returnflag", "l_linestatus", "l_tax",
+)
+
+
+def stage_dirty_orders(base: str) -> str:
+    """Stage a replica with the planted pathological rows appended to
+    orders and lineitem; every other table copies verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_orders")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    extra = {"orders": _DIRTY_ORDERS_SQL, "lineitem": _DIRTY_LINEITEM_SQL}
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {extra[t]}"
+            if t in extra
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 5 + 5}))
+    return out
+
+
+def run_dirty_orders(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    pool = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+        and any(c in s.oracle for c in _DIRTY_ORDERS_COLS)
+    )
+    names = [n for n in pool if not subs or any(x in n for x in subs)]
+    print(f"staging dirty-orders replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_orders(base)
+    spark = get_session("scale-stress-dirty-orders")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-orders (10 planted pathological orders/lineitem "
+        "rows: NULL/epoch/future dates, zero/negative/1e12 money, "
+        "100%/negative discounts, NULL/empty statuses)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_orders{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def stage_dirty_catalog(base: str) -> str:
     """Stage a replica with the planted pathological rows appended to
     part, supplier and customer; every other table copies verbatim."""
@@ -989,6 +1122,9 @@ def main() -> None:
     dirty_catalog = "--dirty-catalog" in args
     if dirty_catalog:
         args.remove("--dirty-catalog")
+    dirty_orders = "--dirty-orders" in args
+    if dirty_orders:
+        args.remove("--dirty-orders")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -1014,6 +1150,11 @@ def main() -> None:
         rest or skew is not None or boilerplate or checksum or dirty or dirty_events
     ):
         sys.exit("scale_stress: --dirty-catalog is its own protocol")
+    if dirty_orders and (
+        rest or skew is not None or boilerplate or checksum or dirty
+        or dirty_events or dirty_catalog
+    ):
+        sys.exit("scale_stress: --dirty-orders is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
@@ -1028,6 +1169,9 @@ def main() -> None:
         return
     if dirty_catalog:
         run_dirty_catalog(base, subs)
+        return
+    if dirty_orders:
+        run_dirty_orders(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
