@@ -648,9 +648,10 @@ _EDH_K = 8  # target buckets
     ),
     binned AS (
       SELECT l_extendedprice AS price,
-             CAST(least(floor((l_extendedprice - rng.mn)
+             CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                  ELSE least(floor((l_extendedprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_EDH_BINS}.0)),
-                        {_EDH_BINS - 1}) AS INT) AS bin
+                        {_EDH_BINS - 1}) END AS INT) AS bin
       FROM dom, rng
     ),
     hist AS (
@@ -698,9 +699,12 @@ def equi_depth_hist_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("mx") - F.col("mn")) / float(_EDH_BINS)
     binned = li.crossJoin(F.broadcast(rng)).select(
         "price",
-        F.least(
-            F.floor((F.col("price") - F.col("mn")) / width),
-            F.lit(_EDH_BINS - 1),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("price") - F.col("mn")) / width),
+                F.lit(_EDH_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),
@@ -1203,9 +1207,10 @@ _PSI_BINS = 10
       SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
-      SELECT CAST(least(floor((o_totalprice - rng.mn)
+      SELECT CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                   ELSE least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_PSI_BINS}.0)),
-                        {_PSI_BINS - 1}) AS INT) AS bin,
+                        {_PSI_BINS - 1}) END AS INT) AS bin,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
       FROM dom, rng
     ),
@@ -1247,12 +1252,15 @@ def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     binned = o.crossJoin(F.broadcast(rng)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / float(_PSI_BINS))
-            ),
-            F.lit(_PSI_BINS - 1),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / float(_PSI_BINS))
+                ),
+                F.lit(_PSI_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),
@@ -1298,9 +1306,10 @@ _KSB_BINS = 64  # ECDF resolution for the scale-safe KS path
       SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
-      SELECT CAST(least(floor((o_totalprice - rng.mn)
+      SELECT CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                   ELSE least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_KSB_BINS}.0)),
-                        {_KSB_BINS - 1}) AS INT) AS bin,
+                        {_KSB_BINS - 1}) END AS INT) AS bin,
              CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
       FROM dom, rng
     ),
@@ -1351,12 +1360,15 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
     binned = o.crossJoin(F.broadcast(rng)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / float(_KSB_BINS))
-            ),
-            F.lit(_KSB_BINS - 1),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / float(_KSB_BINS))
+                ),
+                F.lit(_KSB_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),

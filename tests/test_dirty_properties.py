@@ -374,3 +374,137 @@ def test_catalog_contracts_fuzzed(spark, tmp_path_factory, snames, pnames, segs)
         ],
         ["supplier", "part", "customer"],
     )
+
+
+# --- fact-table fuzz (r7: the dirty-orders contract class) ------------------
+
+_order_date = st.one_of(
+    st.integers(min_value=0, max_value=1000).map(
+        lambda d: datetime.datetime(2023, 1, 1) + datetime.timedelta(days=d)
+    ),
+    st.none(),
+    st.sampled_from(
+        [
+            datetime.datetime(1970, 1, 1),
+            datetime.datetime(2099, 12, 31, 23, 59, 59),
+            datetime.datetime(2024, 2, 29, 12, 0, 0),  # noon, leap day
+        ]
+    ),
+)
+_money = st.one_of(
+    st.floats(min_value=1.0, max_value=500000.0, allow_nan=False),
+    st.none(),
+    st.sampled_from([0.0, -1e9, 1e12, 123.45, -0.01]),
+)
+_status = st.one_of(st.sampled_from(["O", "F", "P"]), st.none(), st.just(""))
+_priority = st.one_of(
+    st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+    st.none(),
+    st.just(""),
+    st.just("URGENT"),  # single token — no '-' to split on
+)
+_qty = st.one_of(
+    st.floats(min_value=1.0, max_value=50.0, allow_nan=False),
+    st.none(),
+    st.sampled_from([0.0, -5.0, 1e6]),
+)
+_discount = st.one_of(
+    st.floats(min_value=0.0, max_value=0.1, allow_nan=False),
+    st.none(),
+    st.sampled_from([1.0, -0.1]),
+)
+
+
+def _stage_facts(tmp, orders, lineitems) -> str:
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        orders,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    con.register("o", pdf)
+    con.execute(
+        f"""COPY (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                    CAST(o_custkey AS BIGINT) AS o_custkey,
+                    CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+                    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                    CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                    CAST(o_orderpriority AS VARCHAR) AS o_orderpriority FROM o)
+            TO '{tmp}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    pdf = pd.DataFrame(
+        lineitems,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    con.register("l", pdf)
+    con.execute(
+        f"""COPY (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                    CAST(l_partkey AS BIGINT) AS l_partkey,
+                    CAST(l_suppkey AS BIGINT) AS l_suppkey,
+                    CAST(l_linenumber AS INT) AS l_linenumber,
+                    CAST(l_quantity AS DOUBLE) AS l_quantity,
+                    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                    CAST(l_discount AS DOUBLE) AS l_discount,
+                    CAST(l_tax AS DOUBLE) AS l_tax,
+                    CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+                    CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+                    CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM l)
+            TO '{tmp}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    return str(tmp)
+
+
+@_SETTINGS
+@given(
+    orows=st.lists(
+        st.tuples(_order_date, _money, _status, _priority),
+        min_size=15,
+        max_size=30,
+    ),
+    lrows=st.lists(
+        st.tuples(_qty, _money, _discount, _status),
+        min_size=15,
+        max_size=30,
+    ),
+)
+def test_orders_contracts_fuzzed(spark, tmp_path_factory, orows, lrows):
+    """The dirty-orders contracts (SCALE.md §17) hold for ANY mix of
+    NULL/boundary dates, zero/negative/absurd money and quantities,
+    and NULL/empty/malformed statuses: explicit NULL window ordering,
+    ln/sqrt domain guards, declared binning domains, total partial
+    merges, tolerant element access, positive Benford domain."""
+    tmp = tmp_path_factory.mktemp("fuzz_orders")
+    orders = [
+        (i, i % 5, s, tp, d, p)
+        for i, (d, tp, s, p) in enumerate(orows)
+    ]
+    lineitems = [
+        (i, i % 7, i % 3, 1, q, ep, dc, 0.05, rf, "O",
+         datetime.datetime(2024, 1, 1))
+        for i, (q, ep, dc, rf) in enumerate(lrows)
+    ]
+    sf = _stage_facts(tmp, orders, lineitems)
+    _check(
+        spark,
+        sf,
+        [
+            "window_analytics",
+            "scd2_status_history",
+            "benford_digit_audit",
+            "string_split_parse",
+            "psi_drift_bins",
+        ],
+        ["orders"],
+    )
+    _check(
+        spark,
+        sf,
+        [
+            "math_funcs",
+            "variance_partial_merge",
+            "equi_depth_binning",
+        ],
+        ["lineitem"],
+    )
