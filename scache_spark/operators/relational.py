@@ -1581,3 +1581,66 @@ FROM events
 def sql_pipe_syntax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (Spark 4.0 CREATE FUNCTION ... RETURN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_udf_money_tiers",
+    oracle="""
+    SELECT CASE WHEN o_totalprice >= 250000 THEN 'jumbo'
+                WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 0      THEN 'standard'
+           END AS tier,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(least(greatest(o_totalprice, 0.0), 250000.0)), 2)
+             AS clamped_total
+    FROM orders GROUP BY 1
+    """,
+    tags=("B23", "B19", "B7"),
+    doc="SQL UDFs (Spark 4.0 CREATE TEMPORARY FUNCTION ... RETURN): a "
+    "scalar tiering function and a 3-arg clamp, declared once and "
+    "used in an aggregate query.  The scale point is in the plan: "
+    "Catalyst INLINES the function body into whole-stage codegen — "
+    "the physical plan shows the raw CASE/least/greatest with no "
+    "call boundary, so a SQL UDF is free abstraction where a Python "
+    "UDF is a serialization wall; shared business logic (tiering, "
+    "clamping, normalization) belongs in SQL UDFs, never in Python, "
+    "whenever it is expressible.  NULL-total rows tier to NULL "
+    "through the ordinary CASE fall-through (dirty-orders-safe by "
+    "construction: no division, no log, no cast of '-').  The "
+    "oracle restates the bodies inline — the contract is that "
+    "declaring the abstraction changes nothing.",
+)
+def sql_udf_money_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION money_tier(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 250000 THEN 'jumbo'
+                    WHEN p >= 100000 THEN 'large'
+                    WHEN p >= 0      THEN 'standard'
+               END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION
+          clamp_ratio(x DOUBLE, lo DOUBLE, hi DOUBLE)
+        RETURNS DOUBLE
+        RETURN least(greatest(x, lo), hi)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT money_tier(o_totalprice) AS tier,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(clamp_ratio(o_totalprice, 0.0, 250000.0)), 2)
+                 AS clamped_total
+        FROM orders GROUP BY 1
+        """
+    )
