@@ -20,6 +20,18 @@ identical inputs at every factor.
 Run:  python tools/scale_stress.py [--factor 10] [--base /root/testdata/sf0.1]
                                    [name-substr ...]
 Writes SCALE_STRESS_x{F}.json at the repo root.
+
+Other protocols (each its own flag, mutually exclusive; all accept
+name-substring scoping and write their own artifact):
+  --rest            the x10 pool complement (everything not in
+                    DEFAULT_QUERIES, minus disclosed REST_EXCLUDE)
+  --skew N          hot-key replica (one user holds N copies)
+  --boilerplate     hot-SHINGLE skew (shared preamble; BAND_CAP proof)
+  --checksum        SF-proportional-output queries via XOR checksums
+  --dirty           pathological DOCUMENT + EMBEDDING rows (SCALE.md §13)
+  --dirty-events    pathological EVENT rows (§14)
+  --dirty-catalog   pathological part/supplier/customer strings (§16)
+  --dirty-orders    pathological fact dates & numerics (§17)
 """
 
 from __future__ import annotations
