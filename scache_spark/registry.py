@@ -80,32 +80,34 @@ PRIORITY: tuple[str, ...] = (
     "sort_nulls_handling",  # B9
     "theta_sketch_set_ops",  # B12/B7/B20 native theta set algebra (r5)
     "ivm_join_view_delta",  # B4/B7/B19 bilinear join-view IVM (r5)
-    # r7 rotation: the r6 verdict named the 15 strongest never-graded
-    # queries; all 15 enter the window, 15 long-green veterans (each
-    # graded in >=1 earlier round) cede seats.  Coverage invariant
-    # (every B1-B27 + A.2/A.5/temporal/north-star inside the first 50)
-    # re-checked by tests/test_registry_order.py.
-    "dedup_substring_pairs",  # B24 suffix-array substring dedup (r7)
-    "setjoin_prefix_filter",  # B24/B17 prefix-filtered set-similarity join (r7)
-    "multimodal_phash_neardup",  # north-star/B23/B24 perceptual-hash near-dup (r7)
-    "multimodal_audio_energy",  # north-star/B23/B16 audio frame energy (r7)
+    # r8 rotation: the r7 verdict named the 15 strongest never-graded
+    # queries (capped-LSH pair first); all 15 enter the window, and 15
+    # veterans (each graded in >=1 earlier round: 13 first graded r7,
+    # 2 first graded r6) cede seats.  Coverage invariant (every B1-B27
+    # + A.2/A.5/temporal/north-star inside the first 50) re-checked by
+    # tests/test_registry_order.py.
+    "dedup_minhash_capped_pairs",  # B24/B21 hot-band-capped banded LSH (r8)
+    "dedup_source_overlap_matrix",  # B24/B7/B13 cross-source dup matrix (r8)
+    "dedup_incremental_batch",  # B24/B6 incremental-batch dedup (r8)
+    "knn_batch_topk",  # B25/B10/B11 batched brute-force kNN top-k (r8)
+    "ann_lsh_multiprobe",  # B25 multiprobe LSH ANN (r8)
+    "embedding_int8_quantize",  # B17/B25 int8 embedding quantization (r8)
+    "heavy_hitters_cms",  # B7/B16/B24 Count-Min heavy hitters (r8)
+    "hll_rolling_distinct",  # B7/B20/B15 rolling HLL distinct (r8)
+    "kll_quantile_sketch_merge",  # B7/B20/B16 KLL sketch merge (r8)
+    "observe_scan_metrics",  # B22/B20/B18 Observation metrics plane (r8)
+    "hadoop_attempt_trace_parse",  # B14/B18/A.5 attempt.csv trace parse (r8)
+    "community_label_propagation",  # graph/B7/B11 label propagation (r8)
+    "kcore_peeling",  # graph/B6/B7 k-core decomposition (r8)
+    "dsir_importance_weights",  # B24/B16 DSIR importance weighting (r8)
+    "tokenizer_fertility_stats",  # B24/B14 tokenizer fertility stats (r8)
+    # r7 rotation survivors (kept for tag coverage)
     "multimodal_frame_sample",  # north-star/B23 video frame sampling (r7)
-    "text_repetition_signals",  # B24/B7 Gopher repetition signals (r7)
-    "tseries_subsequence_topk",  # temporal/B25/B17 matrix-profile-style top-k (r7)
-    "sentiment_lexicon_score",  # B24/B14 lexicon sentiment scoring (r7)
-    "corpus_ngram_novelty",  # B24/B7 cross-snapshot n-gram novelty (r7)
-    "heaps_law_fit",  # B24/B26/B20 Heaps-law vocabulary growth fit (r7)
     "zipf_slope_fit",  # B24/B26/B16 Zipf rank-frequency slope fit (r7)
-    "sequence_packing_bins",  # B24/B23 LLM sequence packing (r7)
-    "leakage_safe_split",  # B24/B13 dedup-cluster-aware train/test split (r7)
-    "curriculum_interleave",  # B11/mining curriculum interleaving (r7)
-    "contamination_ngram_overlap",  # B24/B6 eval-contamination overlap (r7)
     # r6 rotation survivors (first graded r6)
     "statestore_dedup_audit",  # B27/B22/B20 state-store reader audit (r6)
     "stream_scd2_pit_enrich",  # B27/B4/B11 SCD2 point-in-time enrich (r6)
-    "mmr_diverse_rerank",  # B25/B10 maximal-marginal-relevance rerank (r6)
     "pq_encode_codes",  # B25/B23 PQ codebook encode (r6)
-    "ccnet_perplexity_buckets",  # B24/B20 CCNet-style quality buckets (r6)
     "bpe_merge_rounds",  # B24/B7 BPE merge-rounds training (r6)
     "variant_props_extract",  # B18 VARIANT property extraction (r6)
     "compaction_plan_ffd",  # B21/B23/B1 FFD small-file compaction plan (r6)
@@ -135,9 +137,41 @@ PRIORITY: tuple[str, ...] = (
     "stream_cms_heavy_users",  # B27/B16 streaming Count-Min sketch (r5)
     "stream_late_data_filter",
     # --- end of the 50-entry graded window ---
-    # Next in line if the driver widens its window: the r7
-    # rotated-out veterans (all graded green in earlier rounds), then
-    # the r6/r5 ones, then the round-2 training-pipeline layer.
+    # Next in line if the driver widens its window: first the
+    # strongest never-driver-graded queries (the r9 rotation
+    # shortlist — graded automatically if the window widens), then
+    # the rotated-out veterans (all graded green in earlier rounds).
+    "fastss_edit1_pairs",  # B13/B14/B24 deletion-neighborhood edit<=1 join (never graded)
+    "snm_neighbor_pairs",  # B13/B24 sorted-neighborhood candidates (never graded)
+    "pareto_frontier_docs",  # B24/B20/B11 Pareto skyline (never graded)
+    "dedup_normalized_exact",  # B13/B24/B14 normalized exact dedup (never graded)
+    "blockmanager_added_log_parse",  # B14/B18/A.5 log parse (never graded)
+    "multi_format_federation",  # B1/B12/B13/B7 cross-format union (never graded)
+    "partition_pruned_read",  # B1/B3/B21 partition pruning (never graded)
+    "salted_skew_join",  # B4/B21 salting for skew (never graded)
+    "triangle_count_transitions",  # B4/B7/B12 graph triangles (never graded)
+    "holt_linear_forecast",  # B15/B16/B23 Holt linear forecast (never graded)
+    "ann_ivf_pq_topk",  # B25/B10 IVF-PQ ANN (never graded)
+    "retrieval_ndcg_at_k",  # B25/B20/B10 NDCG eval (never graded)
+    "training_corpus_e2e",  # B3/B7/B13/B14/B17 end-to-end curation (never graded)
+    "stream_transform_with_state_mix",  # B27/B23 transformWithState (never graded)
+    "tpch_q3_shipping_priority",  # B4/B7/B10 TPC-H Q3 (never graded)
+    # r8 rotated-out veterans (first graded r7/r6)
+    "dedup_substring_pairs",  # B24 (r8: seat ceded to dedup_minhash_capped_pairs)
+    "setjoin_prefix_filter",  # B24/B17 (r8: seat ceded to dedup_source_overlap_matrix)
+    "multimodal_phash_neardup",  # north-star/B23/B24 (r8: seat ceded to dedup_incremental_batch)
+    "multimodal_audio_energy",  # north-star/B23/B16 (r8: seat ceded to knn_batch_topk)
+    "text_repetition_signals",  # B24/B7 (r8: seat ceded to ann_lsh_multiprobe)
+    "tseries_subsequence_topk",  # temporal/B25/B17 (r8: seat ceded to embedding_int8_quantize)
+    "sentiment_lexicon_score",  # B24/B14 (r8: seat ceded to heavy_hitters_cms)
+    "corpus_ngram_novelty",  # B24/B7 (r8: seat ceded to hll_rolling_distinct)
+    "heaps_law_fit",  # B24/B26/B20 (r8: seat ceded to kll_quantile_sketch_merge)
+    "sequence_packing_bins",  # B23/B24 (r8: seat ceded to observe_scan_metrics)
+    "leakage_safe_split",  # B24/B13 (r8: seat ceded to hadoop_attempt_trace_parse)
+    "curriculum_interleave",  # B11/mining (r8: seat ceded to community_label_propagation)
+    "contamination_ngram_overlap",  # B24/B6 (r8: seat ceded to kcore_peeling)
+    "mmr_diverse_rerank",  # B25/B10 (r8: seat ceded to dsir_importance_weights)
+    "ccnet_perplexity_buckets",  # B24/B20 (r8: seat ceded to tokenizer_fertility_stats)
     "kll_sketch_ks_drift",  # B20/B16 (r7: seat ceded to heaps_law_fit)
     "array_funcs",  # B17 (r7: seat ceded to setjoin_prefix_filter)
     "jsonl_corrupt_records_audit",  # B1/B18/B14 (r7: seat ceded to sentiment_lexicon_score)
@@ -195,8 +229,6 @@ PRIORITY: tuple[str, ...] = (
     "lpt_schedule",  # A.2 (seat ceded to the +locality-swap variant)
     "ann_lsh_probe",  # B25 (seat ceded to hybrid RRF fusion)
     "conditional_null",  # B19 (seat ceded to LRU sim; B19 via join_left_outer)
-    "embedding_int8_quantize",
-    "ann_lsh_multiprobe",
     "minhash_merge_property",
     "bloom_bitmap_membership",
     "join_size_histogram_estimate",
