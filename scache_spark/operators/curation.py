@@ -282,9 +282,10 @@ _WOE_BINS = 8
       SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM dom
     ),
     binned AS (
-      SELECT CAST(least(floor((o_totalprice - rng.mn)
+      SELECT CAST(CASE WHEN rng.mx = rng.mn THEN 0
+                   ELSE least(floor((o_totalprice - rng.mn)
                               / ((rng.mx - rng.mn) / {_WOE_BINS}.0)),
-                        {_WOE_BINS - 1}) AS INT) AS bin,
+                        {_WOE_BINS - 1}) END AS INT) AS bin,
              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
       FROM dom, rng
     ),
@@ -331,13 +332,19 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = o.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
     )
+    # Degenerate single-value domain (mx == mn) → bin width 0 →
+    # 0/0 = NaN bins; guard to bin 0 like the binning siblings
+    # (psi_drift_bins, ks_drift_binned, equi_depth_hist_binning).
     binned = o.crossJoin(F.broadcast(rng)).select(
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("mn"))
-                / ((F.col("mx") - F.col("mn")) / float(_WOE_BINS))
-            ),
-            F.lit(_WOE_BINS - 1),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / float(_WOE_BINS))
+                ),
+                F.lit(_WOE_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),

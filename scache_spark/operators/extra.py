@@ -303,9 +303,16 @@ _SRC_ROOT = _os.path.join(
 def _staged_alt(spark: SparkSession, sf_dir: str, fmt: str, table: str) -> str:
     """Stage a fixture table once per (sf, format) as CSV/ORC so the
     non-parquet readers are exercised against oracle-checkable data.
-    Single overwrite write → _SUCCESS implies completeness."""
+    Single overwrite write → _SUCCESS implies completeness.
+
+    The directory name carries a format-version token so that a change
+    to the writer options (e.g. the CSV \\N NULL-sentinel contract)
+    invalidates stale staged copies instead of silently misreading
+    them."""
+    _FMT_VERSION = {"csv": "v2"}  # bump when writer options change
     key = sf_dir.strip("/").replace("/", "_")
-    out = _os.path.join(_SRC_ROOT, f"{key}_{table}_{fmt}")
+    ver = _FMT_VERSION.get(fmt, "v1")
+    out = _os.path.join(_SRC_ROOT, f"{key}_{table}_{fmt}_{ver}")
     if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
         df = load_table(spark, sf_dir, table)
         w = df.repartition(2).write.mode("overwrite")
@@ -1597,13 +1604,18 @@ def variance_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m2"),
         )
 
-    a = partials(li.filter(F.col("l_orderkey") % 2 == 0)).select(
+    # NULL shard keys route deterministically into shard A (coalesce
+    # to 0): a bare l_orderkey % 2 is NULL for NULL keys and such rows
+    # would silently vanish from BOTH shards while the oracle's full
+    # scan still counts them — the merge would no longer be total.
+    shard = F.coalesce(F.col("l_orderkey"), F.lit(0)) % 2
+    a = partials(li.filter(shard == 0)).select(
         F.col("l_returnflag").alias("flag_a"),
         F.col("n").alias("na"),
         F.col("m").alias("ma"),
         F.col("m2").alias("m2a"),
     )
-    b = partials(li.filter(F.col("l_orderkey") % 2 == 1)).select(
+    b = partials(li.filter(shard == 1)).select(
         F.col("l_returnflag").alias("flag_b"),
         F.col("n").alias("nb"),
         F.col("m").alias("mb"),

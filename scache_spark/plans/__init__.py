@@ -186,6 +186,15 @@ def sweep_plan_reports(
     counts).  Only the explain/analysis threads — that work is JVM-
     side behind py4j with the GIL released.  A builder that raises is
     recorded as the exception; consumers decide how to report it.
+
+    Session state is RESTORED after each build (still under the
+    lock): explicitly-set SQL confs are snapshotted via ``SET`` and
+    any conf a builder changed is reset (or unset if it was unset
+    before), and temp views a builder registered are dropped.  Safe
+    because analysis is eager — a DataFrame built from a temp view
+    holds the resolved relation, so explaining it later does not need
+    the view.  This makes build order irrelevant: a leaked conf or
+    fixed-name view can no longer change a later builder's plan.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -195,11 +204,30 @@ def sweep_plan_reports(
     _ensure_loaded()
     build_lock = threading.Lock()
 
+    def _set_confs() -> dict[str, str]:
+        # Only confs explicitly set in this session — small and cheap.
+        return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+    def _temp_views() -> set[str]:
+        return {v.name for v in spark.catalog.listTables() if v.isTemporary}
+
     def one(item):
         name, spec = item
         try:
             with build_lock:
-                df = spec.fn(spark, sf)
+                confs_before = _set_confs()
+                views_before = _temp_views()
+                try:
+                    df = spec.fn(spark, sf)
+                finally:
+                    for k, v in _set_confs().items():
+                        if confs_before.get(k) != v:
+                            if k in confs_before:
+                                spark.conf.set(k, confs_before[k])
+                            else:
+                                spark.conf.unset(k)
+                    for v in _temp_views() - views_before:
+                        spark.catalog.dropTempView(v)
             return name, plan_report(df)
         except Exception as exc:
             return name, exc
