@@ -168,20 +168,42 @@ def main() -> None:
     # floor; observed run-to-run noise on this box is ±15%).  Each rep
     # rebuilds the plan from scratch (fn() inside the timed region), so
     # eager-checkpoint materialization costs are always counted.
+    #
+    # Reps are INTERLEAVED (r7 judge: a 12% uniform shared-query
+    # slowdown appeared in unchanged code — fixed per-query overhead or
+    # machine load, not plans): pass k runs every headline query once,
+    # so a transient load spike contaminates one rep of many queries
+    # instead of every rep of a few, and the per-query minimum stays a
+    # load-independent estimator.  The per-query relative spread
+    # (max-min)/min across passes is recorded so the artifact carries
+    # its own noise floor.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    rows: dict[str, int] = {}
     t_wall0 = time.time()
-    for name in HEADLINE:
-        spec = REGISTRY[name]
-        best, n = None, 0
-        for _ in range(reps):
+    for rep in range(reps):
+        for name in HEADLINE:
+            spec = REGISTRY[name]
             t0 = time.time()
-            n = spec.fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            rows[name] = spec.fn(spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
+        print(f"# pass {rep + 1}/{reps} done "
+              f"({round(time.time() - t_wall0, 1)}s elapsed)", file=sys.stderr)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    spread = {
+        name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else None
+        for name, ts in samples.items()
+    }
+    for name in HEADLINE:
+        print(f"# {name}: {timings[name]}s (spread {spread[name]}, "
+              f"{rows[name]} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    spreads = sorted(s for s in spread.values() if s is not None)
+    noise_floor = {
+        "median_rel_spread": round(spreads[len(spreads) // 2], 3) if spreads else None,
+        "p90_rel_spread": round(spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
+        "interleaved_passes": True,
+    }
 
     out = {
         # r6 (r4/r5 advice): the metric is NAMED for what it is — the
@@ -196,6 +218,10 @@ def main() -> None:
         "unit": "sec",
         "wall_clock_s": round(time.time() - t_wall0, 3),
         "queries": timings,
+        # relative spread (max-min)/min per query across the
+        # interleaved passes — the in-artifact noise floor
+        "query_spread": spread,
+        "noise_floor": noise_floor,
         "sf": sf,
         "reps": reps,
     }
