@@ -57,8 +57,12 @@ def _render_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_log_parse",
     oracle="""
     WITH raw AS (
+      -- host parse contract (§18): the 'host-(\\d+)' extraction only
+      -- resolves non-negative ordinals; a negative or NULL suppkey
+      -- renders an unparseable host, which the parser reads as NULL
       SELECT CAST(l_orderkey % 4 AS INT) AS stage_id,
-             CAST(l_suppkey % 5 AS INT) AS host_num,
+             CASE WHEN l_suppkey >= 0
+                  THEN CAST(l_suppkey % 5 AS INT) END AS host_num,
              l_orderkey * 10 + l_linenumber AS task_id,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS shuffle_bytes,
              CAST(floor(l_quantity * 10) AS BIGINT) AS run_time
@@ -94,15 +98,21 @@ def _render_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = _render_log_lines(spark, sf_dir)
+    # Parse-layer contract (SCALE.md §18): a log parser never crashes
+    # on garbage — every token->number conversion is try_cast, so an
+    # unparseable host ("host--3", "host-null") or a "null" metric
+    # token degrades to NULL instead of aborting the scan under ANSI.
     parsed = lines.select(
-        F.get_json_object("line", "$['Stage ID']").cast("int").alias("stage_id"),
+        F.get_json_object("line", "$['Stage ID']")
+        .try_cast("int")
+        .alias("stage_id"),
         F.regexp_extract(
             F.get_json_object("line", "$['Task Info'].Host"), r"host-(\d+)\.", 1
         )
-        .cast("int")
+        .try_cast("int")
         .alias("host_num"),
         F.get_json_object("line", "$['Task Info']['Task ID']")
-        .cast("long")
+        .try_cast("long")
         .alias("task_id"),
         F.from_json(
             F.get_json_object("line", "$['Task Metrics'].Accumulables"),
@@ -146,14 +156,21 @@ def event_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _AL_BUCKET = 60  # seconds per alignment bucket
+# §18: longest span the aligner will bucket-explode.  A parsed
+# duration beyond this is garbage (no task runs a day); without the
+# cap one bad metric row makes sequence() materialize billions of
+# buckets.  The cap bounds the per-row explode fan-out at any scale.
+_AL_MAX_SPAN = 86_400
 
 
 @register(
     "task_host_utilization_align",
     oracle=f"""
     WITH raw AS (
+      -- host parse contract (§18): unparseable host ordinals -> NULL
       SELECT l_orderkey * 10 + l_linenumber AS task_id,
-             CAST(l_suppkey % 5 AS INT) AS host_num,
+             CASE WHEN l_suppkey >= 0
+                  THEN CAST(l_suppkey % 5 AS INT) END AS host_num,
              CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500 AS BIGINT)
                AS t0,
              CAST(floor(l_quantity * 10) AS BIGINT) AS run_time
@@ -170,10 +187,16 @@ _AL_BUCKET = 60  # seconds per alignment bucket
       FROM events WHERE event_id % 20 = 0
     ),
     aligned AS (
+      -- physical-span contract (§18): only spans with a plausible
+      -- duration align — out-of-order (t1 < t0), absurd (> {_AL_MAX_SPAN}s,
+      -- a garbage metric would otherwise explode the bucket range)
+      -- and NULL-duration spans are excluded from alignment while
+      -- still counting in the per-host task stats
       SELECT s.host_num, s.task_id, m.util
       FROM spans s JOIN monitor m
         ON s.host_num = m.host_num
        AND m.ts_s BETWEEN s.t0 AND s.t1
+      WHERE s.t1 - s.t0 BETWEEN 0 AND {_AL_MAX_SPAN}
     )
     SELECT s.host_num,
            CAST(count(DISTINCT s.task_id) AS BIGINT) AS n_tasks,
@@ -225,21 +248,22 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(start_line, end_line)).alias("line")
     )
     ev = F.get_json_object("line", "$.Event")
+    # try_cast throughout: parse garbage degrades to NULL (§18)
     parsed = lines.select(
         ev.alias("event"),
         F.get_json_object("line", "$['Task Info']['Task ID']")
-        .cast("long")
+        .try_cast("long")
         .alias("task_id"),
         F.regexp_extract(
             F.get_json_object("line", "$['Task Info'].Host"), r"host-(\d+)\.", 1
         )
-        .cast("int")
+        .try_cast("int")
         .alias("host_num"),
         F.get_json_object("line", "$['Task Info']['Launch Time']")
-        .cast("long")
+        .try_cast("long")
         .alias("launch"),
         F.get_json_object("line", "$['Task Metrics']['Run Time']")
-        .cast("long")
+        .try_cast("long")
         .alias("run_time"),
     )
     # util.py's per-task dict pairing = group per task: launch from the
@@ -267,7 +291,14 @@ def task_host_utilization_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = _AL_BUCKET
-    task_buckets = spans.select(
+    # physical-span contract (§18): only plausible durations align —
+    # the filter both defines the semantics (garbage spans don't
+    # contribute utilization) and bounds the sequence() fan-out (an
+    # unguarded 1e13-second parsed duration would materialize ~1e11
+    # bucket rows from ONE garbage line)
+    task_buckets = spans.filter(
+        (F.col("t1") - F.col("t0")).between(0, _AL_MAX_SPAN)
+    ).select(
         "task_id",
         "host_num",
         "t0",
@@ -352,22 +383,29 @@ def _render_attempt_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # above and THIS fragment.
 ATTEMPT_REDUCES_SQL = """
     raw AS (
+      -- deal_na_int contract (§18): a NULL source metric renders the
+      -- literal "null" into the CSV cell, and the parser coerces ANY
+      -- unparseable cell to -1 — so every time expression coalesces
+      -- to -1 exactly like the blank-cell arm
       SELECT l_orderkey * 10 + l_linenumber AS jtid,
              CAST(l_orderkey % 8 AS INT) AS jobid,
              CASE WHEN l_linenumber % 2 = 0 THEN 'r' ELSE 'm' END AS tasktype,
              CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500 AS BIGINT)
                  AS start_t,
-             CASE WHEN l_suppkey % 11 = 0 THEN -1
+             coalesce(CASE WHEN l_suppkey % 11 = 0 THEN -1
                   ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
-                            + floor(l_quantity * 5) AS BIGINT) END AS shuf_t,
-             CASE WHEN l_suppkey % 11 = 0 THEN -1
+                            + floor(l_quantity * 5) AS BIGINT) END,
+                  -1) AS shuf_t,
+             coalesce(CASE WHEN l_suppkey % 11 = 0 THEN -1
                   ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
                             + floor(l_quantity * 5)
-                            + floor(l_discount * 100) AS BIGINT) END AS sort_t,
-             CASE WHEN l_suppkey % 13 = 0 THEN -1
+                            + floor(l_discount * 100) AS BIGINT) END,
+                  -1) AS sort_t,
+             coalesce(CASE WHEN l_suppkey % 13 = 0 THEN -1
                   ELSE CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500
                             + floor(l_quantity * 5) + floor(l_discount * 100)
-                            + floor(l_tax * 200) + 10 AS BIGINT) END AS fin_t,
+                            + floor(l_tax * 200) + 10 AS BIGINT) END,
+                  -1) AS fin_t,
              CASE WHEN l_suppkey % 17 = 0 THEN 1 ELSE 0 END AS status
       FROM lineitem WHERE l_orderkey % 50 = 0
     ),
@@ -396,14 +434,17 @@ def parsed_attempt_reduces(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = lines.select(
         F.from_csv(F.col("line"), _ATT_SCHEMA).alias("r")
     ).select("r.*")
-    na = lambda c: F.coalesce(  # noqa: E731 — deal_na_int, sim.py:21-25
-        F.col(c).cast("long"), F.lit(-1).cast("long")
+    # deal_na_int (sim.py:21-25) generalized: ANY unparseable cell —
+    # blank, "null" (a NULL metric rendered into the line), stray text
+    # — coerces to -1 via try_cast, never a crash (§18).
+    na = lambda c: F.coalesce(  # noqa: E731
+        F.col(c).try_cast("long"), F.lit(-1).cast("long")
     )
     typed = rec.select(
         "jtid",
         "jobid",
         "tasktype",
-        F.col("startTime").cast("long").alias("start_t"),
+        F.col("startTime").try_cast("long").alias("start_t"),
         na("shuffleTime").alias("shuf_t"),
         na("sortTime").alias("sort_t"),
         na("finishTime").alias("fin_t"),
@@ -483,7 +524,15 @@ def hadoop_attempt_trace_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(
                     F.when(
                         complete,
-                        shuffle_t * 1.0 / (F.col("fin_t") - F.col("start_t")),
+                        # §18: a zero-wall-time attempt (fin == start,
+                        # garbage clock) has no defined shuffle
+                        # fraction — try_divide yields NULL exactly
+                        # like DuckDB's zero-divisor `/`, and avg
+                        # skips it in both engines
+                        F.try_divide(
+                            shuffle_t * 1.0,
+                            F.col("fin_t") - F.col("start_t"),
+                        ),
                     )
                 ),
                 6,
@@ -537,11 +586,15 @@ def _render_blockmanager_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     "blockmanager_added_log_parse",
     oracle="""
     WITH blocks AS (
+      -- §18: hostid comes from the 'host-(\\d+)' extraction, which
+      -- only resolves non-negative ordinals (negative/NULL -> NULL);
+      -- block-id fields split on '_' DO parse a leading minus sign
       SELECT CAST(l_orderkey % 4 AS INT) AS jobid,
              CAST(l_partkey % 2 AS INT) AS shuffleid,
              CAST(l_partkey % 8 AS INT) AS mapid,
              CAST(l_suppkey % 4 AS INT) AS reduceid,
-             CAST(l_suppkey % 5 AS INT) AS hostid,
+             CASE WHEN l_suppkey >= 0
+                  THEN CAST(l_suppkey % 5 AS INT) END AS hostid,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS size
       FROM lineitem WHERE l_orderkey % 50 = 0
     )
@@ -577,12 +630,16 @@ def blockmanager_added_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, 12).alias("size_s"),
         )
         .select(
-            F.element_at("ids", 2).cast("int").alias("jobid"),
-            F.element_at("ids", 3).cast("int").alias("shuffleid"),
-            F.element_at("ids", 4).cast("int").alias("mapid"),
-            F.element_at("ids", 5).cast("int").alias("reduceid"),
-            F.regexp_extract("host", r"host-(\d+)", 1).cast("int").alias("hostid"),
-            F.col("size_s").cast("double").alias("size"),
+            # try_cast: "null" id tokens and unparseable hosts degrade
+            # to NULL rather than aborting the scan (§18)
+            F.element_at("ids", 2).try_cast("int").alias("jobid"),
+            F.element_at("ids", 3).try_cast("int").alias("shuffleid"),
+            F.element_at("ids", 4).try_cast("int").alias("mapid"),
+            F.element_at("ids", 5).try_cast("int").alias("reduceid"),
+            F.regexp_extract("host", r"host-(\d+)", 1)
+            .try_cast("int")
+            .alias("hostid"),
+            F.col("size_s").try_cast("double").alias("size"),
         )
     )
     return parsed.groupBy("jobid", "shuffleid", "hostid").agg(

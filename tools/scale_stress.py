@@ -32,6 +32,8 @@ name-substring scoping and write their own artifact):
   --dirty-events    pathological EVENT rows (§14)
   --dirty-catalog   pathological part/supplier/customer strings (§16)
   --dirty-orders    pathological fact dates & numerics (§17)
+  --dirty-trace     pathological rows hitting the trace/eventlog
+                    render samples (§18)
 """
 
 from __future__ import annotations
@@ -754,6 +756,188 @@ def run_dirty_catalog(base: str, subs: list[str]) -> None:
     sys.exit(1 if n_fail else 0)
 
 
+# --dirty-trace (r8): DIRTY-TRACE stress — the trace/eventlog parse
+# family renders its log lines FROM lineitem (sampled
+# l_orderkey % 50 = 0) and its monitor samples from events
+# (event_id % 20 = 0), so planted rows that hit those samples flow
+# into the rendered lines as exactly the garbage real logs carry:
+# "null" tokens where format_string meets a NULL metric (the NA
+# variant beyond blank — a non-numeric time/size field the parser
+# must coerce), negative durations (TaskEnd before TaskStart:
+# out-of-order spans), an absurd 1e13-second duration (the row that
+# blows up an uncapped bucket explode), a fin==start attempt (zero
+# task wall time -> 0/0 shuffle fraction), negative and NULL host
+# ordinals (hosts the `host-(\d+)` parse cannot resolve and that have
+# no monitor samples), NULL task ids, duplicate attempt ids with
+# conflicting (-1 vs valid) metrics, and negative/NULL block sizes.
+# The reference's own parsers are the fragile part (sim/train.py:64-
+# 131, sim/util.py:21-51, deal_na_int at sim/sim.py:21-25).  Both
+# engines read the same staged parquet; the oracles recompute the
+# SAME quantities straight from lineitem, so every divergence is a
+# real render->parse contract gap.
+_DIRTY_TRACE_LINEITEM_SQL = """
+    SELECT CAST(t.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(t.l_partkey AS BIGINT) AS l_partkey,
+           CAST(t.l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(t.l_linenumber AS INT) AS l_linenumber,
+           CAST(t.l_quantity AS DOUBLE) AS l_quantity,
+           CAST(t.l_extendedprice AS DOUBLE) AS l_extendedprice,
+           CAST(t.l_discount AS DOUBLE) AS l_discount,
+           CAST(t.l_tax AS DOUBLE) AS l_tax,
+           t.l_returnflag, t.l_linestatus,
+           CAST(t.l_shipdate AS TIMESTAMP) AS l_shipdate
+    FROM (VALUES
+      -- NULL quantity: run-time renders as the literal "null" token
+      (99000050, 10, 3, 2, NULL, 500.0, 0.05, 0.02, 'N', 'O',
+       TIMESTAMP '2024-01-01 00:00:00'),
+      -- negative quantity: negative duration, TaskEnd before TaskStart
+      (99000100, 11, 4, 2, -50.0, 600.0, 0.1, 0.01, 'N', 'O',
+       TIMESTAMP '2024-01-02 00:00:00'),
+      -- absurd quantity: 1e13-second span (the bucket-explode bomb)
+      (99000150, 12, 2, 2, 1e12, 700.0, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-03 00:00:00'),
+      -- negative suppkey: host "host--3..." the \\d+ parse rejects,
+      -- and a span host absent from the monitor table
+      (99000200, 13, -3, 2, 20.0, 800.0, 0.02, 0.03, 'N', 'O',
+       TIMESTAMP '2024-01-04 00:00:00'),
+      -- NULL suppkey: host "host-null...", NA rack/host ordinals
+      (99000250, 14, NULL, 2, 30.0, 900.0, 0.01, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-05 00:00:00'),
+      -- duplicate attempt id, valid metrics ...
+      (99000300, 15, 1, 2, 15.0, 111.0, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-06 00:00:00'),
+      -- ... vs the same attempt id with a NULL-quantity retry record
+      (99000300, 16, 1, 2, NULL, 222.0, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-06 00:00:00'),
+      -- negative price: negative block size / shuffle-bytes tokens
+      (99000350, 17, 1, 1, 40.0, -12345.67, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-07 00:00:00'),
+      -- NULL price: "null" size token
+      (99000400, 18, 0, 1, 50.0, NULL, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-08 00:00:00'),
+      -- NULL partkey: "null" task/block-id fields
+      (99000450, NULL, 2, 2, 12.0, 100.0, 0.01, 0.02, 'N', 'O',
+       TIMESTAMP '2024-01-09 00:00:00'),
+      -- NULL linenumber: NULL task id end to end
+      (99000500, 19, 3, NULL, 8.0, 200.0, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-10 00:00:00'),
+      -- NULL discount+tax: sort/finish legs go NA mid-record
+      (99000550, 20, 4, 2, 10.0, 300.0, NULL, NULL, 'N', 'O',
+       TIMESTAMP '2024-01-11 00:00:00'),
+      -- fin == start: zero wall time, 0/0 shuffle fraction
+      (99000600, 21, 1, 2, -2.0, 400.0, 0.0, 0.0, 'N', 'O',
+       TIMESTAMP '2024-01-12 00:00:00')
+    ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        l_shipdate)
+"""
+
+# Monitor-leg plants (event_id % 20 = 0 hits the sampled monitor):
+# NULL host, negative host (Spark and DuckDB agree on signed %), NULL
+# and negative utilization samples.
+_DIRTY_TRACE_EVENTS_SQL = """
+    SELECT CAST(t.event_id AS BIGINT) AS event_id,
+           CAST(t.ts AS TIMESTAMP) AS ts,
+           CAST(t.user_id AS BIGINT) AS user_id,
+           t.event_type,
+           CAST(t.value AS DOUBLE) AS value,
+           t.props
+    FROM (VALUES
+      (9900020, TIMESTAMP '2024-01-15 01:00:00', NULL, 'monitor', 55.5, '{}'),
+      (9900040, TIMESTAMP '2024-01-15 01:01:00', -7,   'monitor', 60.0, '{}'),
+      (9900060, TIMESTAMP '2024-01-15 01:02:00', 13,   'monitor', NULL, '{}'),
+      (9900080, TIMESTAMP '2024-01-15 01:03:00', 14,   'monitor', -5.0, '{}')
+    ) t(event_id, ts, user_id, event_type, value, props)
+"""
+
+# The render->parse family: every query that consumes rendered log
+# lines or the parsed attempt trace.
+DIRTY_TRACE_QUERIES = [
+    "event_log_parse",
+    "task_host_utilization_align",
+    "hadoop_attempt_trace_parse",
+    "blockmanager_added_log_parse",
+    "schedule_race_from_trace",
+]
+
+
+def stage_dirty_trace(base: str) -> str:
+    """Stage a replica with the planted trace-sample rows appended to
+    lineitem and events; every other table copies verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_trace")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    extra = {
+        "lineitem": _DIRTY_TRACE_LINEITEM_SQL,
+        "events": _DIRTY_TRACE_EVENTS_SQL,
+    }
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {extra[t]}"
+            if t in extra
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 13 + 4}))
+    return out
+
+
+def run_dirty_trace(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    missing = [n for n in DIRTY_TRACE_QUERIES if n not in REGISTRY]
+    assert not missing, f"dirty-trace pool names not registered: {missing}"
+    names = [
+        n for n in DIRTY_TRACE_QUERIES if not subs or any(x in n for x in subs)
+    ]
+    print(f"staging dirty-trace replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_trace(base)
+    spark = get_session("scale-stress-dirty-trace")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-trace (13 planted lineitem rows hitting the "
+        "l_orderkey%50 trace sample + 4 monitor events: 'null' "
+        "tokens in time/size/host/id fields, negative and 1e13-second "
+        "durations, out-of-order spans, fin==start 0/0 fractions, "
+        "unparseable host ordinals, duplicate attempt ids with "
+        "conflicting metrics)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_trace{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -1137,6 +1321,9 @@ def main() -> None:
     dirty_orders = "--dirty-orders" in args
     if dirty_orders:
         args.remove("--dirty-orders")
+    dirty_trace = "--dirty-trace" in args
+    if dirty_trace:
+        args.remove("--dirty-trace")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -1167,6 +1354,11 @@ def main() -> None:
         or dirty_events or dirty_catalog
     ):
         sys.exit("scale_stress: --dirty-orders is its own protocol")
+    if dirty_trace and (
+        rest or skew is not None or boilerplate or checksum or dirty
+        or dirty_events or dirty_catalog or dirty_orders
+    ):
+        sys.exit("scale_stress: --dirty-trace is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
@@ -1184,6 +1376,9 @@ def main() -> None:
         return
     if dirty_orders:
         run_dirty_orders(base, subs)
+        return
+    if dirty_trace:
+        run_dirty_trace(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
