@@ -337,3 +337,95 @@ def test_nested_ocf_file_roundtrip(tmp_path):
     p = str(tmp_path / "nested.avro")
     assert A.write_ocf(p, schema, rows, block_rows=2) == 3
     assert list(A.read_ocf(p)) == rows
+
+
+# ---------------------------------------------------------------------------
+# r8: OS-timezone portability across PROCESSES (VERDICT r7 item 5) —
+# the r7 claim "stored micros are true UTC on any host" was asserted
+# from one in-session measurement; this proves it with mismatched TZ
+# env between writer and reader processes, both directions.
+# ---------------------------------------------------------------------------
+
+_TZ_INSTANT_EPOCH_S = 1_700_000_000  # an absolute instant (zone-free)
+_TZ_WALL = "2024-03-01 12:34:56"  # an NTZ wall time (zone-free)
+
+_TZ_WRITE_SRC = """
+import sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[1]")
+         .config("spark.sql.shuffle.partitions", "1")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from scache_spark.sources.avro_ocf import register_avro_ocf
+register_avro_ocf(spark)
+df = spark.range(1).select(
+    F.lit(1).cast("bigint").alias("k"),
+    F.timestamp_seconds(F.lit(%d)).alias("ts"),
+    F.lit("%s").cast("timestamp_ntz").alias("tw"),
+)
+df.write.format("avro_ocf").option("path", sys.argv[1]).mode(
+    "overwrite").save()
+spark.stop()
+"""
+
+_TZ_READ_SRC = """
+import sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+spark = (SparkSession.builder.master("local[1]")
+         .config("spark.sql.shuffle.partitions", "1")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from scache_spark.sources.avro_ocf import register_avro_ocf
+register_avro_ocf(spark)
+back = spark.read.format("avro_ocf").option("path", sys.argv[1]).load()
+r = back.select(
+    F.unix_micros("ts").alias("e"),
+    F.col("tw").cast("string").alias("w"),
+).first()
+print("RESULT", r["e"], r["w"], flush=True)
+spark.stop()
+"""
+
+
+def _tz_subprocess(src: str, tz: str, path: str) -> str:
+    import subprocess
+    import sys
+
+    env = dict(os.environ, TZ=tz)
+    out = subprocess.run(
+        [sys.executable, "-c", src, path],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_timestamp_portability_across_os_timezones(tmp_path):
+    """Writer and reader run in SEPARATE processes with mismatched TZ
+    env (Asia/Kolkata vs UTC, then the reverse): timestamp-micros
+    must round-trip the INSTANT exactly (unix_micros is
+    zone-independent) and local-timestamp-micros must round-trip the
+    WALL string exactly — on any pair of hosts, per the Avro spec
+    (timestamp-micros is epoch-UTC; local-* carries no zone)."""
+    write_src = _TZ_WRITE_SRC % (_TZ_INSTANT_EPOCH_S, _TZ_WALL)
+    want_e = _TZ_INSTANT_EPOCH_S * 1_000_000
+
+    p1 = str(tmp_path / "kolkata_written")
+    _tz_subprocess(write_src, "Asia/Kolkata", p1)
+    out = _tz_subprocess(_TZ_READ_SRC, "UTC", p1)
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+    _, e, w1, w2 = line.split(" ", 3)[0], *line.split(" ", 3)[1:]
+    assert int(e) == want_e, f"Kolkata->UTC instant drifted: {e}"
+    assert f"{w1} {w2}".startswith(_TZ_WALL), f"wall drifted: {w1} {w2}"
+
+    p2 = str(tmp_path / "utc_written")
+    _tz_subprocess(write_src, "UTC", p2)
+    out = _tz_subprocess(_TZ_READ_SRC, "Asia/Kolkata", p2)
+    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+    _, e, w1, w2 = line.split(" ", 3)[0], *line.split(" ", 3)[1:]
+    assert int(e) == want_e, f"UTC->Kolkata instant drifted: {e}"
+    assert f"{w1} {w2}".startswith(_TZ_WALL), f"wall drifted: {w1} {w2}"
