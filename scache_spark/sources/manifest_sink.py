@@ -15,6 +15,16 @@ removes any parts named by partial messages.
 This is the sink-side complement of `blocktrace.py`'s reader — the
 two together cover the full custom-connector surface of the Python
 Data Source API.
+
+Concurrent committers (r8): version numbers are claimed by an atomic
+hard-link CAS — the engine twin of the reference's
+`BlockInfoManager.lockNewBlockForWriting` write-lock CAS
+(storage/BlockInfoManager.scala:182-330).  Two jobs racing a commit
+to the same table version produce exactly one winner per version;
+the loser re-reads the winner's snapshot and retries on the next
+version, so both jobs' rows survive and no partial snapshot is ever
+visible.  Tested by
+tests/test_sources.py::test_manifest_concurrent_commit_conflict.
 """
 
 from __future__ import annotations
@@ -86,30 +96,52 @@ class ManifestJsonlWriter(DataSourceWriter):
         # version's files forward (the new snapshot = old + this
         # job's parts); overwrite starts the file list fresh while
         # old versions keep serving reads of their snapshot.
-        # _MANIFEST.json always mirrors the latest version.
-        prev_files: list[dict] = []
-        versions = _manifest_versions(self.path)
-        if versions and not self.overwrite:
-            with open(_version_path(self.path, versions[-1])) as f:
-                prev_files = json.load(f)["files"]
-        files = prev_files + [
-            {"path": m.path, "rows": m.rows} for m in messages
-        ]
-        manifest = {
-            "version": (versions[-1] if versions else 0) + 1,
-            "files": sorted(files, key=lambda d: d["path"]),
-            "total_rows": sum(e["rows"] for e in files),
-            # atomic with the snapshot: a crash can never leave a
-            # committed version whose batch id went unrecorded
-            "last_batch_id": self.batch_id,
-        }
-        payload = json.dumps(manifest)
-        vpath = _version_path(self.path, manifest["version"])
-        tmp = vpath + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.rename(tmp, vpath)
-        tmp = os.path.join(self.path, "_MANIFEST.json.tmp")
+        #
+        # Write-write CONFLICT CONTRACT (the engine twin of
+        # BlockInfoManager.lockNewBlockForWriting's CAS,
+        # storage/BlockInfoManager.scala:182-330): a version number is
+        # CLAIMED atomically — the snapshot body is written to a
+        # writer-unique temp file, then os.link() hard-links it to
+        # _MANIFEST.v{n}.json, which the filesystem guarantees to
+        # succeed for exactly ONE writer per name.  A loser re-reads
+        # the winner's snapshot (so the winner's files are carried
+        # forward, never clobbered) and retries on the next version.
+        # No partial state is ever visible: the name appears only
+        # after the body is fully written, so every published
+        # _MANIFEST.v*.json is a complete snapshot.
+        new = [{"path": m.path, "rows": m.rows} for m in messages]
+        while True:
+            prev_files: list[dict] = []
+            versions = _manifest_versions(self.path)
+            if versions and not self.overwrite:
+                with open(_version_path(self.path, versions[-1])) as f:
+                    prev_files = json.load(f)["files"]
+            files = prev_files + new
+            manifest = {
+                "version": (versions[-1] if versions else 0) + 1,
+                "files": sorted(files, key=lambda d: d["path"]),
+                "total_rows": sum(e["rows"] for e in files),
+                # atomic with the snapshot: a crash can never leave a
+                # committed version whose batch id went unrecorded
+                "last_batch_id": self.batch_id,
+            }
+            payload = json.dumps(manifest)
+            vpath = _version_path(self.path, manifest["version"])
+            tmp = f"{vpath}.{uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            try:
+                os.link(tmp, vpath)  # the CAS: one winner per version
+            except FileExistsError:
+                os.remove(tmp)
+                continue  # lost the race — retry on the next version
+            os.remove(tmp)
+            break
+        # _MANIFEST.json is an ADVISORY mirror of the latest snapshot
+        # (readers resolve "latest" from the version files, see
+        # read_manifest); racing mirrors can land out of order and the
+        # next commit repairs it, so correctness never depends on it.
+        tmp = os.path.join(self.path, f"_MANIFEST.json.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             f.write(payload)
         os.rename(tmp, os.path.join(self.path, "_MANIFEST.json"))
@@ -118,10 +150,13 @@ class ManifestJsonlWriter(DataSourceWriter):
         # Spark's PythonBatchWrite hands abort() null commit messages
         # (observed on 4.1: [null, null, ...]), so the paths cannot
         # come from `messages`.  Instead remove every part not vouched
-        # for by an already-published manifest — correct under the
-        # single-writer-per-path assumption every manifest/table
-        # format without a lock service makes.  Readers are safe even
-        # if this cleanup never runs: unpublished parts are invisible.
+        # for by an already-published manifest.  Scope note: COMMITS
+        # are conflict-safe under concurrency (see commit's CAS), but
+        # this abort sweep assumes no OTHER writer has parts awaiting
+        # commit at the same instant — the standard caveat of every
+        # manifest format without a lock service (cf. Delta's VACUUM
+        # retention).  Readers are safe even if this cleanup never
+        # runs: unpublished parts are invisible.
         # any file named by ANY committed snapshot stays readable
         listed: set[str] = set()
         for v in _manifest_versions(self.path):
@@ -173,12 +208,19 @@ def _version_path(path: str, version: int) -> str:
 
 def read_manifest(spark, path: str, schema, version: int | None = None):
     """Read back ONLY the rows the manifest vouches for; pass
-    ``version`` to time-travel to an earlier committed snapshot."""
-    mpath = (
-        os.path.join(path, "_MANIFEST.json")
-        if version is None
-        else _version_path(path, version)
-    )
+    ``version`` to time-travel to an earlier committed snapshot.
+    "Latest" resolves from the version files themselves (the
+    _MANIFEST.json mirror is advisory — under concurrent committers
+    racing mirrors can briefly point one version back)."""
+    if version is None:
+        versions = _manifest_versions(path)
+        mpath = (
+            _version_path(path, versions[-1])
+            if versions
+            else os.path.join(path, "_MANIFEST.json")
+        )
+    else:
+        mpath = _version_path(path, version)
     with open(mpath) as f:
         manifest = json.load(f)
     files = [e["path"] for e in manifest["files"]]
@@ -202,7 +244,11 @@ def vacuum(path: str, retain_versions: int = 1) -> dict:
     removed_versions = 0
     for fn in sorted(os.listdir(path)):
         full = os.path.join(path, fn)
-        if fn.startswith("part-") and fn.endswith(".jsonl") and full not in live:
+        if fn.endswith((".tmp", ".inprogress")):
+            # stragglers from crashed writers/committers — never
+            # referenced by any snapshot, always safe to drop
+            os.remove(full)
+        elif fn.startswith("part-") and fn.endswith(".jsonl") and full not in live:
             os.remove(full)
             removed_files += 1
         elif fn.startswith("_MANIFEST.v") and fn.endswith(".json"):

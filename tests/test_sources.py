@@ -299,6 +299,67 @@ def test_manifest_sink_serializes_typed_cells(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_manifest_concurrent_commit_conflict(tmp_path):
+    """Write-write conflict contract (r7 VERDICT item 6, the
+    BlockInfoManager.lockNewBlockForWriting CAS twin): N committers
+    race the same table; exactly one wins each version, every loser
+    retries on the next version carrying the winner forward, all
+    rows survive, and every published snapshot is complete JSON whose
+    files all exist (no partial state visible)."""
+    import json
+    import os
+    import threading
+
+    from pyspark.sql.types import StructType
+
+    from scache_spark.sources.manifest_sink import (
+        ManifestJsonlWriter,
+        _manifest_versions,
+        _version_path,
+    )
+
+    out = str(tmp_path / "race")
+    n_writers = 8
+    barrier = threading.Barrier(n_writers)
+    errors: list[Exception] = []
+
+    def one(i: int) -> None:
+        try:
+            w = ManifestJsonlWriter(
+                {"path": out}, StructType.fromDDL("k bigint"), overwrite=False
+            )
+            msg = w.write(iter([(i,)]))
+            barrier.wait()  # all tasks done; commits race from here
+            w.commit([msg])
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    # exactly one snapshot per version, densely numbered 1..N
+    versions = _manifest_versions(out)
+    assert versions == list(range(1, n_writers + 1))
+    # every snapshot is complete and monotone: version v carries v files
+    for v in versions:
+        with open(_version_path(out, v)) as f:
+            snap = json.load(f)  # complete JSON — never partial
+        assert len(snap["files"]) == v
+        assert snap["total_rows"] == v
+        for e in snap["files"]:
+            assert os.path.exists(e["path"])
+    # the final snapshot carries EVERY writer's part — no lost update
+    with open(_version_path(out, n_writers)) as f:
+        final = json.load(f)
+    assert len({e["path"] for e in final["files"]}) == n_writers
+    # no straggler temp files from losing attempts
+    assert not [fn for fn in os.listdir(out) if fn.endswith(".tmp")]
+
+
 def test_stream_batch_dedup_survives_missing_marker(spark, sf_dir, tmp_path):
     """Exactly-once is part of the COMMIT, not a post-commit marker
     (r2 advisor finding): after a publish, the latest snapshot itself
