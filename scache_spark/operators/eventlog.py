@@ -57,11 +57,14 @@ def _render_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_log_parse",
     oracle="""
     WITH raw AS (
-      -- host parse contract (§18): the 'host-(\\d+)' extraction only
-      -- resolves non-negative ordinals; a negative or NULL suppkey
-      -- renders an unparseable host, which the parser reads as NULL
+      -- host parse contract (§18): the rendered ordinal is the
+      -- SIGNED REMAINDER l_suppkey % 5, and 'host-(\\d+)' resolves it
+      -- iff it is non-negative — so a negative suppkey that divides
+      -- evenly (e.g. -5) still renders host-0 and parses, while -3
+      -- renders host--3 and reads as NULL (found by the r8 property
+      -- fuzz, not the fixed plants)
       SELECT CAST(l_orderkey % 4 AS INT) AS stage_id,
-             CASE WHEN l_suppkey >= 0
+             CASE WHEN l_suppkey % 5 >= 0
                   THEN CAST(l_suppkey % 5 AS INT) END AS host_num,
              l_orderkey * 10 + l_linenumber AS task_id,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS shuffle_bytes,
@@ -167,9 +170,10 @@ _AL_MAX_SPAN = 86_400
     "task_host_utilization_align",
     oracle=f"""
     WITH raw AS (
-      -- host parse contract (§18): unparseable host ordinals -> NULL
+      -- host parse contract (§18): the parse resolves the signed
+      -- remainder iff non-negative (see event_log_parse)
       SELECT l_orderkey * 10 + l_linenumber AS task_id,
-             CASE WHEN l_suppkey >= 0
+             CASE WHEN l_suppkey % 5 >= 0
                   THEN CAST(l_suppkey % 5 AS INT) END AS host_num,
              CAST(1000 + (l_orderkey * 10 + l_linenumber) % 500 AS BIGINT)
                AS t0,
@@ -587,13 +591,14 @@ def _render_blockmanager_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH blocks AS (
       -- §18: hostid comes from the 'host-(\\d+)' extraction, which
-      -- only resolves non-negative ordinals (negative/NULL -> NULL);
+      -- resolves the signed remainder iff non-negative (a -5 suppkey
+      -- renders host-0 and parses; -3 renders host--3 -> NULL);
       -- block-id fields split on '_' DO parse a leading minus sign
       SELECT CAST(l_orderkey % 4 AS INT) AS jobid,
              CAST(l_partkey % 2 AS INT) AS shuffleid,
              CAST(l_partkey % 8 AS INT) AS mapid,
              CAST(l_suppkey % 4 AS INT) AS reduceid,
-             CASE WHEN l_suppkey >= 0
+             CASE WHEN l_suppkey % 5 >= 0
                   THEN CAST(l_suppkey % 5 AS INT) END AS hostid,
              CAST(floor(l_extendedprice * 100) AS BIGINT) AS size
       FROM lineitem WHERE l_orderkey % 50 = 0

@@ -495,11 +495,18 @@ _POLICY_RACE_TAIL = f"""
                            max(sz)) AS BIGINT) AS m
       FROM tasks
     )
-    SELECT 'round_robin' AS policy, m AS makespan FROM rr
-    UNION ALL SELECT 'fifo', CAST(m AS BIGINT) FROM fifo_makespan
-    UNION ALL SELECT 'lpt', CAST(m AS BIGINT) FROM lpt_makespan
-    UNION ALL SELECT 'coflow', m FROM cf
-    UNION ALL SELECT 'ideal', m FROM ideal
+    SELECT policy, makespan FROM (
+      SELECT 'round_robin' AS policy, m AS makespan FROM rr
+      UNION ALL SELECT 'fifo', CAST(m AS BIGINT) FROM fifo_makespan
+      UNION ALL SELECT 'lpt', CAST(m AS BIGINT) FROM lpt_makespan
+      UNION ALL SELECT 'coflow', m FROM cf
+      UNION ALL SELECT 'ideal', m FROM ideal
+    )
+    -- §18: a trace with NO surviving tasks (e.g. every attempt
+    -- incomplete) has no race — zero rows, matching the grouped-map
+    -- side where an empty input yields no groups; without this the
+    -- aggregates-over-empty arms would emit 5 NULL-makespan rows
+    WHERE (SELECT count(*) FROM tasks) > 0
 """
 
 

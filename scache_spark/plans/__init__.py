@@ -211,22 +211,28 @@ def sweep_plan_reports(
     def _temp_views() -> set[str]:
         return {v.name for v in spark.catalog.listTables() if v.isTemporary}
 
+    # Baselines taken ONCE: each build restores to the sweep-start
+    # state (equivalent to restoring the pre-build state as long as
+    # every restore succeeds) — one SET + one listTables py4j round
+    # trip per build instead of two of each, which matters 300+ times
+    # under the serial lock.
+    confs_base = _set_confs()
+    views_base = _temp_views()
+
     def one(item):
         name, spec = item
         try:
             with build_lock:
-                confs_before = _set_confs()
-                views_before = _temp_views()
                 try:
                     df = spec.fn(spark, sf)
                 finally:
                     for k, v in _set_confs().items():
-                        if confs_before.get(k) != v:
-                            if k in confs_before:
-                                spark.conf.set(k, confs_before[k])
+                        if confs_base.get(k) != v:
+                            if k in confs_base:
+                                spark.conf.set(k, confs_base[k])
                             else:
                                 spark.conf.unset(k)
-                    for v in _temp_views() - views_before:
+                    for v in _temp_views() - views_base:
                         spark.catalog.dropTempView(v)
             return name, plan_report(df)
         except Exception as exc:

@@ -383,17 +383,20 @@ r = back.select(
     F.col("tw").cast("string").alias("w"),
 ).first()
 print("RESULT", r["e"], r["w"], flush=True)
+if len(sys.argv) > 2:  # optionally re-publish under THIS zone
+    back.write.format("avro_ocf").option("path", sys.argv[2]).mode(
+        "overwrite").save()
 spark.stop()
 """
 
 
-def _tz_subprocess(src: str, tz: str, path: str) -> str:
+def _tz_subprocess(src: str, tz: str, *paths: str) -> str:
     import subprocess
     import sys
 
     env = dict(os.environ, TZ=tz)
     out = subprocess.run(
-        [sys.executable, "-c", src, path],
+        [sys.executable, "-c", src, *paths],
         env=env,
         capture_output=True,
         text=True,
@@ -410,22 +413,22 @@ def test_timestamp_portability_across_os_timezones(tmp_path):
     must round-trip the INSTANT exactly (unix_micros is
     zone-independent) and local-timestamp-micros must round-trip the
     WALL string exactly — on any pair of hosts, per the Avro spec
-    (timestamp-micros is epoch-UTC; local-* carries no zone)."""
+    (timestamp-micros is epoch-UTC; local-* carries no zone).  The
+    UTC leg both reads the Kolkata file AND re-publishes it, covering
+    the reverse direction with three JVM launches instead of four."""
     write_src = _TZ_WRITE_SRC % (_TZ_INSTANT_EPOCH_S, _TZ_WALL)
     want_e = _TZ_INSTANT_EPOCH_S * 1_000_000
 
-    p1 = str(tmp_path / "kolkata_written")
-    _tz_subprocess(write_src, "Asia/Kolkata", p1)
-    out = _tz_subprocess(_TZ_READ_SRC, "UTC", p1)
-    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
-    _, e, w1, w2 = line.split(" ", 3)[0], *line.split(" ", 3)[1:]
-    assert int(e) == want_e, f"Kolkata->UTC instant drifted: {e}"
-    assert f"{w1} {w2}".startswith(_TZ_WALL), f"wall drifted: {w1} {w2}"
+    def _assert_result(out: str, leg: str) -> None:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        _, e, wall = line.split(" ", 2)
+        assert int(e) == want_e, f"{leg} instant drifted: {e}"
+        assert wall.startswith(_TZ_WALL), f"{leg} wall drifted: {wall}"
 
+    p1 = str(tmp_path / "kolkata_written")
     p2 = str(tmp_path / "utc_written")
-    _tz_subprocess(write_src, "UTC", p2)
+    _tz_subprocess(write_src, "Asia/Kolkata", p1)
+    out = _tz_subprocess(_TZ_READ_SRC, "UTC", p1, p2)
+    _assert_result(out, "Kolkata->UTC")
     out = _tz_subprocess(_TZ_READ_SRC, "Asia/Kolkata", p2)
-    line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
-    _, e, w1, w2 = line.split(" ", 3)[0], *line.split(" ", 3)[1:]
-    assert int(e) == want_e, f"UTC->Kolkata instant drifted: {e}"
-    assert f"{w1} {w2}".startswith(_TZ_WALL), f"wall drifted: {w1} {w2}"
+    _assert_result(out, "UTC->Kolkata")

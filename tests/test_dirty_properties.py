@@ -508,3 +508,91 @@ def test_orders_contracts_fuzzed(spark, tmp_path_factory, orows, lrows):
         ],
         ["lineitem"],
     )
+
+
+# --- dirty-TRACE property fuzz (r8, SCALE.md §18) --------------------------
+# The trace/eventlog family renders its log lines FROM lineitem rows
+# sampled at l_orderkey % 50 = 0 (and monitor samples from events at
+# event_id % 20 = 0); the generator emits ONLY sample-hitting keys so
+# every generated row flows into the rendered lines: NULL/negative/
+# absurd durations, unparseable host ordinals, NULL ids, zero-wall
+# attempts, duplicate attempt ids.
+
+_trace_qty = st.one_of(
+    st.none(),
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.just(-2.0),   # fin == start (0/0 shuffle fraction)
+    st.just(1e12),   # the bucket-explode bomb
+)
+_trace_price = st.one_of(
+    st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)
+)
+_trace_supp = st.one_of(st.none(), st.integers(min_value=-5, max_value=20))
+_trace_part = st.one_of(st.none(), st.integers(min_value=0, max_value=50))
+_trace_ln = st.one_of(st.none(), st.just(1), st.just(2))
+_trace_rate = st.one_of(
+    st.none(), st.sampled_from([0.0, 0.05, -0.1, 1.0])
+)
+_mon_user = st.one_of(st.none(), st.integers(min_value=-7, max_value=20))
+_mon_val = st.one_of(
+    st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)
+)
+
+
+@_SETTINGS
+@given(
+    lrows=st.lists(
+        st.tuples(_trace_part, _trace_supp, _trace_ln, _trace_qty,
+                  _trace_price, _trace_rate, _trace_rate),
+        min_size=20,
+        max_size=40,
+    ),
+    mrows=st.lists(
+        st.tuples(_mon_user, _mon_val), min_size=5, max_size=15
+    ),
+)
+def test_trace_contracts_fuzzed(spark, tmp_path_factory, lrows, mrows):
+    """The dirty-trace contracts (SCALE.md §18) hold for ANY mix of
+    NULL/negative/absurd durations, unparseable hosts, NULL ids and
+    zero-wall attempts: try_cast parse layer, deal_na_int coalesce,
+    non-negative host ordinals, physical-span alignment guard,
+    try_divide shuffle fractions."""
+    tmp = tmp_path_factory.mktemp("fuzz_trace")
+    lineitems = []
+    for i, (pk, sk, ln, q, ep, dc, tx) in enumerate(lrows):
+        ok = 50 * (i + 1)  # hit the l_orderkey % 50 = 0 trace sample
+        lineitems.append(
+            (ok, pk, sk, ln, q, ep, dc, tx, "N", "O",
+             datetime.datetime(2024, 1, 1))
+        )
+    # a guaranteed duplicate attempt id with conflicting metrics
+    if lineitems:
+        dup = list(lineitems[0])
+        dup[4] = None  # NULL quantity retry record vs the original
+        lineitems.append(tuple(dup))
+    events = [
+        (20 * (i + 1), _BASE_TS + datetime.timedelta(minutes=i), u,
+         "monitor", v, "{}")
+        for i, (u, v) in enumerate(mrows)
+    ]
+    sf = _stage_facts(tmp, [(1, 1, "O", 1.0,
+                             datetime.datetime(2024, 1, 1), "1-URGENT")],
+                      lineitems)
+    _stage(tmp, events=events)
+    _check(
+        spark,
+        sf,
+        [
+            "event_log_parse",
+            "hadoop_attempt_trace_parse",
+            "blockmanager_added_log_parse",
+            "schedule_race_from_trace",
+        ],
+        ["lineitem"],
+    )
+    _check(
+        spark,
+        sf,
+        ["task_host_utilization_align"],
+        ["lineitem", "events"],
+    )
