@@ -550,3 +550,94 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# web-crawl URL/domain curation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_domain_curation",
+    oracle="""
+    WITH urls AS (
+      -- deterministic render (the eventlog render->parse convention):
+      -- each document gets a URL derived from its own columns; the
+      -- oracle recomputes host/domain/ref straight from those columns,
+      -- so any loss in the URL parse is a mismatch.  source is
+      -- sanitized to hostname-safe chars on both sides.
+      SELECT doc_id, n_chars,
+             lower(regexp_replace(coalesce(source, 'unknown'),
+                                  '[^a-zA-Z0-9]', '', 'g'))
+               || '-' || CAST(doc_id % 37 AS VARCHAR) || '.example.'
+               || CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END AS host,
+             'example.'
+               || CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END AS domain,
+             coalesce(lang, 'xx') AS ref
+      FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN ref = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_en_refs
+    FROM urls GROUP BY domain
+    """,
+    tags=("B24", "B14", "B7"),
+    doc="Web-crawl URL curation: render a deterministic URL per "
+    "document (https://<sanitized-source>-<doc_id%37>.example.<tld>"
+    "/docs/<id>?ref=<lang>), parse it back with parse_url "
+    "(HOST + QUERY param extraction — the curation primitive every "
+    "crawl pipeline runs: host-level dedup budgets, per-domain "
+    "quality rollups, registered-domain blocklists), take the "
+    "registered domain as the last two host labels "
+    "(substring_index), and aggregate per domain: doc count, "
+    "distinct hosts, total chars, English-ref share.  The oracle "
+    "recomputes host/domain straight from the source columns, so the "
+    "URL render->parse round trip must be lossless.  Scale shape: "
+    "one scan, the render+parse is per-row codegen (parse_url is a "
+    "JVM expression, no UDF), one map-side-combinable aggregate; at "
+    "100 TB the render is replaced by reading a real url column and "
+    "everything downstream is unchanged.",
+)
+def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    safe_src = F.lower(
+        F.regexp_replace(
+            F.coalesce(F.col("source"), F.lit("unknown")),
+            "[^a-zA-Z0-9]",
+            "",
+        )
+    )
+    tld = F.when(F.col("lang") == "en", "com").otherwise("org")
+    url = F.concat(
+        F.lit("https://"),
+        safe_src,
+        F.lit("-"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example."),
+        tld,
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref="),
+        F.coalesce(F.col("lang"), F.lit("xx")),
+    )
+    parsed = d.select(
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    ).select(
+        "n_chars",
+        "host",
+        "ref",
+        F.substring_index(F.col("host"), ".", -2).alias("domain"),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("host").cast("long").alias("n_hosts"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("ref") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en_refs"),
+    )

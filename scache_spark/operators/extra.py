@@ -2332,3 +2332,110 @@ def observe_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_null_ts long, n_null_user long, n_bad_props long, "
         "min_ts_us long, max_ts_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# manifest-sink time travel: snapshot diff across committed versions
+# ---------------------------------------------------------------------------
+
+
+def _staged_manifest_tt(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a two-version manifest table once per sf (idempotent,
+    self-healing: each version commits only if its snapshot file is
+    absent): v1 = orders with o_orderkey % 10 = 0, v2 appends the
+    % 10 = 5 slice.  The staged dir is the fixture for the
+    time-travel query below — writes go through the REAL sink
+    (part files + CAS-claimed version manifests)."""
+    from scache_spark.sources.manifest_sink import register_manifest_sink
+
+    key = sf_dir.strip("/").replace("/", "_")
+    out = _os.path.join(_SRC_ROOT, f"{key}_manifest_tt_v1")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _publish(mod_value: int) -> None:
+        register_manifest_sink(spark)
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(*cols)
+            .filter(F.col("o_orderkey") % 10 == mod_value)
+            .repartition(2)
+            .write.format("manifest_jsonl")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+
+    if not _os.path.exists(_os.path.join(out, "_MANIFEST.v1.json")):
+        _publish(0)
+    if not _os.path.exists(_os.path.join(out, "_MANIFEST.v2.json")):
+        _publish(5)
+    return out
+
+
+@register(
+    "manifest_time_travel_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_v1
+      FROM orders WHERE o_orderkey % 10 = 0
+      GROUP BY o_orderstatus
+    ),
+    latest AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_latest,
+             round(sum(o_totalprice), 2) AS bal_latest
+      FROM orders WHERE o_orderkey % 10 IN (0, 5)
+      GROUP BY o_orderstatus
+    )
+    SELECT l.o_orderstatus,
+           coalesce(v1.n_v1, 0) AS n_v1,
+           l.n_latest,
+           l.n_latest - coalesce(v1.n_v1, 0) AS n_added,
+           l.bal_latest
+    FROM latest l LEFT JOIN v1
+      ON l.o_orderstatus IS NOT DISTINCT FROM v1.o_orderstatus
+    """,
+    tags=("B1", "B22", "B7"),
+    doc="Lakehouse time travel over the manifest sink: two snapshot "
+    "versions are committed through the REAL sink (part files + "
+    "CAS-claimed _MANIFEST.v{n}.json, sources/manifest_sink.py), "
+    "then version 1 and the latest snapshot are read back and diffed "
+    "per order status — the audit every incremental pipeline runs "
+    "('what did this batch add?').  The oracle recomputes both "
+    "snapshots straight from orders, so the JSONL round trip AND the "
+    "append-mode carry-forward must both be lossless.  Statuses join "
+    "null-safely (NULL and '' are distinct groups on both sides).  "
+    "Scale shape: manifests name files, readers scan only named "
+    "files; the diff is two bounded per-status aggregates joined — "
+    "at 100 TB the same pattern runs over object-store manifests "
+    "with row counts carried IN the snapshot (here recomputed to "
+    "verify the data itself).",
+)
+def manifest_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.sources.manifest_sink import read_manifest
+
+    path = _staged_manifest_tt(spark, sf_dir)
+    schema = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    v1 = (
+        read_manifest(spark, path, schema, version=1)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_v1"))
+        .select(F.col("o_orderstatus").alias("status_v1"), "n_v1")
+    )
+    latest = read_manifest(spark, path, schema).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_latest"),
+        F.round(F.sum("o_totalprice"), 2).alias("bal_latest"),
+    )
+    return latest.join(
+        F.broadcast(v1),
+        F.col("o_orderstatus").eqNullSafe(F.col("status_v1")),
+        "left",
+    ).select(
+        "o_orderstatus",
+        F.coalesce(F.col("n_v1"), F.lit(0).cast("long")).alias("n_v1"),
+        "n_latest",
+        (F.col("n_latest") - F.coalesce(F.col("n_v1"), F.lit(0).cast("long")))
+        .alias("n_added"),
+        "bal_latest",
+    )

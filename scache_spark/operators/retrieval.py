@@ -1055,3 +1055,83 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "vec_id", "qcos", F.round("score", 6).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# late-interaction (ColBERT-style) MaxSim retrieval
+# ---------------------------------------------------------------------------
+
+_CB_TOKENS = 4  # token vectors per document (64 dims -> 4 x 16)
+_CB_SUBDIM = DIM // _CB_TOKENS
+_CB_QUERY = 0  # the query document's vec_id
+_CB_K = 10
+
+
+@register(
+    "colbert_maxsim_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT [CAST(x AS DOUBLE) for x in embedding] AS qe
+      FROM embeddings WHERE vec_id = {_CB_QUERY} AND embedding IS NOT NULL
+    ),
+    scored AS (
+      SELECT vec_id,
+             round({" + ".join(
+                 "greatest(" + ", ".join(
+                     f"list_aggregate([CAST(embedding[{dm * _CB_SUBDIM} + i] "
+                     f"AS DOUBLE) * qe[{qm * _CB_SUBDIM} + i] "
+                     f"for i in range(1, {_CB_SUBDIM} + 1)], 'sum')"
+                     for dm in range(_CB_TOKENS)
+                 ) + ")"
+                 for qm in range(_CB_TOKENS)
+             )}, 6) AS maxsim
+      FROM embeddings, q
+      WHERE vec_id <> {_CB_QUERY} AND embedding IS NOT NULL
+    )
+    SELECT vec_id, maxsim FROM scored
+    ORDER BY maxsim DESC, vec_id ASC LIMIT {_CB_K}
+    """,
+    tags=("B25", "B17", "B10"),
+    doc="Late-interaction retrieval (ColBERT's MaxSim operator, "
+    "Khattab & Zaharia 2020): each stored vector is treated as "
+    f"{_CB_TOKENS} contiguous token sub-vectors of {_CB_SUBDIM} dims "
+    "(the multi-vector document representation), and score(doc) = "
+    "sum over query tokens of the MAX dot product against any doc "
+    "token — the interaction pattern single-vector cosine cannot "
+    "express (it rewards the best-matching passage token per query "
+    "term).  Scale shape: ZERO extra shuffle — the query's token "
+    "vectors broadcast as one row, all TOKENSxTOKENS dot products "
+    "fold map-side inside whole-stage codegen (slice + zip_with + "
+    "aggregate, no explode, no per-token row blow-up), and the "
+    "ranking is TakeOrderedAndProject.  At 100 TB this is one "
+    "narrow corpus scan; a multi-vector column (array<array<float>>) "
+    "generalizes the slices unchanged.  Dots fold in element order "
+    "in both engines; the MaxSim sum is 6dp-rounded BEFORE ranking "
+    "with a vec_id tie-break so both engines rank identical doubles. "
+    "NULL embeddings cannot score (same contract as cosine_ready).",
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q = e.filter(F.col("vec_id") == _CB_QUERY).select(dbl.alias("qe"))
+    docs = e.filter(F.col("vec_id") != _CB_QUERY).crossJoin(F.broadcast(q))
+
+    def dot(qm: int, dm: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(dbl, dm * _CB_SUBDIM + 1, _CB_SUBDIM),
+                F.slice(F.col("qe"), qm * _CB_SUBDIM + 1, _CB_SUBDIM),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    maxsim: Column | None = None
+    for qm in range(_CB_TOKENS):
+        best = F.greatest(*[dot(qm, dm) for dm in range(_CB_TOKENS)])
+        maxsim = best if maxsim is None else maxsim + best
+    scored = docs.select("vec_id", F.round(maxsim, 6).alias("maxsim"))
+    return scored.orderBy(F.desc("maxsim"), F.asc("vec_id")).limit(_CB_K)

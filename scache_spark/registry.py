@@ -156,6 +156,10 @@ PRIORITY: tuple[str, ...] = (
     "training_corpus_e2e",  # B3/B7/B13/B14/B17 end-to-end curation (never graded)
     "stream_transform_with_state_mix",  # B27/B23 transformWithState (never graded)
     "tpch_q3_shipping_priority",  # B4/B7/B10 TPC-H Q3 (never graded)
+    # r8 additions (new this round, next in the never-graded line)
+    "colbert_maxsim_topk",  # B25/B17/B10 late-interaction MaxSim (r8, never graded)
+    "url_domain_curation",  # B24/B14/B7 URL/domain crawl curation (r8, never graded)
+    "manifest_time_travel_diff",  # B1/B22/B7 snapshot time-travel diff (r8, never graded)
     # r8 rotated-out veterans (first graded r7/r6)
     "dedup_substring_pairs",  # B24 (r8: seat ceded to dedup_minhash_capped_pairs)
     "setjoin_prefix_filter",  # B24/B17 (r8: seat ceded to dedup_source_overlap_matrix)
