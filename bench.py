@@ -79,6 +79,10 @@ HEADLINE = [
     "fastss_edit1_pairs",
     "snm_neighbor_pairs",
     "pareto_frontier_docs",
+    # round-8 additions (appended — shared-subset delta unaffected)
+    "colbert_maxsim_topk",
+    "url_domain_curation",
+    "manifest_time_travel_diff",
 ]
 
 
