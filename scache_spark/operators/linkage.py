@@ -432,3 +432,171 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.join(frontier, ["n_tok", "ratio"]).select(
         "doc_id", "n_tok", F.round("ratio", 6).alias("ratio")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record-linkage scoring
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Classic (m, u) conditional-agreement probabilities per compared
+# field: m = P(agree | same entity), u = P(agree | different entity).
+# The log-likelihood weights are computed ONCE in Python and embedded
+# as identical double literals in BOTH engines, so no transcendental
+# is evaluated engine-side (strict-audit rule).
+_FS_FIELDS = {
+    # field: (m, u)
+    "name": (0.90, 0.10),
+    "brand": (0.85, 0.04),
+    "type": (0.80, 0.025),
+    "size": (0.75, 0.02),
+}
+_FS_W = {
+    f: (_math.log(m / u), _math.log((1 - m) / (1 - u)))
+    for f, (m, u) in _FS_FIELDS.items()
+}
+_FS_LINK = 4.0  # total weight >= 4 -> link
+# total weight in [0, 4) -> possible; < 0 pairs are dropped
+
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=f"""
+    WITH rec AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+    ),
+    win AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size,
+             {", ".join(
+                 f"lead({c}, {k}) OVER w AS {c}_{k}"
+                 for k in (1, 2, 3)
+                 for c in ("p_partkey", "p_name", "p_brand",
+                           "p_type", "p_size")
+             )}
+      FROM rec
+      WINDOW w AS (PARTITION BY string_split(p_name, ' ')[1]
+                   ORDER BY p_name NULLS FIRST, p_partkey NULLS FIRST)
+    ),
+    cand AS (
+      {" UNION ALL ".join(
+          f"SELECT p_partkey AS key_a, p_name AS name_a, p_brand AS brand_a,"
+          f" p_type AS type_a, p_size AS size_a,"
+          f" p_partkey_{k} AS key_b, p_name_{k} AS name_b,"
+          f" p_brand_{k} AS brand_b, p_type_{k} AS type_b,"
+          f" p_size_{k} AS size_b"
+          f" FROM win WHERE p_partkey_{k} IS NOT NULL"
+          for k in (1, 2, 3)
+      )}
+    ),
+    scored AS (
+      SELECT key_a, key_b,
+        CASE WHEN CAST(len(list_intersect(string_split(name_a, ' '),
+                                          string_split(name_b, ' ')))
+                  AS DOUBLE)
+                  / len(list_distinct(list_concat(string_split(name_a, ' '),
+                                                  string_split(name_b, ' '))))
+                  >= 1.0/3.0
+             THEN 1 ELSE 0 END AS agree_name,
+        CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS agree_brand,
+        CASE WHEN type_a = type_b THEN 1 ELSE 0 END AS agree_type,
+        CASE WHEN size_a = size_b THEN 1 ELSE 0 END AS agree_size
+      FROM cand
+    ),
+    weighted AS (
+      SELECT key_a, key_b, agree_name, agree_brand, agree_type,
+             agree_size,
+             (CASE WHEN agree_name = 1 THEN {_FS_W["name"][0]!r}
+                   ELSE {_FS_W["name"][1]!r} END
+              + CASE WHEN agree_brand = 1 THEN {_FS_W["brand"][0]!r}
+                     ELSE {_FS_W["brand"][1]!r} END
+              + CASE WHEN agree_type = 1 THEN {_FS_W["type"][0]!r}
+                     ELSE {_FS_W["type"][1]!r} END
+              + CASE WHEN agree_size = 1 THEN {_FS_W["size"][0]!r}
+                     ELSE {_FS_W["size"][1]!r} END) AS w
+      FROM scored
+    )
+    SELECT key_a, key_b, agree_name, agree_brand, agree_type,
+           agree_size, round(w, 6) AS weight,
+           CASE WHEN w >= {_FS_LINK!r} THEN 'link' ELSE 'possible' END
+               AS verdict
+    FROM weighted WHERE w >= 0
+    """,
+    tags=("B13", "B24", "B19"),
+    doc="Fellegi-Sunter probabilistic record linkage (Fellegi & "
+    "Sunter 1969) — the SCORING layer over the candidate-generation "
+    "family (FastSS / SNM / LSH): sorted-neighborhood candidates "
+    "(one window pass, w=3 lead structs per record) are compared "
+    "field-by-field (name token-Jaccard, brand/type/size "
+    "equality), each agreement contributes ln(m/u) and each "
+    "disagreement ln((1-m)/(1-u)) with classic (m,u) priors, and the "
+    "summed log-likelihood classifies link / possible (sub-zero "
+    "pairs drop).  The log weights are computed once in Python and "
+    "embedded as IDENTICAL double literals in both engines — no "
+    "transcendental evaluated engine-side.  NULL fields disagree "
+    "(never agree-by-NULL); window order pins NULLS FIRST on both "
+    "sides.  Scale shape: the catalog is vocabulary-sized, one sort "
+    "within first-token blocks, w comparisons per record, weights "
+    "fold per-row in codegen — no pair space beyond the SNM window.",
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    rec = part.select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    w = Window.partitionBy(F.split(F.col("p_name"), " ")[0]).orderBy(
+        F.asc_nulls_first("p_name"), F.asc_nulls_first("p_partkey")
+    )
+    nbr = F.struct("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+    win = rec.select(
+        "*", *[F.lead(nbr, k).over(w).alias(f"n{k}") for k in (1, 2, 3)]
+    )
+    cand = win.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.explode(F.array("n1", "n2", "n3")).alias("b"),
+    ).where(F.col("b.p_partkey").isNotNull())
+    ta = F.split(F.col("name_a"), " ")
+    tb = F.split(F.col("b.p_name"), " ")
+    jac = F.size(F.array_intersect(ta, tb)).cast("double") / F.size(
+        F.array_union(ta, tb)
+    )
+    agrees = {
+        "agree_name": jac >= 1.0 / 3.0,
+        "agree_brand": F.col("brand_a") == F.col("b.p_brand"),
+        "agree_type": F.col("type_a") == F.col("b.p_type"),
+        "agree_size": F.col("size_a") == F.col("b.p_size"),
+    }
+    scored = cand.select(
+        "key_a",
+        F.col("b.p_partkey").alias("key_b"),
+        *[
+            F.when(c, 1).otherwise(0).alias(name)
+            for name, c in agrees.items()
+        ],
+    )
+    weight = None
+    for f in _FS_FIELDS:
+        term = F.when(
+            F.col(f"agree_{f}") == 1, F.lit(_FS_W[f][0])
+        ).otherwise(F.lit(_FS_W[f][1]))
+        weight = term if weight is None else weight + term
+    return (
+        scored.withColumn("w", weight)
+        .where(F.col("w") >= 0)
+        .select(
+            "key_a",
+            "key_b",
+            "agree_name",
+            "agree_brand",
+            "agree_type",
+            "agree_size",
+            F.round("w", 6).alias("weight"),
+            F.when(F.col("w") >= _FS_LINK, "link")
+            .otherwise("possible")
+            .alias("verdict"),
+        )
+    )
