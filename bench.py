@@ -83,6 +83,8 @@ HEADLINE = [
     "colbert_maxsim_topk",
     "url_domain_curation",
     "manifest_time_travel_diff",
+    "fellegi_sunter_linkage",
+    "classifier_auc_rank",
 ]
 
 

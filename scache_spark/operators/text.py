@@ -332,6 +332,194 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "classifier_auc_rank",
+    oracle="""
+    WITH feats AS (
+      SELECT CAST(coalesce(length(text), 0) AS INT) AS n_len,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS INT) AS n_tok,
+             CAST(len(regexp_extract_all(coalesce(text, ''), '[^a-z ]')) AS INT)
+                 AS n_nonalpha,
+             CAST(len(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                  w -> list_contains(['the','a','of','and','to'], w))) AS INT)
+                 AS n_stop
+      FROM documents),
+    scored AS (
+      SELECT CASE WHEN n_len = 0 THEN 0.0
+                  ELSE (0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+                        + 0.4 * (CAST(n_stop AS DOUBLE) / n_tok)
+                        + 0.2 * (1.0 - CAST(n_nonalpha AS DOUBLE) / n_len))
+             END AS q,
+             CASE WHEN n_tok >= 60 AND n_len > 0 THEN 1 ELSE 0 END AS label
+      FROM feats),
+    by_q AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM scored GROUP BY q),
+    ranked AS (
+      SELECT q, n, n_pos,
+             CAST(coalesce(sum(n) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+      FROM by_q),
+    tot AS (
+      SELECT sum(CAST(n_pos AS DOUBLE) * (cum_before + (n + 1) / 2.0))
+                 AS r_pos,
+             CAST(sum(n_pos) AS BIGINT) AS np,
+             CAST(sum(n) - sum(n_pos) AS BIGINT) AS nn
+      FROM ranked),
+    auc AS (
+      SELECT CASE WHEN np = 0 OR nn = 0 THEN NULL
+                  ELSE (r_pos - CAST(np AS DOUBLE) * (np + 1) / 2.0)
+                       / (CAST(np AS DOUBLE) * nn) END AS auc_raw,
+             np, nn
+      FROM tot),
+    dec AS (
+      SELECT CAST(least(CAST(floor(q * 10) AS INT), 9) AS INT) AS bucket,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos
+      FROM by_q GROUP BY bucket),
+    roc AS (
+      SELECT bucket,
+             CAST(sum(n) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_ge,
+             CAST(sum(n_pos) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pos_ge
+      FROM dec)
+    SELECT r.bucket,
+           round(r.bucket / 10.0, 1) AS cutoff,
+           r.n_ge,
+           CASE WHEN a.np = 0 THEN NULL
+                ELSE round(CAST(r.pos_ge AS DOUBLE) / a.np, 6) END AS tpr,
+           CASE WHEN a.nn = 0 THEN NULL
+                ELSE round(CAST(r.n_ge - r.pos_ge AS DOUBLE) / a.nn, 6)
+                END AS fpr,
+           CASE WHEN r.n_ge = 0 THEN NULL
+                ELSE round(CAST(r.pos_ge AS DOUBLE) / r.n_ge, 6)
+                END AS prec,
+           round(a.auc_raw, 6) AS auc,
+           round(2.0 * a.auc_raw - 1.0, 6) AS gini
+    FROM roc r CROSS JOIN auc a
+    """,
+    tags=("B24", "B20", "B11"),
+    doc="Classifier RANKING audit — exact tie-corrected Mann-Whitney "
+    "ROC-AUC plus the decile ROC operating points, the discrimination "
+    "companion to quality_calibration_ece's calibration check (a "
+    "corpus-filter classifier needs BOTH before its threshold is "
+    "trusted).  The quality score is ranked against the same "
+    "deterministic proxy target (n_tok >= 60): scores collapse to a "
+    "(q, n, n_pos) distinct-score frame, average ranks come from one "
+    "cumulative window over that frame (ties get the midrank, the "
+    "textbook correction), and AUC = (R+ - np(np+1)/2) / (np*nn).  "
+    "Per decile cutoff the suffix-cumulative counts give TPR / FPR / "
+    "precision; AUC and Gini broadcast onto every row.  Degenerate "
+    "corpora guard: single-class input yields NULL AUC, empty "
+    "shortlists yield NULL precision — no division by zero in either "
+    "engine.  Scale: one corpus scan folds map-side to the distinct-"
+    "score frame (bounded by the feature grid, far sub-linear in "
+    "corpus size); both the rank window and the 10-row decile frame "
+    "run over aggregates, so the 100 TB corpus crosses the shuffle "
+    "once as (q, n, n_pos) triples.",
+)
+def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    feats = _quality_feats(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
+    scored = feats.select(
+        _quality_expr().alias("q"),
+        F.when((F.col("n_tok") >= 60) & (F.col("n_len") > 0), 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    # distinct-score frame: the only pass over the corpus; both the
+    # rank-sum AUC and the decile ROC derive from this small frame
+    by_q = (
+        scored.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_rank = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_q.select(
+        "q",
+        "n",
+        "n_pos",
+        F.coalesce(F.sum("n").over(w_rank), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+    )
+    tot = ranked.agg(
+        F.sum(
+            F.col("n_pos").cast("double")
+            * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+        ).alias("r_pos"),
+        F.sum("n_pos").cast("long").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).cast("long").alias("nn"),
+    )
+    auc = tot.select(
+        F.when(
+            (F.col("np") == 0) | (F.col("nn") == 0), F.lit(None)
+        )
+        .otherwise(
+            (
+                F.col("r_pos")
+                - F.col("np").cast("double") * (F.col("np") + 1) / 2.0
+            )
+            / (F.col("np").cast("double") * F.col("nn"))
+        )
+        .alias("auc_raw"),
+        "np",
+        "nn",
+    )
+    dec = (
+        by_q.groupBy(
+            F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("n_pos").cast("long").alias("n_pos"),
+        )
+    )
+    w_ge = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    roc = dec.select(
+        "bucket",
+        F.sum("n").over(w_ge).cast("long").alias("n_ge"),
+        F.sum("n_pos").over(w_ge).cast("long").alias("pos_ge"),
+    )
+    return roc.crossJoin(F.broadcast(auc)).select(
+        "bucket",
+        F.round(F.col("bucket") / 10.0, 1).alias("cutoff"),
+        "n_ge",
+        F.when(F.col("np") == 0, F.lit(None))
+        .otherwise(F.round(F.col("pos_ge").cast("double") / F.col("np"), 6))
+        .alias("tpr"),
+        F.when(F.col("nn") == 0, F.lit(None))
+        .otherwise(
+            F.round(
+                (F.col("n_ge") - F.col("pos_ge")).cast("double")
+                / F.col("nn"),
+                6,
+            )
+        )
+        .alias("fpr"),
+        F.when(F.col("n_ge") == 0, F.lit(None))
+        .otherwise(F.round(F.col("pos_ge").cast("double") / F.col("n_ge"), 6))
+        .alias("prec"),
+        F.round("auc_raw", 6).alias("auc"),
+        F.round(2.0 * F.col("auc_raw") - 1.0, 6).alias("gini"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     WITH fp AS (

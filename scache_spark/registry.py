@@ -161,6 +161,7 @@ PRIORITY: tuple[str, ...] = (
     "url_domain_curation",  # B24/B14/B7 URL/domain crawl curation (r8, never graded)
     "manifest_time_travel_diff",  # B1/B22/B7 snapshot time-travel diff (r8, never graded)
     "fellegi_sunter_linkage",  # B13/B24/B19 probabilistic linkage scoring (r8, never graded)
+    "classifier_auc_rank",  # B24/B20/B11 Mann-Whitney ROC-AUC + decile ROC (r8, never graded)
     # r8 rotated-out veterans (first graded r7/r6)
     "dedup_substring_pairs",  # B24 (r8: seat ceded to dedup_minhash_capped_pairs)
     "setjoin_prefix_filter",  # B24/B17 (r8: seat ceded to dedup_source_overlap_matrix)
