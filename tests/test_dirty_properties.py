@@ -205,9 +205,31 @@ def test_document_contracts_fuzzed(spark, tmp_path_factory, texts):
             # oracle: fuzzing proves the two-window dominance algebra
             # on arbitrary dirty corpora, not just the fixture
             "pareto_frontier_docs",
+            # rank-sum AUC: fuzzing exercises the midrank tie algebra
+            # and (when no generated doc reaches 60 tokens) the
+            # single-class NULL-AUC guard in both engines at once
+            "classifier_auc_rank",
         ],
         ["documents"],
     )
+
+
+def test_classifier_auc_single_class_corpus(spark, tmp_path_factory):
+    """Degenerate-corpus contract, pinned (not left to fuzzer luck):
+    a corpus where NO document reaches the proxy-positive bar
+    (n_tok >= 60) is single-class, so the Mann-Whitney denominator
+    np*nn is zero — both engines must return NULL auc/gini/tpr rows
+    rather than divide by zero, and must agree."""
+    tmp = tmp_path_factory.mktemp("auc_single_class")
+    docs = [(i, f"short doc number {i}") for i in range(20)]
+    docs += [(20, None), (21, ""), (22, "   ")]
+    sf = _stage(tmp, docs=docs)
+    _check(spark, sf, ["classifier_auc_rank"], ["documents"])
+    from scache_spark.registry import REGISTRY
+
+    rows = REGISTRY["classifier_auc_rank"].fn(spark, sf).collect()
+    assert rows, "decile rows must still materialize"
+    assert all(r.auc is None and r.gini is None and r.tpr is None for r in rows)
 
 
 @_SETTINGS
