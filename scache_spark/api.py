@@ -41,6 +41,7 @@ __all__ = [
     "cms_estimate",
     "edit_distance_pairs",
     "skyline_2d",
+    "auc_rank",
 ]
 
 
@@ -917,3 +918,53 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .select(x_col, F.col("__ymax").alias(y_col))
     )
     return m.join(frontier, [x_col, y_col])
+
+
+def auc_rank(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney ROC-AUC of ``score_col``
+    against binary ``label_col`` — one row ``(auc, gini, np, nn)``
+    (cf. registry ``classifier_auc_rank``, which adds the decile ROC
+    operating points over the fixture's quality score).
+
+    The frame folds map-side to one (score, n, n_pos) row per
+    DISTINCT score; average ranks come from a single cumulative
+    window over that aggregate frame (ties get the midrank), and
+    AUC = (R+ - np(np+1)/2) / (np*nn).  The corpus crosses the
+    shuffle once as aggregate triples — the window is over distinct
+    scores, never rows.  Single-class input (np or nn zero) returns
+    NULL auc/gini rather than dividing by zero; rows with NULL score
+    or label are excluded (rank undefined on NULL).
+    """
+    m = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    by_q = m.groupBy(F.col(score_col).alias("__q")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("__np"),
+    )
+    w_rank = Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_q.select(
+        "__n",
+        "__np",
+        F.coalesce(F.sum("__n").over(w_rank), F.lit(0))
+        .cast("long")
+        .alias("__cum"),
+    )
+    tot = ranked.agg(
+        F.sum(
+            F.col("__np").cast("double")
+            * (F.col("__cum") + (F.col("__n") + 1) / 2.0)
+        ).alias("__rpos"),
+        F.sum("__np").cast("long").alias("np"),
+        (F.sum("__n") - F.sum("__np")).cast("long").alias("nn"),
+    )
+    auc = F.when((F.col("np") == 0) | (F.col("nn") == 0), F.lit(None)).otherwise(
+        (F.col("__rpos") - F.col("np").cast("double") * (F.col("np") + 1) / 2.0)
+        / (F.col("np").cast("double") * F.col("nn"))
+    )
+    return tot.select(
+        auc.alias("auc"),
+        (2.0 * auc - 1.0).alias("gini"),
+        "np",
+        "nn",
+    )

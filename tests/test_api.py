@@ -479,3 +479,30 @@ def test_skyline_2d_float_metrics_and_ties(spark):
     df = spark.createDataFrame(rows, ["id", "x", "y"])
     out = api.skyline_2d(df, "x", "y").toPandas()
     assert sorted(out["id"]) == [1, 2, 4, 5]
+
+
+def test_auc_rank_matches_brute_force_with_ties(spark):
+    # scores with ties across classes; brute-force AUC counts each
+    # (pos, neg) pair: 1 if pos > neg, 0.5 if tied
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.1, 0), (None, 1), (0.2, None),
+    ]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    got = api.auc_rank(df, "score", "label").collect()[0]
+    kept = [(s, l) for s, l in rows if s is not None and l is not None]
+    pos = [s for s, l in kept if l == 1]
+    neg = [s for s, l in kept if l == 0]
+    brute = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert got.np == len(pos) and got.nn == len(neg)
+    assert abs(got.auc - brute) < 1e-12
+    assert abs(got.gini - (2 * brute - 1)) < 1e-12
+
+
+def test_auc_rank_single_class_is_null(spark):
+    df = spark.createDataFrame([(0.5, 1), (0.9, 1)], ["score", "label"])
+    got = api.auc_rank(df, "score", "label").collect()[0]
+    assert got.auc is None and got.gini is None
+    assert got.np == 2 and got.nn == 0
