@@ -85,49 +85,89 @@ HEADLINE = [
     "manifest_time_travel_diff",
     "fellegi_sunter_linkage",
     "classifier_auc_rank",
+    # round-9 additions (appended — shared-subset delta unaffected):
+    # the TPC-H flagships entering the r9 graded window
+    "tpch_q9_product_type_profit",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_orders",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
-def _shared_with_prev(timings: dict[str, float]) -> dict:
-    """Round-over-round comparability: against the most recent
-    BENCH_r{N}.json in the repo root, the ratio of this run's total to
-    the previous run's total over the INTERSECTION of query sets
-    (<1.0 = faster).  New headline queries never distort the delta."""
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_HISTORY = os.path.join(_ROOT, "BENCH_HISTORY.jsonl")
+
+
+def _prev_full_runs(sf: float):
+    """Yield (label, full-run dicts with per-query timings), newest
+    first: BENCH_HISTORY.jsonl lines at the same scale factor (full
+    fidelity, written by this script), then the driver's
+    BENCH_r{N}.json files whose JSON line survived the driver's
+    2000-char stdout-tail truncation (r8's did not — its per-query
+    timings are unrecoverable, so it is skipped and r8-over-r7
+    comparisons come from the history file instead)."""
     import glob
     import re
 
-    benches = sorted(
-        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-    )
-    if not benches:
-        return {}
-    prev_path = benches[-1]
     try:
-        with open(prev_path) as f:
-            prev = json.load(f)
-        # the round driver wraps this script's JSON line under "parsed"
-        prev_q = prev.get("parsed", prev).get("queries", {})
-    except (OSError, ValueError, AttributeError):
-        return {}
-    shared = sorted(set(prev_q) & set(timings))
-    if not shared:
-        return {}
-    cur_total = sum(timings[q] for q in shared)
-    prev_total = sum(float(prev_q[q]) for q in shared)
-    return {
-        "shared_with_prev": round(cur_total / prev_total, 4) if prev_total else None,
-        "shared_query_count": len(shared),
-        "shared_prev_bench": os.path.basename(prev_path),
-        "shared_total_sec": round(cur_total, 3),
-        "shared_prev_total_sec": round(prev_total, 3),
-        # comparison basis: this run's per-query numbers are minima
-        # over `reps` runs; a prev file without a "reps" field was a
-        # single run, so up to the box's ±15% noise floor of any
-        # apparent speedup may be estimator change, not plan change
-        "shared_prev_reps": int(prev.get("parsed", prev).get("reps", 1)),
-    }
+        with open(_HISTORY) as f:
+            lines = [json.loads(ln) for ln in f if ln.strip()]
+    except (OSError, ValueError):
+        lines = []
+    for i, rec in enumerate(reversed(lines)):
+        if rec.get("sf") == sf and rec.get("queries"):
+            yield f"BENCH_HISTORY.jsonl[-{i + 1}]", rec
+    benches = sorted(
+        glob.glob(os.path.join(_ROOT, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        reverse=True,
+    )
+    for path in benches:
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            # the round driver wraps this script's JSON line under
+            # "parsed" (None when the line outgrew the stdout tail)
+            parsed = prev.get("parsed", prev)
+            if (
+                isinstance(parsed, dict)
+                and parsed.get("queries")
+                and parsed.get("sf") == sf
+            ):
+                yield os.path.basename(path), parsed
+        except (OSError, ValueError):
+            continue
+
+
+def _shared_with_prev(timings: dict[str, float], sf: float) -> dict:
+    """Round-over-round comparability: against the most recent prior
+    run with recoverable per-query timings, the ratio of this run's
+    total to the previous run's total over the INTERSECTION of query
+    sets (<1.0 = faster).  New headline queries never distort the
+    delta."""
+    for label, parsed in _prev_full_runs(sf):
+        prev_q = parsed.get("queries", {})
+        shared = sorted(set(prev_q) & set(timings))
+        if not shared:
+            continue
+        cur_total = sum(timings[q] for q in shared)
+        prev_total = sum(float(prev_q[q]) for q in shared)
+        return {
+            "shared_with_prev": round(cur_total / prev_total, 4)
+            if prev_total
+            else None,
+            "shared_query_count": len(shared),
+            "shared_prev_bench": label,
+            "shared_total_sec": round(cur_total, 3),
+            "shared_prev_total_sec": round(prev_total, 3),
+            # comparison basis: this run's per-query numbers are minima
+            # over the sampled runs; a prev file without a "reps" field
+            # was a single run, so up to the box's ±15% noise floor of
+            # any apparent speedup may be estimator change, not plan
+            # change
+            "shared_prev_reps": int(parsed.get("reps", 1)),
+        }
+    return {}
 
 
 def main() -> None:
@@ -183,18 +223,36 @@ def main() -> None:
     # load-independent estimator.  The per-query relative spread
     # (max-min)/min across passes is recorded so the artifact carries
     # its own noise floor.
+    # Adaptive depth (r9 judge item 5: median_rel_spread <= 0.15): the
+    # base interleaved passes run every query; EXTRA interleaved passes
+    # then rerun only the queries whose cumulative sample time is still
+    # under TARGET_CUM_S, until that bar or MAX_REPS — sub-second
+    # queries get up to 8 minima samples (where a single load blip was
+    # a 1.5x phantom) while multi-second queries stop at the base reps
+    # (their spread was already low and extra passes only burn wall).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8")))
+    target_cum = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_CUM_S", "2.0"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     t_wall0 = time.time()
-    for rep in range(reps):
-        for name in HEADLINE:
+
+    def _one_pass(names: list[str], tag: str) -> None:
+        for name in names:
             spec = REGISTRY[name]
             t0 = time.time()
             rows[name] = spec.fn(spark, sf_dir).count()
             samples[name].append(time.time() - t0)
-        print(f"# pass {rep + 1}/{reps} done "
+        print(f"# {tag} done over {len(names)} queries "
               f"({round(time.time() - t_wall0, 1)}s elapsed)", file=sys.stderr)
+
+    for rep in range(reps):
+        _one_pass(HEADLINE, f"pass {rep + 1}/{reps}")
+    for rep in range(reps, max_reps):
+        active = [n for n in HEADLINE if sum(samples[n]) < target_cum]
+        if not active:
+            break
+        _one_pass(active, f"adaptive pass {rep + 1}/{max_reps}")
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     spread = {
         name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else None
@@ -205,15 +263,28 @@ def main() -> None:
               f"{rows[name]} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     spreads = sorted(s for s in spread.values() if s is not None)
+    # kept deliberately SHORT (4 keys): it sits inside the ~2000-char
+    # truncation-survivor budget alongside the shared block + timings
     noise_floor = {
         "median_rel_spread": round(spreads[len(spreads) // 2], 3) if spreads else None,
         "p90_rel_spread": round(spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
-        "interleaved_passes": True,
+        "reps_min": min(len(ts) for ts in samples.values()),
+        "reps_max": max(len(ts) for ts in samples.values()),
     }
 
+    # Key ORDER is load-bearing (r8 judge item 4: the round driver
+    # keeps only a 2000-char stdout TAIL of this line, i.e. the LAST
+    # keys): per-query timings print LAST so they always survive
+    # truncation, preceded by the shared-subset block and the 4-key
+    # noise floor (compact separators keep the three together under
+    # ~2000 chars at 59 queries); the per-query spread dict sits
+    # first in the sacrifice order.  Full fidelity regardless of
+    # truncation: every run also appends its complete record to
+    # BENCH_HISTORY.jsonl, which future runs prefer for the
+    # shared-subset comparison.
     out = {
         # r6 (r4/r5 advice): the metric is NAMED for what it is — the
-        # sum of per-query minima over `reps` runs; `wall_clock_s`
+        # sum of per-query minima over the sampled runs; `wall_clock_s`
         # carries the true elapsed loop time.  Consumers comparing
         # across rounds should match on the estimator field, which has
         # been "sum_of_per_query_min" since r4 under the old key
@@ -223,16 +294,22 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "wall_clock_s": round(time.time() - t_wall0, 3),
-        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        "adaptive": {"target_cum_s": target_cum, "max_reps": max_reps},
         # relative spread (max-min)/min per query across the
         # interleaved passes — the in-artifact noise floor
         "query_spread": spread,
         "noise_floor": noise_floor,
-        "sf": sf,
-        "reps": reps,
     }
-    out.update(_shared_with_prev(timings))
-    print(json.dumps(out))
+    out.update(_shared_with_prev(timings, sf))
+    out["queries"] = timings
+    try:
+        with open(_HISTORY, "a") as f:
+            f.write(json.dumps(out, separators=(",", ":")) + "\n")
+    except OSError as exc:  # history is best-effort; stdout is the contract
+        print(f"# BENCH_HISTORY append failed: {exc}", file=sys.stderr)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

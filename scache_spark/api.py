@@ -19,7 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scache_spark.functions import salted_md5, vec_cosine, word_shingles
+from scache_spark.functions import (
+    bounded_window,
+    salted_md5,
+    vec_cosine,
+    word_shingles,
+)
 
 __all__ = [
     "exact_dedup",
@@ -927,28 +932,83 @@ def auc_rank(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     operating points over the fixture's quality score).
 
     The frame folds map-side to one (score, n, n_pos) row per
-    DISTINCT score; average ranks come from a single cumulative
-    window over that aggregate frame (ties get the midrank), and
-    AUC = (R+ - np(np+1)/2) / (np*nn).  The corpus crosses the
-    shuffle once as aggregate triples — the window is over distinct
-    scores, never rows.  Single-class input (np or nn zero) returns
-    NULL auc/gini rather than dividing by zero; rows with NULL score
-    or label are excluded (rank undefined on NULL).
+    DISTINCT score; average ranks come from a DISTRIBUTED midrank
+    prefix sum (r9 — distinct-score cardinality is caller-controlled
+    and may be SF-proportional, so no global window): scores bucket
+    by a sign-aware log-scale key (monotone in the score because
+    ``java.lang.Math.log`` is semi-monotonic; ~1.57% relative width,
+    hard-capped at ~382k possible buckets independent of data),
+    cumsums run within each bucket in parallel, and a broadcast
+    bucket-total prefix table supplies cross-bucket offsets — the
+    same integers as a naive global cumulative, since the bucket
+    never splits a tie and never reorders the total order.  Ties get
+    the midrank and AUC = (R+ - np(np+1)/2) / (np*nn).  Single-class
+    input (np or nn zero) returns NULL auc/gini rather than dividing
+    by zero; rows with NULL score, NaN score, or NULL label are
+    excluded (rank is undefined on NULL, and NaN has no place on a
+    score axis).
     """
+    qc = F.col(score_col).cast("double")
     m = df.where(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        F.col(score_col).isNotNull()
+        & ~F.isnan(qc)
+        & F.col(label_col).isNotNull()
     )
-    by_q = m.groupBy(F.col(score_col).alias("__q")).agg(
-        F.count(F.lit(1)).cast("long").alias("__n"),
-        F.sum(F.col(label_col).cast("long")).cast("long").alias("__np"),
+    by_q = (
+        m.groupBy(qc.alias("__q"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(label_col).cast("long")).cast("long").alias("__np"),
+        )
+        # feeds two branches (within-bucket cumsums + bucket totals);
+        # truncate lineage so the caller's input plan runs once
+        .localCheckpoint(eager=False)
     )
-    w_rank = Window.orderBy("__q").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_q.select(
+    # Order-preserving bucket of an arbitrary double: floor(256*ln|q|)
+    # per sign half, clamped so +/-Infinity land in the extreme normal
+    # buckets (merging values into one bucket is always safe — the
+    # within-bucket window still orders by exact q; only monotonicity
+    # and same-q-same-bucket matter).  Offsets: ln|q| spans [-745, 710]
+    # over all finite doubles, so |floor(256*ln|q|)| <= 192000 and a
+    # +/-400000 shift keeps neg < 0-bucket < pos strictly ordered.
+    lnb = F.floor(
+        F.greatest(
+            F.least(
+                F.lit(256.0) * F.log(F.abs(F.col("__q"))),
+                F.lit(192000.0),
+            ),
+            F.lit(-192000.0),
+        )
+    ).cast("long")
+    b = by_q.withColumn(
+        "__bkt",
+        F.when(F.col("__q") > 0, lnb + F.lit(400000))
+        .when(F.col("__q") < 0, -lnb - F.lit(400000))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn(
+        "__cum_in", F.coalesce(F.sum("__n").over(w_in), F.lit(0)).cast("long")
+    )
+    btot = b.groupBy("__bkt").agg(F.sum("__n").cast("long").alias("__btot"))
+    w_off = bounded_window("__bkt", "__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "__bkt",
+        F.coalesce(F.sum("__btot").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("__off"),
+    )
+    ranked = within.join(F.broadcast(offsets), "__bkt").select(
         "__n",
         "__np",
-        F.coalesce(F.sum("__n").over(w_rank), F.lit(0))
-        .cast("long")
-        .alias("__cum"),
+        (F.col("__off") + F.col("__cum_in")).cast("long").alias("__cum"),
     )
     tot = ranked.agg(
         F.sum(

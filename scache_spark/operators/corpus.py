@@ -567,8 +567,13 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- so any loss in the URL parse is a mismatch.  source is
       -- sanitized to hostname-safe chars on both sides.
       SELECT doc_id, n_chars,
-             lower(regexp_replace(coalesce(source, 'unknown'),
-                                  '[^a-zA-Z0-9]', '', 'g'))
+             -- a source that sanitizes to EMPTY (all non-alphanumeric)
+             -- falls back to 'unknown': '-N.example.tld' is not a valid
+             -- hostname, so Spark's parse_url (java.net.URI.getHost)
+             -- would return NULL while this textual recompute would
+             -- not — the r9 advice divergence
+             coalesce(nullif(lower(regexp_replace(coalesce(source, 'unknown'),
+                                  '[^a-zA-Z0-9]', '', 'g')), ''), 'unknown')
                || '-' || CAST(doc_id % 37 AS VARCHAR) || '.example.'
                || CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END AS host,
              'example.'
@@ -603,12 +608,23 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    safe_src = F.lower(
-        F.regexp_replace(
-            F.coalesce(F.col("source"), F.lit("unknown")),
-            "[^a-zA-Z0-9]",
-            "",
-        )
+    # empty-sanitized fallback (r9 advice): a source of all
+    # non-alphanumeric chars would render host '-N.example.tld',
+    # which java.net.URI.getHost rejects (NULL) while the oracle's
+    # textual recompute would not — both engines fall back to
+    # 'unknown' instead
+    safe_src = F.coalesce(
+        F.nullif(
+            F.lower(
+                F.regexp_replace(
+                    F.coalesce(F.col("source"), F.lit("unknown")),
+                    "[^a-zA-Z0-9]",
+                    "",
+                )
+            ),
+            F.lit(""),
+        ),
+        F.lit("unknown"),
     )
     tld = F.when(F.col("lang") == "en", "com").otherwise("org")
     url = F.concat(

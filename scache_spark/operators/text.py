@@ -417,13 +417,22 @@ def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpora guard: single-class input yields NULL AUC, empty "
     "shortlists yield NULL precision — no division by zero in either "
     "engine.  Scale: one corpus scan folds map-side to the distinct-"
-    "score frame (bounded by the feature grid, far sub-linear in "
-    "corpus size); both the rank window and the 10-row decile frame "
-    "run over aggregates, so the 100 TB corpus crosses the shuffle "
-    "once as (q, n, n_pos) triples.",
+    "score frame, but that frame is NOT hard-bounded (the score is a "
+    "continuous double over unbounded integer-ratio features — "
+    "distinct-q grows with distinct feature tuples), so the midrank "
+    "cumulative is a DISTRIBUTED prefix sum (r9): the score buckets "
+    "into 4096 fixed [0,1) ranges (bucket is monotone in q, so the "
+    "total order is unchanged), cumsums run WITHIN each bucket in "
+    "parallel, and a broadcast 4096-row bucket-total prefix table "
+    "supplies the cross-bucket offsets — same integers as the naive "
+    "global window the oracle uses, but no unpartitioned window over "
+    "an SF-proportional frame anywhere in the plan.  The 10-row "
+    "decile window stays global by contract (bounded frame).",
 )
 def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
+
+    from scache_spark.functions import bounded_window
 
     feats = _quality_feats(
         load_table(spark, sf_dir, "documents").select("text")
@@ -435,7 +444,9 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label"),
     )
     # distinct-score frame: the only pass over the corpus; both the
-    # rank-sum AUC and the decile ROC derive from this small frame
+    # rank-sum AUC and the decile ROC derive from this frame (it is
+    # far smaller than the corpus but still grows with distinct
+    # feature tuples — treat it as SF-proportional below)
     by_q = (
         scored.groupBy("q")
         .agg(
@@ -444,14 +455,38 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    w_rank = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_q.select(
+    # Distributed midrank prefix sum: q is contractually in [0, 1]
+    # (weighted sum of capped ratios), so 4096 fixed-width buckets
+    # are monotone in q and same-q rows share a bucket; the
+    # per-bucket window runs in parallel and only the 4096-row
+    # bucket-total table crosses a bounded single-partition window.
+    b = by_q.withColumn(
+        "bkt",
+        F.least(F.floor(F.col("q") * 4096).cast("int"), F.lit(4095)),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = b.withColumn(
+        "cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)).cast("long")
+    )
+    btot = b.groupBy("bkt").agg(F.sum("n").cast("long").alias("btot"))
+    w_off = bounded_window("bkt", "bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = btot.select(
+        "bkt",
+        F.coalesce(F.sum("btot").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+    )
+    ranked = within.join(F.broadcast(offsets), "bkt").select(
         "q",
         "n",
         "n_pos",
-        F.coalesce(F.sum("n").over(w_rank), F.lit(0))
-        .cast("long")
-        .alias("cum_before"),
+        (F.col("offset") + F.col("cum_in")).cast("long").alias("cum_before"),
     )
     tot = ranked.agg(
         F.sum(
@@ -487,7 +522,7 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos").cast("long").alias("n_pos"),
         )
     )
-    w_ge = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+    w_ge = bounded_window("bucket", F.col("bucket").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     roc = dec.select(

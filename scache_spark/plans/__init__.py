@@ -193,8 +193,21 @@ def sweep_plan_reports(
     before), and temp views a builder registered are dropped.  Safe
     because analysis is eager — a DataFrame built from a temp view
     holds the resolved relation, so explaining it later does not need
-    the view.  This makes build order irrelevant: a leaked conf or
-    fixed-name view can no longer change a later builder's plan.
+    the view.  Build-to-build contamination is therefore closed: a
+    leaked conf or fixed-name view cannot change a LATER BUILDER's
+    analyzed plan.
+
+    Explain-time scope (r9 advice): physical planning reads live
+    session confs, so a builder that SETS confs gets its plan_report
+    taken inside the lock, BEFORE the restore — its own plan reflects
+    its own confs and never a concurrent explain's.  Conf-UNTOUCHED
+    builders explain outside the lock for the thread speedup; the
+    residual race — such an explain overlapping another build's brief
+    set→restore window — remains possible by design (closing it would
+    serialize every explain behind every build).  Confs are only ever
+    non-baseline under the lock, so the exposure is that window, and
+    the CI shape ratchet re-running the sweep is the detector for a
+    shape flake from this source.
     """
     import threading
     from concurrent.futures import ThreadPoolExecutor
@@ -222,9 +235,18 @@ def sweep_plan_reports(
     def one(item):
         name, spec = item
         try:
+            report = None
             with build_lock:
                 try:
                     df = spec.fn(spark, sf)
+                    if any(
+                        confs_base.get(k) != v
+                        for k, v in _set_confs().items()
+                    ):
+                        # this builder set confs: physical-plan it NOW,
+                        # under the lock and before the restore, so its
+                        # plan reflects its own confs (r9 advice)
+                        report = plan_report(df)
                 finally:
                     for k, v in _set_confs().items():
                         if confs_base.get(k) != v:
@@ -234,7 +256,9 @@ def sweep_plan_reports(
                                 spark.conf.unset(k)
                     for v in _temp_views() - views_base:
                         spark.catalog.dropTempView(v)
-            return name, plan_report(df)
+            if report is None:
+                report = plan_report(df)
+            return name, report
         except Exception as exc:
             return name, exc
 

@@ -80,27 +80,29 @@ PRIORITY: tuple[str, ...] = (
     "sort_nulls_handling",  # B9
     "theta_sketch_set_ops",  # B12/B7/B20 native theta set algebra (r5)
     "ivm_join_view_delta",  # B4/B7/B19 bilinear join-view IVM (r5)
-    # r8 rotation: the r7 verdict named the 15 strongest never-graded
-    # queries (capped-LSH pair first); all 15 enter the window, and 15
-    # veterans (each graded in >=1 earlier round: 13 first graded r7,
-    # 2 first graded r6) cede seats.  Coverage invariant (every B1-B27
-    # + A.2/A.5/temporal/north-star inside the first 50) re-checked by
-    # tests/test_registry_order.py.
-    "dedup_minhash_capped_pairs",  # B24/B21 hot-band-capped banded LSH (r8)
-    "dedup_source_overlap_matrix",  # B24/B7/B13 cross-source dup matrix (r8)
-    "dedup_incremental_batch",  # B24/B6 incremental-batch dedup (r8)
-    "knn_batch_topk",  # B25/B10/B11 batched brute-force kNN top-k (r8)
-    "ann_lsh_multiprobe",  # B25 multiprobe LSH ANN (r8)
-    "embedding_int8_quantize",  # B17/B25 int8 embedding quantization (r8)
-    "heavy_hitters_cms",  # B7/B16/B24 Count-Min heavy hitters (r8)
-    "hll_rolling_distinct",  # B7/B20/B15 rolling HLL distinct (r8)
-    "kll_quantile_sketch_merge",  # B7/B20/B16 KLL sketch merge (r8)
-    "observe_scan_metrics",  # B22/B20/B18 Observation metrics plane (r8)
-    "hadoop_attempt_trace_parse",  # B14/B18/A.5 attempt.csv trace parse (r8)
-    "community_label_propagation",  # graph/B7/B11 label propagation (r8)
-    "kcore_peeling",  # graph/B6/B7 k-core decomposition (r8)
-    "dsir_importance_weights",  # B24/B16 DSIR importance weighting (r8)
-    "tokenizer_fertility_stats",  # B24/B14 tokenizer fertility stats (r8)
+    # r9 rotation: the r8 verdict named the 15 strongest never-graded
+    # queries (the five r8 operators first, then the r7 linkage trio,
+    # the calibration/UDF/Arrow entries, and the four strongest TPC-H
+    # flagships — the whole 22-query battery was driver-unattested);
+    # all 15 enter the window and the 15 r8 first-timers (all graded
+    # green in CORRECTNESS_r08) cede seats.  Coverage invariant
+    # (every B1-B27 + A.2/A.5/temporal/north-star inside the first
+    # 50) re-checked by tests/test_registry_order.py.
+    "fellegi_sunter_linkage",  # B13/B24/B19 probabilistic linkage scoring (r9)
+    "classifier_auc_rank",  # B24/B20/B11 Mann-Whitney ROC-AUC + decile ROC (r9)
+    "colbert_maxsim_topk",  # B25/B17/B10 late-interaction MaxSim (r9)
+    "url_domain_curation",  # B24/B14/B7 URL/domain crawl curation (r9)
+    "manifest_time_travel_diff",  # B1/B22/B7 snapshot time-travel diff (r9)
+    "fastss_edit1_pairs",  # B13/B14/B24 deletion-neighborhood edit<=1 join (r9)
+    "snm_neighbor_pairs",  # B13/B24 sorted-neighborhood candidates (r9)
+    "pareto_frontier_docs",  # B24/B20/B11 Pareto skyline (r9)
+    "quality_calibration_ece",  # B24/B20/B19 calibration ECE audit (r9)
+    "sql_udf_money_tiers",  # B23/B19/B7 SQL UDF surface (r9)
+    "arrow_token_stats",  # B23/B24 mapInArrow token stats (r9)
+    "tpch_q9_product_type_profit",  # B4/B5/B7/B14 TPC-H Q9 (r9)
+    "tpch_q17_small_quantity_revenue",  # B4/B5/B7 TPC-H Q17 (r9)
+    "tpch_q18_large_volume_orders",  # B4/B7/B10 TPC-H Q18 (r9)
+    "tpch_q21_waiting_suppliers",  # B4/B6/B7 TPC-H Q21 (r9)
     # r7 rotation survivors (kept for tag coverage)
     "multimodal_frame_sample",  # north-star/B23 video frame sampling (r7)
     "zipf_slope_fit",  # B24/B26/B16 Zipf rank-frequency slope fit (r7)
@@ -141,9 +143,6 @@ PRIORITY: tuple[str, ...] = (
     # strongest never-driver-graded queries (the r9 rotation
     # shortlist — graded automatically if the window widens), then
     # the rotated-out veterans (all graded green in earlier rounds).
-    "fastss_edit1_pairs",  # B13/B14/B24 deletion-neighborhood edit<=1 join (never graded)
-    "snm_neighbor_pairs",  # B13/B24 sorted-neighborhood candidates (never graded)
-    "pareto_frontier_docs",  # B24/B20/B11 Pareto skyline (never graded)
     "dedup_normalized_exact",  # B13/B24/B14 normalized exact dedup (never graded)
     "blockmanager_added_log_parse",  # B14/B18/A.5 log parse (never graded)
     "multi_format_federation",  # B1/B12/B13/B7 cross-format union (never graded)
@@ -155,13 +154,41 @@ PRIORITY: tuple[str, ...] = (
     "retrieval_ndcg_at_k",  # B25/B20/B10 NDCG eval (never graded)
     "training_corpus_e2e",  # B3/B7/B13/B14/B17 end-to-end curation (never graded)
     "stream_transform_with_state_mix",  # B27/B23 transformWithState (never graded)
+    # the rest of the never-graded TPC-H battery (the 4 strongest are
+    # in the r9 window; these follow if the driver widens its window)
     "tpch_q3_shipping_priority",  # B4/B7/B10 TPC-H Q3 (never graded)
-    # r8 additions (new this round, next in the never-graded line)
-    "colbert_maxsim_topk",  # B25/B17/B10 late-interaction MaxSim (r8, never graded)
-    "url_domain_curation",  # B24/B14/B7 URL/domain crawl curation (r8, never graded)
-    "manifest_time_travel_diff",  # B1/B22/B7 snapshot time-travel diff (r8, never graded)
-    "fellegi_sunter_linkage",  # B13/B24/B19 probabilistic linkage scoring (r8, never graded)
-    "classifier_auc_rank",  # B24/B20/B11 Mann-Whitney ROC-AUC + decile ROC (r8, never graded)
+    "tpch_q5_local_supplier_volume",  # B4/B7 (never graded)
+    "tpch_q8_market_share",  # B4/B5/B7/B19 (never graded)
+    "tpch_q20_potential_promotion",  # B4/B6/B7 (never graded)
+    "tpch_q2_min_cost_supplier",  # B4/B10 correlated-min (never graded)
+    "tpch_q15_top_supplier",  # B4/B7 view-max (never graded)
+    "tpch_q22_dormant_accounts",  # B6/B7/B14 (never graded)
+    "tpch_q13_customer_distribution",  # B4/B7/B19 (never graded)
+    "tpch_q12_late_shipping_priority",  # B4/B7/B19 (never graded)
+    "tpch_q19_disjunctive_revenue",  # B3/B4/B7 (never graded)
+    "tpch_q16_supplier_count",  # B6/B7/B13 (never graded)
+    "tpch_q11_important_parts",  # B4/B7 (never graded)
+    "tpch_q14_promo_revenue",  # B4/B7/B19 (never graded)
+    "tpch_q10_returned_items",  # B4/B7/B10 (never graded)
+    "tpch_q7_volume_shipping",  # B4/B7/B15 (never graded)
+    "tpch_q6_forecast_revenue",  # B3/B7 (never graded)
+    "tpch_q4_order_priority",  # B6/B7 (never graded)
+    # r9 rotated-out veterans (first graded r8)
+    "dedup_minhash_capped_pairs",  # B24/B21 (r9: seat ceded to fellegi_sunter_linkage)
+    "dedup_source_overlap_matrix",  # B24/B7/B13 (r9: seat ceded to classifier_auc_rank)
+    "dedup_incremental_batch",  # B24/B6 (r9: seat ceded to colbert_maxsim_topk)
+    "knn_batch_topk",  # B25/B10/B11 (r9: seat ceded to url_domain_curation)
+    "ann_lsh_multiprobe",  # B25 (r9: seat ceded to manifest_time_travel_diff)
+    "embedding_int8_quantize",  # B17/B25 (r9: seat ceded to fastss_edit1_pairs)
+    "heavy_hitters_cms",  # B7/B16/B24 (r9: seat ceded to snm_neighbor_pairs)
+    "hll_rolling_distinct",  # B7/B20/B15 (r9: seat ceded to pareto_frontier_docs)
+    "kll_quantile_sketch_merge",  # B7/B20/B16 (r9: seat ceded to quality_calibration_ece)
+    "observe_scan_metrics",  # B22/B20/B18 (r9: seat ceded to sql_udf_money_tiers)
+    "hadoop_attempt_trace_parse",  # B14/B18/A.5 (r9: seat ceded to arrow_token_stats)
+    "community_label_propagation",  # graph/B7/B11 (r9: seat ceded to tpch_q9)
+    "kcore_peeling",  # graph/B6/B7 (r9: seat ceded to tpch_q17)
+    "dsir_importance_weights",  # B24/B16 (r9: seat ceded to tpch_q18)
+    "tokenizer_fertility_stats",  # B24/B14 (r9: seat ceded to tpch_q21)
     # r8 rotated-out veterans (first graded r7/r6)
     "dedup_substring_pairs",  # B24 (r8: seat ceded to dedup_minhash_capped_pairs)
     "setjoin_prefix_filter",  # B24/B17 (r8: seat ceded to dedup_source_overlap_matrix)

@@ -31,11 +31,22 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 from pyspark.sql.types import StructType
+
+
+def _remove_quiet(path: str) -> None:
+    """Remove a CAS temp body, tolerating a concurrent vacuum having
+    already swept it (the temp is ours alone — nothing else links it,
+    so double-delete is the only race)."""
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass
 
 
 class PartFileCommit(WriterCommitMessage):
@@ -133,9 +144,17 @@ class ManifestJsonlWriter(DataSourceWriter):
             try:
                 os.link(tmp, vpath)  # the CAS: one winner per version
             except FileExistsError:
-                os.remove(tmp)
+                _remove_quiet(tmp)
                 continue  # lost the race — retry on the next version
-            os.remove(tmp)
+            except FileNotFoundError:
+                # a concurrent vacuum() swept our in-flight temp body
+                # before the link landed (its .tmp sweep is age-gated,
+                # but a pathological clock or retention=0 can still
+                # race) — rewrite and retry; the version may even
+                # still be free
+                _remove_quiet(tmp)
+                continue
+            _remove_quiet(tmp)
             break
         # _MANIFEST.json is an ADVISORY mirror of the latest snapshot
         # (readers resolve "latest" from the version files, see
@@ -229,11 +248,23 @@ def read_manifest(spark, path: str, schema, version: int | None = None):
     return spark.read.schema(schema).json(files)
 
 
-def vacuum(path: str, retain_versions: int = 1) -> dict:
+def vacuum(
+    path: str, retain_versions: int = 1, tmp_retention_sec: float = 3600.0
+) -> dict:
     """Lakehouse VACUUM: keep the newest ``retain_versions`` snapshots,
     delete older version manifests and every part file no surviving
     snapshot references.  Returns {"removed_files": n,
-    "removed_versions": m}.  Single-writer assumption, like commit."""
+    "removed_versions": m}.
+
+    Safe to run beside CONCURRENT COMMITTERS (r9 advice): a committer's
+    CAS temp body (written, not yet os.link'ed) matches ``*.tmp``, so
+    the straggler sweep is AGE-GATED — only temp files older than
+    ``tmp_retention_sec`` (default 1h, Delta-style retention thinking)
+    are treated as crash leftovers; an in-flight commit's temp is
+    seconds old and survives.  The commit loop additionally retries on
+    FileNotFoundError, so even a mis-tuned retention degrades to a
+    retry, never a crashed commit.  Part/manifest deletion keeps the
+    single-writer caveat of every lock-service-free manifest format."""
     versions = _manifest_versions(path)
     keep = set(versions[-retain_versions:]) if retain_versions > 0 else set()
     live: set[str] = set()
@@ -242,12 +273,18 @@ def vacuum(path: str, retain_versions: int = 1) -> dict:
             live |= {e["path"] for e in json.load(f)["files"]}
     removed_files = 0
     removed_versions = 0
+    now = time.time()
     for fn in sorted(os.listdir(path)):
         full = os.path.join(path, fn)
         if fn.endswith((".tmp", ".inprogress")):
             # stragglers from crashed writers/committers — never
-            # referenced by any snapshot, always safe to drop
-            os.remove(full)
+            # referenced by any snapshot; age-gated so an in-flight
+            # concurrent commit's temp body is never swept
+            try:
+                if now - os.path.getmtime(full) >= tmp_retention_sec:
+                    os.remove(full)
+            except FileNotFoundError:
+                pass  # the owner finished/cleaned it mid-listing
         elif fn.startswith("part-") and fn.endswith(".jsonl") and full not in live:
             os.remove(full)
             removed_files += 1

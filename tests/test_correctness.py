@@ -3,15 +3,18 @@ run through Spark AND DuckDB on the same parquet and compared
 order-insensitively — the same check the driver performs at sf0.01.
 
 Execution model (r8, VERDICT item 7 — hold the suite under the
-15-minute bar): all pairs are computed ONCE by a session fixture with
-a thread pool — DataFrame CONSTRUCTION serialized under a lock (some
-builders register fixed-name temp views; analysis is eager, so a
-built plan is immune to later view churn — the same discipline as
+15-minute bar; r9 ADVICE — lazy per-query): the session fixture
+submits one future per SELECTED test (it reads the post-filter
+collection, so a targeted ``pytest -k one_query`` run computes only
+that query instead of paying the full-suite cost) — DataFrame
+CONSTRUCTION serialized under a lock (some builders register
+fixed-name temp views; analysis is eager, so a built plan is immune
+to later view churn — the same discipline as
 plans.sweep_plan_reports), while collection (py4j, GIL released) and
 the DuckDB oracle (own connection per task, GIL released) overlap
-across queries.  Each parametrized test then just compares its pair,
-so reporting stays per-query while the wall clock is the slowest
-chain, not the sum.
+across queries.  Each parametrized test blocks only on its own
+future and pops it once consumed, so pandas pairs are freed as tests
+drain instead of living for the whole session.
 """
 
 from __future__ import annotations
@@ -33,39 +36,53 @@ ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
 @pytest.fixture(scope="session")
-def correctness_results(spark, sf_dir):
+def correctness_results(request, spark, sf_dir):
     build_lock = threading.Lock()
 
     def one(name: str):
         spec = REGISTRY[name]
+        with build_lock:
+            df = spec.fn(spark, sf_dir)
+        spark_pdf = df.toPandas()
+        con = duckdb.connect()
         try:
-            with build_lock:
-                df = spec.fn(spark, sf_dir)
-            spark_pdf = df.toPandas()
-            con = duckdb.connect()
-            try:
-                for t in TABLES:
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{table_path(sf_dir, t)}')"
-                    )
-                oracle_pdf = con.execute(spec.oracle).df()
-            finally:
-                con.close()
-            return name, (spark_pdf, oracle_pdf)
-        except Exception as exc:  # surfaced by the owning test
-            return name, exc
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{table_path(sf_dir, t)}')"
+                )
+            oracle_pdf = con.execute(spec.oracle).df()
+        finally:
+            con.close()
+        return spark_pdf, oracle_pdf
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        return dict(pool.map(one, WITH_ORACLE))
+    # Only the queries the post-filter collection will actually grade
+    # get a prefetch future — a -k run computes one pair, a full run
+    # keeps the 8-way overlap.  Exceptions surface from .result() in
+    # the owning test, so reporting stays per-query.
+    selected = [
+        item.callspec.params["name"]
+        for item in request.session.items
+        if getattr(item, "originalname", None) == "test_oracle_match"
+        and hasattr(item, "callspec")
+    ]
+    pool = ThreadPoolExecutor(max_workers=8)
+    request.addfinalizer(
+        lambda: pool.shutdown(wait=False, cancel_futures=True)
+    )
+    futures = {name: pool.submit(one, name) for name in selected}
+
+    class _Results:
+        def __getitem__(self, name: str):
+            fut = futures.pop(name, None)
+            return fut.result() if fut is not None else one(name)
+
+    return _Results()
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_match(correctness_results, name):
-    result = correctness_results[name]
-    if isinstance(result, Exception):
-        raise result
-    spark_pdf, oracle_pdf = result
+    spark_pdf, oracle_pdf = correctness_results[name]
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 

@@ -121,7 +121,7 @@ def test_capped_dedup_matches_oracle_under_boilerplate(spark, bp_dir):
 
 
 # ---------------------------------------------------------------------------
-# dirty-corpus contract (r6): the 12 pathological document rows
+# dirty-corpus contract (r6): the planted pathological document rows
 # ---------------------------------------------------------------------------
 
 
@@ -154,6 +154,10 @@ _DIRTY_REGRESSIONS = [
     "text_quality_score",
     "text_repetition_ratio",
     "udtf_chunk_spans",
+    # r9 advice: plant 90013's source sanitizes to EMPTY — both
+    # engines must fall back to 'unknown' instead of Spark's
+    # parse_url returning NULL host on '-N.example.tld'
+    "url_domain_curation",
     # vector pass (r6b): cosine contract + explicit NULL-embedding
     # universe
     "knn_brute_cosine",

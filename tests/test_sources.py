@@ -360,6 +360,57 @@ def test_manifest_concurrent_commit_conflict(tmp_path):
     assert not [fn for fn in os.listdir(out) if fn.endswith(".tmp")]
 
 
+def test_manifest_vacuum_age_gates_tmp_and_commit_retries(tmp_path, monkeypatch):
+    """vacuum ⟂ concurrent commit (r9 advice): a FRESH CAS temp body
+    (an in-flight committer's, written but not yet linked) survives
+    the straggler sweep — only age-expired temps are reclaimed — and
+    even if a mis-tuned sweep does delete the temp mid-CAS, commit
+    retries with a rewritten body instead of crashing."""
+    import os
+    import threading
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import scache_spark.sources.manifest_sink as ms
+
+    out = str(tmp_path / "vac_race")
+    os.makedirs(out)
+    fresh = os.path.join(out, "inflight.1234.tmp")
+    stale = os.path.join(out, "crashed.5678.tmp")
+    for p in (fresh, stale):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    ms.vacuum(out, retain_versions=1)
+    assert os.path.exists(fresh), "age gate must spare in-flight temps"
+    assert not os.path.exists(stale), "expired temps are crash leftovers"
+
+    # mid-CAS sweep: first link attempt finds its temp stolen — the
+    # commit loop must rewrite and retry, not crash (the advice trap:
+    # only FileExistsError was caught)
+    real_link = os.link
+    stole = threading.Event()
+
+    def stealing_link(src, dst):
+        if not stole.is_set():
+            stole.set()
+            os.remove(src)
+            raise FileNotFoundError(src)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(ms.os, "link", stealing_link)
+    w = ms.ManifestJsonlWriter(
+        {"path": out},
+        StructType([StructField("k", LongType())]),
+        overwrite=False,
+    )
+    msg = w.write(iter([(1,)]))
+    w.commit([msg])
+    assert ms._manifest_versions(out) == [1]
+
+
 def test_stream_batch_dedup_survives_missing_marker(spark, sf_dir, tmp_path):
     """Exactly-once is part of the COMMIT, not a post-commit marker
     (r2 advisor finding): after a publish, the latest snapshot itself

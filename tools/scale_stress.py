@@ -288,13 +288,14 @@ _DIRTY_ROWS_SQL = """
       (90009, NULL, 'en', 'dirty'),
       (90010, 'THE A OF AND TO', 'en', 'dirty'),
       (90011, 'a' || chr(9) || 'b' || chr(10) || 'c', 'en', 'dirty'),
-      (90012, ' leading  and trailing ', 'en', 'dirty')
+      (90012, ' leading  and trailing ', 'en', 'dirty'),
+      (90013, 'source sanitizes to empty', 'en', '***!!!***')
     ) t(doc_id, text, lang, source)
 """
 
 
 def stage_dirty(base: str) -> str:
-    """Stage a replica whose documents table carries the 12 planted
+    """Stage a replica whose documents table carries the 13 planted
     pathological rows appended to the untouched fixture; every other
     table is copied verbatim."""
     key = base.strip("/").replace("/", "_")
@@ -328,7 +329,7 @@ def stage_dirty(base: str) -> str:
         )
         print(f"  staged {t}", flush=True)
     with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 12}))
+        f.write(json.dumps({"base": base, "dirty_rows": 13}))
     return out
 
 
@@ -354,7 +355,7 @@ def run_dirty(base: str, subs: list[str]) -> None:
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     out = {
         "base": base,
-        "mode": "dirty-corpus (12 planted pathological document rows)",
+        "mode": "dirty-corpus (13 planted pathological document rows)",
         "n_queries": len(results),
         "n_fail": n_fail,
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
