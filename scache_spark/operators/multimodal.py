@@ -16,6 +16,7 @@ Swapping `_fake_decode` for a PIL/libav call changes nothing upstream.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -34,9 +35,11 @@ def binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").alias("asset_id"),
-        # null-safe (r6 dirty contract): a NULL payload is the empty
-        # blob — decoders downstream must never see None
-        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("blob"),
+        # NULL text stays a NULL blob (r9 dirty-binary contract): the
+        # decode layer owns degradation now — a missing payload is a
+        # per-record 'null_payload' status, never a task crash and
+        # never silently conflated with a present-but-empty asset
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
@@ -90,6 +93,10 @@ FEATURE_SCHEMA = T.StructType(
         # cannot hash array cells — internal logic stays array-typed,
         # the exposed column is a ','-joined string
         T.StructField("feat_head", T.StringType()),
+        # r9 dirty-binary audit column: per-record decode outcome
+        # (see _safe_decode) — a degraded asset keeps its row with
+        # NULL features instead of killing the task or vanishing
+        T.StructField("decode_status", T.StringType()),
     ]
 )
 
@@ -98,13 +105,92 @@ def _fake_decode(blob: bytes) -> "pd.Series":
     """STUB for the real decoder (PIL.Image.open / librosa.load /
     av.open).  The container ships no media codecs, so we 'decode' the
     blob into its raw byte values — deterministic, so tests are exact.
-    Replace this function (only) to plug a real codec in.  A None/
-    empty payload decodes to an empty sample array (r6 dirty
-    contract) — a decoder must degrade, not crash, on a bad asset."""
+    Replace this function (only) to plug a real codec in.  Validation
+    and degradation live one layer up in ``_safe_decode``."""
     import numpy as np
 
     arr = np.frombuffer(blob or b"", dtype=np.uint8).astype("float64")
     return arr
+
+
+# Dirty-binary decode contract (r9 VERDICT item 3 — the binary twin of
+# the r8 trace contract: one bad record must degrade, never kill the
+# task).  The stub codec sniffs a framed container the way a real
+# pipeline sniffs file magic: a payload starting with b'SCB' claims the
+# stub container format 'SCB1:<decimal-byte-length>:<payload>' (ASCII
+# header so the whole frame can ride a parquet string column in
+# fixtures; the mapInPandas boundary always sees true bytes).  Any
+# violation yields a per-record STATUS instead of an exception:
+#   null_payload  blob is NULL (missing asset)
+#   bad_magic     'SCB' prefix but not a well-formed SCB1 header
+#   oversize      declared (framed) or actual (raw) length exceeds the
+#                 decode budget — the bound that keeps one hostile
+#                 record from OOMing an executor at 100 TB
+#   truncated     framed payload shorter/longer than its declared length
+#   empty         zero decodable bytes (present but empty asset)
+#   ok            decoded; samples returned
+# Precedence is exactly this order and the SQL oracles mirror it
+# (_SQL_DECODE below).  Raw (unframed) payloads skip the header checks:
+# null -> empty -> oversize -> ok.
+_MAX_DECODE_BYTES = 1_000_000
+_SCB_HEADER = re.compile(rb"^SCB1:([0-9]+):")
+
+
+def _safe_decode(blob) -> "tuple":
+    """Validate + decode one payload: returns (samples | None, status).
+    NEVER raises on payload content — the per-record degradation the
+    dirty-binary stress (tools/scale_stress.py --dirty-binary) pins."""
+    if blob is None:
+        return None, "null_payload"
+    b = bytes(blob)
+    if b[:3] == b"SCB":
+        m = _SCB_HEADER.match(b)
+        if not m:
+            return None, "bad_magic"
+        declared = int(m.group(1))
+        if declared > _MAX_DECODE_BYTES:
+            return None, "oversize"
+        body = b[m.end() :]
+        if declared != len(body):
+            return None, "truncated"
+        if not body:
+            return None, "empty"
+        return _fake_decode(body), "ok"
+    if not b:
+        return None, "empty"
+    if len(b) > _MAX_DECODE_BYTES:
+        return None, "oversize"
+    return _fake_decode(b), "ok"
+
+
+# DuckDB mirror of _safe_decode, shared by every multimodal oracle:
+# (doc_id, status, body) per document, same precedence as the Python.
+_SQL_STATUS = f"""CASE
+      WHEN text IS NULL THEN 'null_payload'
+      WHEN text LIKE 'SCB%' THEN CASE
+        WHEN NOT regexp_matches(text, '^SCB1:[0-9]+:') THEN 'bad_magic'
+        WHEN coalesce(TRY_CAST(regexp_extract(text, '^SCB1:([0-9]+):', 1)
+                               AS BIGINT), {_MAX_DECODE_BYTES + 1})
+             > {_MAX_DECODE_BYTES} THEN 'oversize'
+        WHEN TRY_CAST(regexp_extract(text, '^SCB1:([0-9]+):', 1) AS BIGINT)
+             != octet_length(encode(regexp_replace(text, '^SCB1:[0-9]+:', '')))
+             THEN 'truncated'
+        WHEN octet_length(encode(regexp_replace(text, '^SCB1:[0-9]+:', ''))) = 0
+             THEN 'empty'
+        ELSE 'ok' END
+      WHEN octet_length(encode(text)) = 0 THEN 'empty'
+      WHEN octet_length(encode(text)) > {_MAX_DECODE_BYTES} THEN 'oversize'
+      ELSE 'ok' END"""
+
+_SQL_DECODE = f"""
+      SELECT doc_id,
+             {_SQL_STATUS} AS status,
+             CASE WHEN ({_SQL_STATUS}) = 'ok'
+                  THEN CASE WHEN text LIKE 'SCB%'
+                            THEN regexp_replace(text, '^SCB1:[0-9]+:', '')
+                            ELSE text END
+             END AS body
+      FROM documents"""
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -117,22 +203,34 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for asset_id, mime, blob in zip(
             pdf["asset_id"], pdf["mime"], pdf["blob"]
         ):
-            arr = _fake_decode(blob)
-            n = len(arr)
-            feats.append(
-                (
-                    asset_id,
-                    mime,
-                    int(n),
-                    # round(6): numpy's pairwise summation vs the
-                    # oracle's sequential list_aggregate differ in ulps.
-                    # An empty asset has NO moments — null, not 0.0
-                    # (r6 dirty contract, matching SQL NULL semantics).
-                    round(float(arr.mean()), 6) if n else None,
-                    round(float(arr.std()), 6) if n else None,
-                    ",".join(str(int(x)) for x in arr[:4]),
+            arr, status = _safe_decode(blob)
+            if status == "ok":
+                n = len(arr)
+                feats.append(
+                    (
+                        asset_id,
+                        mime,
+                        int(n),
+                        # round(6): numpy's pairwise summation vs the
+                        # oracle's sequential list_aggregate differ in
+                        # ulps.
+                        round(float(arr.mean()), 6),
+                        round(float(arr.std()), 6),
+                        ",".join(str(int(x)) for x in arr[:4]),
+                        status,
+                    )
                 )
-            )
+            elif status == "empty":
+                # present-but-empty asset: size 0 is KNOWN, but it has
+                # no moments — null, not 0.0 (r6 dirty contract,
+                # matching SQL NULL semantics)
+                feats.append((asset_id, mime, 0, None, None, "", status))
+            else:
+                # degraded record (null/bad_magic/truncated/oversize):
+                # the row survives with NULL features and the status
+                # in the audit column — never a task crash (r9
+                # dirty-binary contract)
+                feats.append((asset_id, mime, None, None, None, None, status))
         yield pd.DataFrame(
             feats,
             columns=[
@@ -142,23 +240,25 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "feat_mean",
                 "feat_std",
                 "feat_head",
+                "decode_status",
             ],
         )
 
 
 @register(
     "multimodal_features",
-    oracle="""
-    WITH bytes AS (
-      SELECT doc_id,
-             [CAST(CAST(('0x' || substr(hex(encode(coalesce(text, ''))),
+    oracle=f"""
+    WITH decoded AS ({_SQL_DECODE}),
+    bytes AS (
+      SELECT doc_id, status,
+             [CAST(CAST(('0x' || substr(hex(encode(coalesce(body, ''))),
                                    2 * i + 1, 2)) AS INT) AS DOUBLE)
-              for i in range(0, octet_length(encode(coalesce(text, ''))))] AS bv,
-             octet_length(encode(coalesce(text, ''))) AS n
-      FROM documents
+              for i in range(0, octet_length(encode(coalesce(body, ''))))] AS bv,
+             octet_length(encode(coalesce(body, ''))) AS n
+      FROM decoded
     ),
     mom AS (
-      SELECT doc_id, n,
+      SELECT doc_id, status, n,
              list_aggregate(bv, 'sum') / n AS mu,
              list_aggregate([x * x for x in bv], 'sum') / n AS m2,
              coalesce(array_to_string(
@@ -170,10 +270,14 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime,
-           CAST(n AS BIGINT) AS n_bytes,
-           round(mu, 6) AS feat_mean,
-           round(sqrt(m2 - mu * mu), 6) AS feat_std,
-           head AS feat_head
+           CAST(CASE WHEN status = 'ok' THEN n
+                     WHEN status = 'empty' THEN 0 END AS BIGINT) AS n_bytes,
+           CASE WHEN status = 'ok' THEN round(mu, 6) END AS feat_mean,
+           CASE WHEN status = 'ok' THEN round(sqrt(m2 - mu * mu), 6)
+                END AS feat_std,
+           CASE WHEN status = 'ok' THEN head
+                WHEN status = 'empty' THEN '' END AS feat_head,
+           status AS decode_status
     FROM mom
     """,
     tags=("north-star", "B23"),
@@ -181,10 +285,14 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "Arrow batches in, typed features out.  Decode itself is stubbed "
     "(no codecs in container) but deterministic, and the oracle "
     "recomputes every feature in pure SQL over the TRUE UTF-8 bytes "
-    "(hex(encode(text)) byte extraction — r6: the old "
+    "(hex(encode(body)) byte extraction — r6: the old "
     "ascii-codepoint shortcut diverged on non-ASCII payloads, caught "
     "by the dirty-corpus stress; population std via E[x²]−μ², "
-    "rounded on both sides).",
+    "rounded on both sides).  r9 dirty-binary: every asset keeps a "
+    "row; a payload that fails the _safe_decode contract (missing, "
+    "bad magic, truncated frame, over the decode budget) carries its "
+    "status in decode_status with NULL features — degradation is "
+    "per-record and auditable, never a task crash.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = binary_assets(spark, sf_dir)
@@ -193,29 +301,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_agg",
-    oracle="""
-    WITH decoded AS (
+    oracle=f"""
+    WITH decoded AS ({_SQL_DECODE}),
+    means AS (
       SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                   WHEN doc_id % 3 = 1 THEN 'audio/wav'
                   ELSE 'video/mp4' END AS mime,
-             round(list_aggregate(
-                     [CAST(CAST(('0x' || substr(hex(encode(coalesce(text, ''))),
+             CASE WHEN status = 'ok' THEN
+               round(list_aggregate(
+                     [CAST(CAST(('0x' || substr(hex(encode(body)),
                                            2 * i + 1, 2)) AS INT) AS DOUBLE)
-                      for i in range(0, octet_length(encode(coalesce(text, ''))))],
+                      for i in range(0, octet_length(encode(body)))],
                      'sum')
-                 / octet_length(encode(coalesce(text, ''))), 6) AS feat_mean
-      FROM documents)
+                 / octet_length(encode(body)), 6) END AS feat_mean
+      FROM decoded)
     SELECT mime,
            CAST(count(*) AS BIGINT) AS n_assets,
            round(avg(feat_mean), 6) AS mime_mean
-    FROM decoded GROUP BY mime
+    FROM means GROUP BY mime
     """,
     tags=("north-star",),
     doc="Cross-check of the pandas featurizer: byte-mean per asset "
     "recomputed in pure SQL over the true UTF-8 bytes (hex(encode) "
     "extraction, r6), aggregated per mime class.  Hash-matches the "
-    "oracle, proving the UDF path and the declarative path agree.",
+    "oracle, proving the UDF path and the declarative path agree.  "
+    "Degraded assets (r9 dirty-binary) count toward n_assets but "
+    "contribute no mean — avg() ignores NULL in both engines.",
 )
 def multimodal_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal_features(spark, sf_dir)
@@ -241,7 +353,13 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for aid, blob in zip(pdf["asset_id"], pdf["blob"]):
-            b = bytes(blob) if blob is not None else b""
+            arr, status = _safe_decode(blob)
+            if status != "ok":
+                # degraded asset: zero frames, never a crash (r9
+                # dirty-binary contract; multimodal_decode_audit is
+                # the audit surface for the skip counts)
+                continue
+            b = arr.astype("uint8").tobytes()
             for g in range(min(len(b) // 64, 8)):
                 seg = b[g * 64 : (g + 1) * 64]
                 # signature = md5 of the slice's UPPERCASE HEX: a
@@ -264,11 +382,12 @@ def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "multimodal_frame_sample",
-    oracle="""
-    WITH hexed AS (
-      SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
-             octet_length(encode(coalesce(text, ''))) AS nb
-      FROM documents)
+    oracle=f"""
+    WITH decoded AS ({_SQL_DECODE}),
+    hexed AS (
+      SELECT doc_id, hex(encode(body)) AS h,
+             octet_length(encode(body)) AS nb
+      FROM decoded WHERE status = 'ok')
     SELECT doc_id AS asset_id,
            CAST(g AS INT) AS frame_no,
            CAST(('0x' || substr(h, g * 128 + 1, 2)) AS INT) AS first_byte,
@@ -315,12 +434,13 @@ def _phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
-            arr = _fake_decode(blob)
-            n = len(arr)
-            if n == 0:
-                # an empty asset has no perceptual signature (r6 dirty
-                # contract) — it cannot participate in near-dup pairing
+            arr, status = _safe_decode(blob)
+            if status != "ok":
+                # an empty/degraded asset has no perceptual signature
+                # (r6 dirty contract, widened by the r9 dirty-binary
+                # statuses) — it cannot participate in near-dup pairing
                 continue
+            n = len(arr)
             codes = [int(arr[(i * 7) % n]) for i in range(_PHASH_BITS)]
             mean = sum(codes) / 64.0
             bands = []
@@ -337,14 +457,15 @@ def _phash_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_phash_neardup",
     oracle=f"""
-    WITH codes AS (
+    WITH decoded AS ({_SQL_DECODE}),
+    codes AS (
       SELECT doc_id,
-             [CAST(('0x' || substr(hex(encode(text)),
-                                   2 * ((i * 7) % octet_length(encode(text))) + 1,
+             [CAST(('0x' || substr(hex(encode(body)),
+                                   2 * ((i * 7) % octet_length(encode(body))) + 1,
                                    2)) AS INT)
               for i in range(0, {_PHASH_BITS})] AS c
-      FROM documents
-      WHERE octet_length(encode(coalesce(text, ''))) > 0
+      FROM decoded
+      WHERE status = 'ok'
     ),
     hashed AS (
       SELECT doc_id, c, list_aggregate(c, 'sum') / 64.0 AS m FROM codes
@@ -464,7 +585,9 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
-            arr = _fake_decode(blob)
+            arr, status = _safe_decode(blob)
+            if status != "ok":
+                continue  # degraded asset: zero windows, never a crash
             n_win = min(_AUDIO_MAX_WIN, len(arr) // _AUDIO_WIN)
             for g in range(n_win):
                 w = arr[g * _AUDIO_WIN : (g + 1) * _AUDIO_WIN]
@@ -478,15 +601,17 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_audio_energy",
     oracle=f"""
+    WITH decoded AS ({_SQL_DECODE})
     SELECT doc_id AS asset_id,
            CAST(g AS INT) AS win_no,
            round(sqrt(list_aggregate(
-             [CAST(ascii(substr(text, g*{_AUDIO_WIN} + i, 1)) AS DOUBLE)
-              * ascii(substr(text, g*{_AUDIO_WIN} + i, 1))
+             [CAST(ascii(substr(body, g*{_AUDIO_WIN} + i, 1)) AS DOUBLE)
+              * ascii(substr(body, g*{_AUDIO_WIN} + i, 1))
               for i in range(1, {_AUDIO_WIN} + 1)], 'sum') / 64.0), 6) AS rms
-    FROM documents,
+    FROM decoded,
          (SELECT unnest(range(0, {_AUDIO_MAX_WIN})) AS g)
-    WHERE doc_id % 3 = 1 AND g < floor(length(text) / {_AUDIO_WIN})
+    WHERE status = 'ok' AND doc_id % 3 = 1
+      AND g < floor(length(body) / {_AUDIO_WIN})
     """,
     tags=("north-star", "B23", "B16"),
     doc="Audio windowed-energy extraction over opaque binary assets: "
@@ -505,4 +630,47 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("asset_id", "blob")
     return audio.mapInPandas(
         _audio_energy, "asset_id long, win_no int, rms double"
+    )
+
+
+@register(
+    "multimodal_decode_audit",
+    oracle=f"""
+    WITH decoded AS ({_SQL_DECODE})
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           status AS decode_status,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(CASE WHEN status = 'ok'
+                         THEN octet_length(encode(body)) ELSE 0 END)
+                AS BIGINT) AS decoded_bytes
+    FROM decoded GROUP BY 1, 2
+    """,
+    tags=("north-star", "B23", "B7"),
+    doc="The decode-health audit surface for the multimodal family "
+    "(r9 VERDICT item 3): per (mime, decode_status) asset counts and "
+    "total decoded bytes, computed from multimodal_features' "
+    "per-record status column.  A corrupt-payload storm (bad magic, "
+    "truncated frames, oversize bombs) shows up HERE as counted "
+    "degradations — the fan-out operators (frames, audio windows, "
+    "pHash) silently skip those records, so without this rollup a "
+    "decode regression is invisible until coverage drops.  On clean "
+    "fixtures every row is 'ok'/'empty'; the dirty-binary stress "
+    "(tools/scale_stress.py --dirty-binary) plants one asset per "
+    "failure class and pins the exact counts.  Scale: one scan, one "
+    "map-side-combinable aggregate over a <=18-group frame (3 mimes "
+    "x 6 statuses).",
+)
+def multimodal_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir)
+    return feats.groupBy("mime", "decode_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(
+            F.when(F.col("decode_status") == "ok", F.col("n_bytes")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("decoded_bytes"),
     )

@@ -618,3 +618,75 @@ def test_trace_contracts_fuzzed(spark, tmp_path_factory, lrows, mrows):
         ["task_host_utilization_align"],
         ["lineitem", "events"],
     )
+
+
+# --- monitor-host join universe fuzz (r9, VERDICT item 6) ------------------
+# §18 covered durations/ids/rates; the HOST UNIVERSE itself was only
+# fixed-case planted.  This generator draws the two host sets
+# independently — span hosts (l_suppkey remainders, including the
+# negative remainders whose rendered 'host--N' token must NOT parse)
+# and monitor hosts (user_id % 5, negative remainders join nothing) —
+# so spans-without-monitor-coverage, monitor-without-spans, partial
+# overlap and the all-disjoint case are all generated, not planted.
+# Contracts under test: the left-side task stats survive zero monitor
+# coverage (n_aligned_samples 0 / NULL util), monitor-only hosts emit
+# no rows (the output is grouped over SPANS), and signed hosts resolve
+# identically in both engines.
+
+_span_host = st.integers(min_value=-2, max_value=4)   # suppkey: % 5 keeps sign
+_mon_host = st.integers(min_value=-2, max_value=4)    # user_id: % 5 keeps sign
+
+
+@_SETTINGS
+@given(
+    span_hosts=st.sets(_span_host, min_size=1, max_size=7),
+    mon_hosts=st.sets(_mon_host, min_size=0, max_size=7),
+    n_tasks=st.integers(min_value=2, max_value=12),
+    n_samples=st.integers(min_value=0, max_value=12),
+    qty=st.sampled_from([0.5, 5.0, 30.0]),
+)
+def test_trace_monitor_host_universe_fuzzed(
+    spark, tmp_path_factory, span_hosts, mon_hosts, n_tasks, n_samples, qty
+):
+    """task_host_utilization_align matches its oracle for ANY pair of
+    span-host / monitor-host universes, including disjoint ones."""
+    tmp = tmp_path_factory.mktemp("fuzz_hosts")
+    shs = sorted(span_hosts)
+    lineitems = [
+        (
+            50 * (i + 1),              # hit the l_orderkey % 50 sample
+            1,                          # partkey
+            shs[i % len(shs)],          # suppkey: % 5 IS the host draw
+            1,                          # linenumber
+            qty,                        # quantity -> run_time
+            100.0, 0.0, 0.0, "N", "O",
+            datetime.datetime(2024, 1, 1),
+        )
+        for i in range(n_tasks)
+    ]
+    mhs = sorted(mon_hosts)
+    events = [
+        (
+            20 * (i + 1),              # hit the event_id % 20 sample
+            _BASE_TS + datetime.timedelta(minutes=i),
+            mhs[i % len(mhs)],          # user_id: % 5 IS the host draw
+            "monitor",
+            float(i),
+            "{}",
+        )
+        for i in range(n_samples if mhs else 0)
+    ]
+    # one never-sampled filler so the events parquet is never empty
+    events.append((1, _BASE_TS, 0, "click", 1.0, "{}"))
+    sf = _stage_facts(
+        tmp,
+        [(1, 1, "O", 1.0, datetime.datetime(2024, 1, 1), "1-URGENT")],
+        lineitems,
+    )
+    _stage(tmp, events=events)
+    _check(
+        spark,
+        sf,
+        ["task_host_utilization_align"],
+        ["lineitem", "events"],
+    )

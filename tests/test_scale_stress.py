@@ -198,6 +198,98 @@ def test_dirty_corpus_contracts_hold(spark, dirty_dir):
 
 
 # ---------------------------------------------------------------------------
+# dirty-binary contract (r9): pathological payloads vs the decode budget
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dirty_binary_dir():
+    from tools.scale_stress import stage_dirty_binary
+
+    out = stage_dirty_binary("/root/testdata/sf0.001")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dirty_binary_contracts_hold(spark, dirty_binary_dir):
+    """The multimodal family must match its oracles on the planted
+    binary payloads (NULL / empty / bad-magic / truncated / oversize /
+    valid-framed) — the in-suite guard for the --dirty-binary axis
+    (SCALE_STRESS_dirty_binary.json)."""
+    from __spark_entry__ import oracle_sql
+
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+    from tools.scale_stress import DIRTY_BINARY_QUERIES
+
+    _ensure_loaded()
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_binary_dir}/{t}.parquet')"
+        )
+    for name in DIRTY_BINARY_QUERIES:
+        spdf = REGISTRY[name].fn(spark, dirty_binary_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert_frames_match(spdf, odf, name)
+
+
+def test_dirty_binary_plant_statuses_pinned(spark, dirty_binary_dir):
+    """Each planted payload must land on its EXACT decode status (the
+    _safe_decode precedence contract), the valid framed plants must
+    decode their BODY bytes (4 video frames from a 256-byte payload,
+    3 audio windows from a 200-byte payload), and no degraded plant
+    may leak into the fan-out outputs."""
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    feats = (
+        REGISTRY["multimodal_features"]
+        .fn(spark, dirty_binary_dir)
+        .filter("asset_id >= 91001 AND asset_id <= 91011")
+        .toPandas()
+        .set_index("asset_id")
+    )
+    expected = {
+        91001: "truncated",
+        91002: "bad_magic",
+        91003: "oversize",
+        91004: "ok",
+        91005: "bad_magic",
+        91006: "null_payload",
+        91007: "ok",
+        91008: "oversize",
+        91009: "ok",
+        91010: "empty",
+        91011: "empty",
+    }
+    got = feats["decode_status"].to_dict()
+    assert got == expected, got
+    # valid framed assets decode BODY bytes, not the raw frame
+    assert feats.loc[91004, "n_bytes"] == 5
+    assert feats.loc[91007, "n_bytes"] == 256
+    assert feats.loc[91009, "n_bytes"] == 200
+    frames = (
+        REGISTRY["multimodal_frame_sample"]
+        .fn(spark, dirty_binary_dir)
+        .filter("asset_id >= 91001 AND asset_id <= 91011")
+        .toPandas()
+    )
+    assert sorted(frames["asset_id"].unique()) == [91007]
+    assert len(frames) == 4  # 256 // 64
+    wins = (
+        REGISTRY["multimodal_audio_energy"]
+        .fn(spark, dirty_binary_dir)
+        .filter("asset_id >= 91001 AND asset_id <= 91011")
+        .toPandas()
+    )
+    assert sorted(wins["asset_id"].unique()) == [91009]
+    assert len(wins) == 3  # 200 // 64
+
+
+# ---------------------------------------------------------------------------
 # dirty-catalog contract (r7): pathological part/supplier/customer rows
 # ---------------------------------------------------------------------------
 

@@ -34,6 +34,8 @@ name-substring scoping and write their own artifact):
   --dirty-orders    pathological fact dates & numerics (§17)
   --dirty-trace     pathological rows hitting the trace/eventlog
                     render samples (§18)
+  --dirty-binary    pathological binary payloads hitting the multimodal
+                    decode contract (§19)
 """
 
 from __future__ import annotations
@@ -939,6 +941,131 @@ def run_dirty_trace(base: str, subs: list[str]) -> None:
     sys.exit(1 if n_fail else 0)
 
 
+# --dirty-binary (r9, VERDICT item 3): DIRTY-BINARY stress — the binary
+# twin of the trace axis.  The multimodal family decodes opaque binary
+# payloads in mapInPandas; one hostile blob that crashes the decode UDF
+# kills the whole task (and, at 100 TB, the job) — the exact class the
+# r8 trace axis fixed for text.  The plants cover every failure class
+# of the _safe_decode contract (scache_spark/operators/multimodal.py):
+# a NULL payload, zero-byte and framed-zero-length assets, a bad-magic
+# frame AND a bare magic prefix, a truncated frame (declared length !=
+# actual), an oversize declared frame and an oversize RAW payload (the
+# decode-budget bound that keeps one record from OOMing an executor),
+# plus VALID framed assets on the audio and video legs proving the ok
+# path decodes payload bytes (frames/windows come from the BODY, not
+# the raw frame).  Doc ids are chosen so every mime leg (doc_id % 3)
+# sees both a degraded and a healthy plant.  Both engines read the
+# same staged parquet; the oracles mirror _safe_decode in SQL
+# (_SQL_DECODE), so any disagreement is a real contract divergence.
+_DIRTY_BINARY_ROWS_SQL = """
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.text,
+           t.lang, t.source,
+           CAST(coalesce(length(t.text), 0) AS INT) AS n_chars
+    FROM (VALUES
+      (91001, 'SCB1:10:short', 'en', 'binplant'),
+      (91002, 'SCB9:5:hello', 'en', 'binplant'),
+      (91003, 'SCB1:2000000:x', 'en', 'binplant'),
+      (91004, 'SCB1:5:hello', 'en', 'binplant'),
+      (91005, 'SCB', 'en', 'binplant'),
+      (91006, NULL, 'en', 'binplant'),
+      (91007, 'SCB1:256:' || repeat('ab', 128), 'en', 'binplant'),
+      (91008, repeat('z', 1000001), 'en', 'binplant'),
+      (91009, 'SCB1:200:' || repeat('xyzku', 40), 'en', 'binplant'),
+      (91010, '', 'en', 'binplant'),
+      (91011, 'SCB1:0:', 'en', 'binplant')
+    ) t(doc_id, text, lang, source)
+"""
+
+# expected statuses, pinned by tests/test_scale_stress.py:
+#   91001 truncated(video)   91002 bad_magic(image)  91003 oversize(audio)
+#   91004 ok-framed(video)   91005 bad_magic(image)  91006 null_payload(audio)
+#   91007 ok-framed(video,4 frames from body)        91008 oversize(image,raw)
+#   91009 ok-framed(audio,3 windows from body)       91010 empty(video)
+#   91011 empty(image,framed-zero-length)
+
+DIRTY_BINARY_QUERIES = [
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_feature_agg",
+    "multimodal_frame_sample",
+    "multimodal_phash_neardup",
+    "multimodal_audio_energy",
+    "multimodal_decode_audit",
+]
+
+
+def stage_dirty_binary(base: str) -> str:
+    """Stage a replica with the planted binary-payload rows appended
+    to documents; every other table copies verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_binary")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {_DIRTY_BINARY_ROWS_SQL}"
+            if t == "documents"
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 11}))
+    return out
+
+
+def run_dirty_binary(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    missing = [n for n in DIRTY_BINARY_QUERIES if n not in REGISTRY]
+    assert not missing, f"dirty-binary pool names not registered: {missing}"
+    names = [
+        n for n in DIRTY_BINARY_QUERIES if not subs or any(x in n for x in subs)
+    ]
+    print(f"staging dirty-binary replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_binary(base)
+    spark = get_session("scale-stress-dirty-binary")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-binary (11 planted binary-payload rows: NULL / "
+        "zero-byte / framed-zero-length assets, bad-magic and "
+        "bare-magic frames, a truncated frame, oversize declared and "
+        "oversize raw payloads past the 1 MB decode budget, and valid "
+        "framed audio/video assets proving body-byte decode)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_binary{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -1325,6 +1452,9 @@ def main() -> None:
     dirty_trace = "--dirty-trace" in args
     if dirty_trace:
         args.remove("--dirty-trace")
+    dirty_binary = "--dirty-binary" in args
+    if dirty_binary:
+        args.remove("--dirty-binary")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -1360,6 +1490,11 @@ def main() -> None:
         or dirty_events or dirty_catalog or dirty_orders
     ):
         sys.exit("scale_stress: --dirty-trace is its own protocol")
+    if dirty_binary and (
+        rest or skew is not None or boilerplate or checksum or dirty
+        or dirty_events or dirty_catalog or dirty_orders or dirty_trace
+    ):
+        sys.exit("scale_stress: --dirty-binary is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor)
         return
@@ -1380,6 +1515,9 @@ def main() -> None:
         return
     if dirty_trace:
         run_dirty_trace(base, subs)
+        return
+    if dirty_binary:
+        run_dirty_binary(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
