@@ -86,11 +86,15 @@ HEADLINE = [
     "fellegi_sunter_linkage",
     "classifier_auc_rank",
     # round-9 additions (appended — shared-subset delta unaffected):
-    # the TPC-H flagships entering the r9 graded window
+    # the TPC-H flagships entering the r9 graded window + the r9 ops
     "tpch_q9_product_type_profit",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_volume_orders",
     "tpch_q21_waiting_suppliers",
+    "winnowing_neardup_pairs",
+    "pii_redaction_audit",
+    "matryoshka_truncation_recall",
+    "multimodal_decode_audit",
 ]
 
 

@@ -657,3 +657,134 @@ def url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_en_refs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction audit (r9)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b anchors and
+# non-capturing groups only — no backreferences, no lookaround.
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=f"""
+    WITH rendered AS (
+      -- render->detect convention (cf. url_domain_curation): PII is
+      -- synthesized deterministically from row columns, so the
+      -- detector's hits are exactly checkable
+      SELECT doc_id, source,
+             coalesce(text, '')
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS body
+      FROM documents),
+    hits AS (
+      SELECT doc_id, source,
+             regexp_extract_all(body, '{_PII_EMAIL}') AS emails,
+             regexp_extract_all(body, '{_PII_IPV4}') AS ips,
+             regexp_extract_all(body, '{_PII_PHONE}') AS phones
+      FROM rendered)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(emails) + len(ips) + len(phones) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(len(emails)) AS BIGINT) AS n_emails,
+           CAST(sum(len(ips)) AS BIGINT) AS n_ipv4,
+           CAST(sum(len(phones)) AS BIGINT) AS n_phones,
+           CAST(sum(coalesce(list_aggregate([length(x) for x in emails], 'sum'), 0)
+                  + coalesce(list_aggregate([length(x) for x in ips], 'sum'), 0)
+                  + coalesce(list_aggregate([length(x) for x in phones], 'sum'), 0))
+                AS BIGINT) AS redacted_chars
+    FROM hits GROUP BY source
+    """,
+    tags=("B24", "B14", "B20"),
+    doc="PII detection/redaction audit — the governance pass every "
+    "released training corpus needs: per-row regex detection of "
+    "emails, IPv4 addresses and phone numbers (patterns restricted "
+    "to the Java-regex ∩ RE2 dialect so both engines match byte-for-"
+    "byte), rolled up per source as doc counts, per-class hit counts "
+    "and the total characters a redaction pass would mask.  The "
+    "fixture corpus carries no real PII, so the audit follows the "
+    "family's render->detect convention: deterministic synthetic PII "
+    "is appended from row columns (doc_id % 7/11/13 legs), making "
+    "every detector hit exactly checkable — on real data the render "
+    "disappears and the detector runs unchanged.  Scale: detection "
+    "is per-row codegen (regexp_extract_all, no UDF), the rollup is "
+    "ONE map-side-combinable aggregate keyed by source; a redaction "
+    "WRITE would be the same scan emitting regexp_replace'd text — "
+    "zero shuffles either way.",
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("doc_id") * 3) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    matched_len = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    hits = d.select(
+        "source",
+        F.regexp_extract_all(body, F.lit(_PII_EMAIL), 0).alias("emails"),
+        F.regexp_extract_all(body, F.lit(_PII_IPV4), 0).alias("ips"),
+        F.regexp_extract_all(body, F.lit(_PII_PHONE), 0).alias("phones"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.size("emails") + F.size("ips") + F.size("phones") > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum(F.size("emails")).cast("long").alias("n_emails"),
+        F.sum(F.size("ips")).cast("long").alias("n_ipv4"),
+        F.sum(F.size("phones")).cast("long").alias("n_phones"),
+        F.sum(
+            matched_len(F.col("emails"))
+            + matched_len(F.col("ips"))
+            + matched_len(F.col("phones"))
+        )
+        .cast("long")
+        .alias("redacted_chars"),
+    )

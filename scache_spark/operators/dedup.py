@@ -1373,3 +1373,113 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("corpus_id").alias("dup_of"),
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (r9): MOSS-style local document fingerprinting
+# ---------------------------------------------------------------------------
+
+WINNOW_K = SHINGLE_N  # words per gram (shares the family's shingle width)
+WINNOW_W = 4          # grams per winnowing window
+WINNOW_FP_CAP = 16    # hot-fingerprint demotion bound (cf. BAND_CAP)
+WINNOW_MIN_SHARED = 2  # pair threshold: >= 2 shared fingerprints
+
+
+@register(
+    "winnowing_neardup_pairs",
+    oracle=f"""
+    WITH {_AUG_SQL},
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM aug
+      WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    grams AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 15)) AS BIGINT)
+              for i in range(1, len(t) - {WINNOW_K - 2})] AS h
+      FROM toks
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct([list_aggregate(h[p:p+{WINNOW_W - 1}], 'min')
+                            for p in range(1, len(h) - {WINNOW_W - 2})]) AS f
+      FROM grams
+    ),
+    melted AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+    keep AS (SELECT fp FROM melted GROUP BY fp
+             HAVING count(*) <= {WINNOW_FP_CAP}),
+    km AS (SELECT m.doc_id, m.fp FROM melted m JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM km a JOIN km b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("B24", "B13", "B17"),
+    doc="Winnowing (MOSS local fingerprinting) near-dup candidates: "
+    f"per document, md5 each ordered {WINNOW_K}-word gram, take the "
+    f"minimum hash of every {WINNOW_W}-gram sliding window (the "
+    "winnowing guarantee: any shared substring of >= k+w-1 words "
+    "yields at least one shared fingerprint), dedupe to the distinct "
+    "fingerprint set, and pair documents sharing >= "
+    f"{WINNOW_MIN_SHARED} fingerprints.  Positional, so it catches "
+    "LOCAL overlap (a copied paragraph inside otherwise-different "
+    "docs) that whole-document MinHash dilutes away — the complement "
+    "of dedup_minhash_pairs in a crawl pipeline.  Scale: gram "
+    "hashing and window minima are per-row codegen (transform + "
+    "slice + array_min, no explode until fingerprints — ~n/1 grams "
+    "collapse to ~n/w distinct fps); candidates come from an "
+    f"equi-join on fingerprint with hot fps (> {WINNOW_FP_CAP} docs, "
+    "boilerplate) demoted BEFORE the pair space materializes, the "
+    "same quadratic-bucket guard as the capped LSH bands.  The "
+    "O(n^2) pair space never exists; only same-fingerprint pairs "
+    "under the cap do.",
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, w = WINNOW_K, WINNOW_W
+    aug = augmented_docs(spark, sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= k + w - 1
+    )
+    toks = F.split(F.col("text"), " ")
+    # 64-bit integer gram hashes (md5-prefix, the family's hash64):
+    # the window minima compare longs instead of 32-char hex strings
+    # and the melted/join sides shuffle 8 bytes per fingerprint
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    # grams MUST be a materialized column before the window pass:
+    # slice() inside the window transform would otherwise re-evaluate
+    # the whole gram-md5 expression per window position (no CSE inside
+    # higher-order lambdas) — O(m·w·m) md5 calls per doc, measured
+    # 121s -> ~8s at sf0.1
+    hashed = aug.select("doc_id", grams.alias("h"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("h")) - (w - 1)),
+            lambda p: F.array_min(F.slice(F.col("h"), p, w)),
+        )
+    )
+    # the melted frame feeds the hot-fp count AND both join sides —
+    # materialize once (the dedup family's checkpoint discipline)
+    melted = (
+        hashed.select("doc_id", F.explode(fps).alias("fp"))
+        .localCheckpoint(eager=True)
+    )
+    keep = melted.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") <= WINNOW_FP_CAP
+    )
+    km = melted.join(keep.select("fp"), "fp")
+    a = km.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = km.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

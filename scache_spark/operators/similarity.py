@@ -418,3 +418,148 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("var_rank"),
         (F.row_number().over(w) <= 16).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka truncation recall (r9)
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # truncated prefix width (matryoshka head)
+_MRL_K = 10    # top-k whose overlap defines recall
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+    WITH vecs AS (SELECT * FROM embeddings WHERE {SQL_COSINE_READY}),
+    qs AS (SELECT vec_id AS q_id, embedding AS qv FROM vecs
+           WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q_id, vec_id,
+             {sql_vec_cosine("embedding", "qv")} AS cos_full,
+             CASE WHEN list_aggregate(
+                    [CAST(x AS DOUBLE) * x for x in embedding[1:{_MRL_DIM}]],
+                    'sum') > 0
+                  AND list_aggregate(
+                    [CAST(x AS DOUBLE) * x for x in qv[1:{_MRL_DIM}]],
+                    'sum') > 0
+                  THEN {sql_vec_cosine(f"embedding[1:{_MRL_DIM}]", f"qv[1:{_MRL_DIM}]")}
+             END AS cos_trunc
+      FROM vecs JOIN qs ON vec_id <> q_id
+    ),
+    topf AS (
+      SELECT q_id, list_sort(list(vec_id)) AS ids_full FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_full DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= {_MRL_K} GROUP BY q_id
+    ),
+    topt AS (
+      SELECT q_id, list_sort(list(vec_id)) AS ids_trunc FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_trunc DESC, vec_id ASC) AS rk
+        FROM scored WHERE cos_trunc IS NOT NULL) WHERE rk <= {_MRL_K}
+      GROUP BY q_id
+    )
+    SELECT f.q_id,
+           CAST(len(list_intersect(f.ids_full, t.ids_trunc)) AS INT)
+               AS n_overlap,
+           round(CAST(len(list_intersect(f.ids_full, t.ids_trunc)) AS DOUBLE)
+               / {_MRL_K}, 6) AS recall_at_{_MRL_K}
+    FROM topf f JOIN topt t ON f.q_id = t.q_id
+    """,
+    tags=("B25", "B17", "B10"),
+    doc="Matryoshka truncation evaluation: for each query, the exact "
+    f"cosine top-{_MRL_K} under FULL {DIM}-dim embeddings vs under "
+    f"the first-{_MRL_DIM}-dims prefix (the matryoshka head a "
+    "serving tier would index to cut memory 4x), reported as "
+    f"recall@{_MRL_K} per query — the eval a pipeline runs BEFORE "
+    "committing to a truncated index.  Ranks are deterministic "
+    "(cosine DESC, vec_id ASC), the truncated leg excludes "
+    "zero-norm prefixes in both engines (cosine undefined), and "
+    "recall is an exact k-quantized decimal so no float hazard "
+    "crosses the hash.  Scale: queries broadcast once, the corpus "
+    "is scanned ONCE and both cosines fold per-row in codegen "
+    "(slice + zip_with + aggregate); per-query top-k is a "
+    "rank-window over the query partition — the brute-force eval "
+    "baseline, run on a sample of queries, while the serving path "
+    "stays with the ANN family.",
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import vec_dot
+
+    head = lambda c: F.slice(c, 1, _MRL_DIM)  # noqa: E731
+    # Norms are precomputed PER SIDE before the pair join: the naive
+    # vec_cosine(a, b) folds three O(dim) aggregates per PAIR
+    # (dot(a,b), dot(a,a), dot(b,b)) — 3x the arithmetic, and the two
+    # self-dots are redundant across the |queries| fan-out.  The
+    # arithmetic is unchanged (sqrt(dot(x,x)) each side, same fold
+    # order), so scores stay bit-identical to the oracle's inline
+    # form.  The corpus also repartitions to the session parallelism:
+    # the embeddings fixture is byte-small (2 parquet splits at x10),
+    # which would run the |q| x |corpus| score fan-out on 2 tasks.
+    e = (
+        cosine_ready(load_table(spark, sf_dir, "embeddings"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(vec_dot(F.col("embedding"), F.col("embedding"))).alias("nf"),
+            head(F.col("embedding")).alias("hd"),
+            vec_dot(head(F.col("embedding")), head(F.col("embedding"))).alias(
+                "hd_sq"
+            ),
+        )
+    )
+    qs = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nf").alias("q_nf"),
+        F.col("hd").alias("q_hd"),
+        F.col("hd_sq").alias("q_hd_sq"),
+    )
+    cos_full = vec_dot(F.col("embedding"), F.col("qv")) / (
+        F.col("nf") * F.col("q_nf")
+    )
+    cos_trunc = F.when(
+        (F.col("hd_sq") > 0) & (F.col("q_hd_sq") > 0),
+        vec_dot(F.col("hd"), F.col("q_hd"))
+        / (F.sqrt(F.col("hd_sq")) * F.sqrt(F.col("q_hd_sq"))),
+    )
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cos_full.alias("cos_full"),
+            cos_trunc.alias("cos_trunc"),
+        )
+        # one corpus scan feeds both rank legs
+        .localCheckpoint(eager=True)
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id").asc()
+    )
+    topf = (
+        scored.select("q_id", "vec_id", F.row_number().over(wf).alias("rk"))
+        .filter(F.col("rk") <= _MRL_K)
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids_full"))
+    )
+    wt = Window.partitionBy("q_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id").asc()
+    )
+    topt = (
+        scored.filter(F.col("cos_trunc").isNotNull())
+        .select("q_id", "vec_id", F.row_number().over(wt).alias("rk"))
+        .filter(F.col("rk") <= _MRL_K)
+        .groupBy("q_id")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids_trunc"))
+    )
+    overlap = F.size(F.array_intersect("ids_full", "ids_trunc"))
+    return topf.join(topt, "q_id").select(
+        "q_id",
+        overlap.cast("int").alias("n_overlap"),
+        F.round(overlap.cast("double") / _MRL_K, 6).alias(f"recall_at_{_MRL_K}"),
+    )

@@ -143,6 +143,11 @@ PRIORITY: tuple[str, ...] = (
     # strongest never-driver-graded queries (the r9 rotation
     # shortlist — graded automatically if the window widens), then
     # the rotated-out veterans (all graded green in earlier rounds).
+    # r9 additions (new this round, next in the never-graded line)
+    "winnowing_neardup_pairs",  # B24/B13/B17 MOSS winnowing fingerprints (r9, never graded)
+    "pii_redaction_audit",  # B24/B14/B20 PII detection/redaction audit (r9, never graded)
+    "matryoshka_truncation_recall",  # B25/B17/B10 truncated-embedding recall (r9, never graded)
+    "multimodal_decode_audit",  # north-star/B23/B7 decode-health audit (r9, never graded)
     "dedup_normalized_exact",  # B13/B24/B14 normalized exact dedup (never graded)
     "blockmanager_added_log_parse",  # B14/B18/A.5 log parse (never graded)
     "multi_format_federation",  # B1/B12/B13/B7 cross-format union (never graded)

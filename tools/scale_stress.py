@@ -186,6 +186,10 @@ BOILERPLATE_GUARDED = [
     # back; state = distinct spans, never pairs), verified here on the
     # worst-case corpus itself
     "dedup_span_rewrite",
+    # r9: winnowing's FP_CAP demotes the preamble's shared
+    # fingerprints before the pair space materializes — same guard
+    # class as BAND_CAP, verified at the same severity
+    "winnowing_neardup_pairs",
 ]
 BOILERPLATE_UNGUARDED = [
     "dedup_minhash_pairs",
@@ -1316,10 +1320,13 @@ def run_queries(spark, sf_dir: str, names: list[str], oracles: dict) -> dict:
     return results
 
 
-def run_boilerplate(base: str, factor: int) -> None:
+def run_boilerplate(base: str, factor: int, subs: list[str] | None = None) -> None:
     """The hot-shingle protocol: guarded operators at full severity,
     unguarded banded self-joins at the mild severity (rationale at the
-    BOILERPLATE constants above), one disclosed artifact."""
+    BOILERPLATE constants above), one disclosed artifact.  Name
+    substrings (``subs``) scope the pools like every other protocol —
+    a scoped run writes a suffixed artifact and leaves the canonical
+    SCALE_STRESS_boilerplate.json untouched."""
     from scache_spark.registry import _ensure_loaded
     from scache_spark.session import get_session
 
@@ -1330,10 +1337,13 @@ def run_boilerplate(base: str, factor: int) -> None:
     spark = get_session("scale-stress-boilerplate")
     out: dict = {"base": base, "factor": factor, "pools": {}}
     n_fail = 0
-    for label, pct, pool in (
+    for label, pct, full_pool in (
         ("guarded", BOILERPLATE_PCT_GUARDED, BOILERPLATE_GUARDED),
         ("unguarded", BOILERPLATE_PCT_UNGUARDED, BOILERPLATE_UNGUARDED),
     ):
+        pool = [n for n in full_pool if not subs or any(x in n for x in subs)]
+        if not pool:
+            continue
         print(f"staging x{factor} bp{pct} from {base} ...", flush=True)
         sf_dir = stage_boilerplate(base, factor, pct)
         print("  computing hot-band stats ...", flush=True)
@@ -1347,11 +1357,12 @@ def run_boilerplate(base: str, factor: int) -> None:
             "hot_band_stats": stats,
             "queries": results,
         }
-    g = out["pools"]["guarded"]["hot_band_stats"]
+    g = out["pools"].get("guarded", {}).get("hot_band_stats")
     # the stress is only meaningful if the cap actually triggered
-    out["cap_triggered"] = g["buckets_over_cap"] > 0
+    out["cap_triggered"] = bool(g and g["buckets_over_cap"] > 0)
     out["n_fail"] = n_fail
-    path = os.path.join(REPO, "SCALE_STRESS_boilerplate.json")
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_boilerplate{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
@@ -1496,7 +1507,7 @@ def main() -> None:
     ):
         sys.exit("scale_stress: --dirty-binary is its own protocol")
     if boilerplate:
-        run_boilerplate(base, factor)
+        run_boilerplate(base, factor, subs)
         return
     if checksum:
         run_checksum(base, factor)
