@@ -114,22 +114,102 @@ def vec_cosine(a: Column, b: Column) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
-def cosine_ready(df, col: str = "embedding"):
-    """r6 VECTOR CONTRACT (SCALE_STRESS_dirty.json): NULL embeddings
-    are ingest rejects, and a ZERO-NORM vector (a dead encoder's
-    output — real data) has no defined cosine direction: 0/0.  Apply
-    at the load site of every cosine-family operator, paired with
-    ``SQL_COSINE_READY`` in its oracle.  Operators that never divide
-    by the norm (quantization, per-dimension stats) keep zero vectors
-    and need only the NULL filter."""
+EMB_DIM = 64
+"""Expected embedding dimensionality of the corpus encoder.
+
+An ingest-time constant, not a per-row discovery: at 100 TB the
+embedding column is produced by fleets of encoder jobs and a
+wrong-length vector is a truncated/concatenated write, not a second
+legitimate model — zip_with against it pads with NULLs and silently
+poisons every downstream dot product, so the dimension check belongs
+at load, where the reject is countable (embedding_ingest_audit)."""
+
+
+def vector_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+    """r9 VECTOR INGEST CONTRACT (SCALE_STRESS_dirty_embeddings.json):
+    a vector is well-formed iff it is non-NULL, exactly ``dim``
+    elements, and every element is non-NULL and finite.  Real 100 TB
+    corruption classes behind each clause: NULL vector (encoder job
+    died mid-shard), short/long vector (truncated or concatenated
+    write), NULL element (columnar writer partial flush), NaN (0/0
+    normalization upstream), ±Inf (fp16 overflow at encode time).
+    Malformed vectors are excluded at EVERY embeddings load site with
+    this same predicate mirrored in the oracle (``SQL_VECTOR_READY``),
+    and counted per defect class by ``embedding_ingest_audit`` so the
+    exclusion is observable, never silent.
+
+    Why the engines need the shared predicate and not just "filter
+    junk somehow": Spark's ``sq > 0`` norm test REJECTS a NaN vector
+    (NaN > 0 is false) while DuckDB's identical SQL KEEPS it (DuckDB
+    orders NaN greater than everything, so NaN > 0 is TRUE) — the r6
+    cosine_ready contract silently diverged on NaN input; this
+    predicate removes non-finite vectors before any norm comparison
+    so the ordering asymmetry can never matter."""
+    c = F.col(col)
+    bad_elem = F.exists(
+        c,
+        lambda x: x.isNull()
+        | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+    )
+    return df.filter(c.isNotNull() & (F.size(c) == dim) & ~bad_elem)
+
+
+SQL_VECTOR_READY = (
+    "(embedding IS NOT NULL AND len(embedding) = 64 AND NOT coalesce("
+    "list_bool_or([x IS NULL OR isnan(CAST(x AS DOUBLE)) "
+    "OR isinf(CAST(x AS DOUBLE)) for x in embedding]), false))"
+)
+
+
+MOMENT_MAG_BOUND = 1.0e6
+"""Dynamic-range bound for UNORDERED signed-sum moments (r9,
+SCALE.md §20 finding): avg over values spanning more than ~2^53 of
+dynamic range is order-DEFINED, not order-independent — with ±1e20
+components in one group, Spark's fold loses every small component
+(avg 0.0) while DuckDB accumulates the smalls before the huge terms
+cancel (avg -0.000110).  Per-dimension moments are safe (one dominant
+term per group, no signed cancellation), min/max are order-free, and
+element-order folds (vec_dot) are mirrored exactly — only a
+cross-dimension SIGNED mean needs this bound."""
+
+
+def moment_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+    """vector_ready plus the dynamic-range clause above — the load
+    guard for cross-dimension signed-sum moment queries."""
+    over = F.exists(
+        F.col(col),
+        lambda x: F.abs(x.cast("double")) > F.lit(MOMENT_MAG_BOUND),
+    )
+    return vector_ready(df, col, dim).filter(~over)
+
+
+SQL_MOMENT_READY = (
+    f"({SQL_VECTOR_READY} AND NOT coalesce(list_bool_or("
+    f"[abs(CAST(x AS DOUBLE)) > {MOMENT_MAG_BOUND!r} for x in embedding]), "
+    "false))"
+)
+
+
+def cosine_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+    """r6 VECTOR CONTRACT, r9-extended (well-formedness first): on top
+    of ``vector_ready``, a ZERO-NORM vector (a dead encoder's output —
+    real data) has no defined cosine direction (0/0), so the cosine
+    family excludes it too.  Apply at the load site of every
+    cosine-family operator, paired with ``SQL_COSINE_READY`` in its
+    oracle.  Operators that never divide by the norm (quantization,
+    per-dimension stats) keep zero vectors and use ``vector_ready``.
+    The norm comparison is safe ONLY because vector_ready has already
+    removed NaN/Inf elements (see its docstring for the NaN-ordering
+    divergence between the engines)."""
     sq = F.aggregate(
         F.col(col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
-    return df.filter(F.col(col).isNotNull() & (sq > 0))
+    return vector_ready(df, col, dim).filter(sq > 0)
 
 
 SQL_COSINE_READY = (
-    "(embedding IS NOT NULL AND "
+    f"({SQL_VECTOR_READY} AND "
     "list_aggregate([CAST(x AS DOUBLE) * x for x in embedding], 'sum') > 0)"
 )
 

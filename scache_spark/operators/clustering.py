@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import SQL_COSINE_READY
+from scache_spark.functions import SQL_COSINE_READY, SQL_VECTOR_READY, vector_ready
 from scache_spark.registry import register
 
 K = 16  # IVF cells / k-means k
@@ -57,8 +57,15 @@ def _centroids(
     the seeds from it instead of a fresh scan — keeps the seeding
     rule defined HERE only."""
     if e is None:
-        e = load_table(spark, sf_dir, "embeddings")
-    return e.filter(F.col("vec_id") < K).select(
+        # r9 vector contract: seeds and corpus must draw from the same
+        # well-formed universe, or a malformed low-id vector becomes a
+        # centroid that poisons every assignment
+        e = vector_ready(load_table(spark, sf_dir, "embeddings"))
+    # seed rule is an ID RANGE, not an upper bound (r9 dirty-embeddings
+    # contract): "first K by id" with a bare `< K` lets one corrupt
+    # NEGATIVE id hijack a seed slot — the id-join twin of the signed
+    # host-ordinal trace contract
+    return e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < K)).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
     )
 
@@ -93,11 +100,12 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 
 _SQL_ASSIGN0 = f"""
     seeds AS (SELECT vec_id AS cell, embedding AS centroid
-              FROM embeddings WHERE vec_id < {K}),
+              FROM embeddings
+              WHERE vec_id >= 0 AND vec_id < {K} AND {SQL_VECTOR_READY}),
     scored0 AS (
       SELECT e.vec_id, e.embedding, s.cell,
              {_sql_l2sq("e.embedding", "s.centroid")} AS d2
-      FROM embeddings e, seeds s
+      FROM (SELECT * FROM embeddings WHERE {SQL_VECTOR_READY}) e, seeds s
     ),
     assign0 AS (
       SELECT vec_id, embedding, cell, d2 FROM (
@@ -126,7 +134,7 @@ _SQL_ASSIGN0 = f"""
     "under — each query then scans ~1/K of the data.",
 )
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     assigned = _assign(e, _centroids(spark, sf_dir))
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),
@@ -154,7 +162,7 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "L2 within it — the single-probe IVF search path.",
 )
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     # assignment feeds the query lookup AND the candidate filter —
     # checkpoint so the corpus scores against the centroids once
     assigned = _assign(e, _centroids(spark, sf_dir)).localCheckpoint(
@@ -191,7 +199,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored1 AS (
       SELECT e.vec_id, c.cell,
              {_sql_l2sq("e.embedding", "c.centroid")} AS d2
-      FROM embeddings e, centroids1 c
+      FROM (SELECT * FROM embeddings WHERE {SQL_VECTOR_READY}) e, centroids1 c
     ),
     assign1 AS (
       SELECT vec_id, cell, d2 FROM (
@@ -218,7 +226,9 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without materialization each round re-scans the table.  Iterative
     # ML caches its input once — MLlib's own KMeans does exactly this —
     # so eager-checkpoint the vectors and derive every pass from it.
-    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    e = vector_ready(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
     assign0 = _assign(e, _centroids(spark, sf_dir, e=e))
     exploded = assign0.select(
         "cell", F.posexplode("embedding").alias("pos0", "val_f")
@@ -256,7 +266,8 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE vec_id % 20 = 0 AND {SQL_COSINE_READY}
     ),
     seeds AS (SELECT vec_id AS cell, embedding AS centroid
-              FROM embeddings WHERE vec_id < {K}),
+              FROM embeddings
+              WHERE vec_id >= 0 AND vec_id < {K} AND {SQL_VECTOR_READY}),
     scored AS (
       SELECT a.vec_id, a.embedding, s.cell,
              {_sql_l2sq("a.embedding", "s.centroid")} AS d2
@@ -445,7 +456,7 @@ _NPROBES = (1, 2, 4)
     "per-cell sizes (a 16-row broadcast), never by re-scanning.",
 )
 def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     # The assignment subtree feeds THREE branches (query lookup, the
     # scored scan, per-cell sizes) and the heads feed two (truth +
     # every nprobe re-rank): materialize each once instead of paying

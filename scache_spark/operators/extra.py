@@ -10,8 +10,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import SQL_PROPS_K_INT, bounded_window
-from scache_spark.functions import kll_fold_double
+from scache_spark.functions import SQL_PROPS_K_INT, SQL_VECTOR_READY, bounded_window
+from scache_spark.functions import kll_fold_double, vector_ready
 from scache_spark.registry import register
 
 
@@ -69,21 +69,23 @@ def collect_sorted_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "posexplode_embedding_head",
-    oracle="""
+    oracle=f"""
     SELECT vec_id, CAST(i - 1 AS INT) AS pos,
            CAST(embedding[i] AS DOUBLE) AS comp
     FROM embeddings, unnest(range(1, 6)) AS t(i)
-    WHERE embedding IS NOT NULL
+    WHERE {SQL_VECTOR_READY}
     """,
     tags=("B17",),
     doc="posexplode (index-preserving explode) of the first 5 embedding "
-    "components — ordinality matches Spark's 0-based pos.",
+    "components — ordinality matches Spark's 0-based pos.  "
+    "vector_ready (r9): the oracle probes a FIXED index range, so a "
+    "short vector would emit NULL comps there while Spark's "
+    "slice+posexplode emits fewer rows — the dimension clause of the "
+    "ingest contract is exactly what keeps the two explode universes "
+    "aligned.",
 )
 def posexplode_embedding_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL embeddings explode to nothing (r6; explicit on both sides)
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     return e.select(
         "vec_id", F.posexplode(F.slice("embedding", 1, 5)).alias("pos", "comp_f")
     ).select("vec_id", F.col("pos").cast("int"), F.col("comp_f").cast("double").alias("comp"))
@@ -403,8 +405,12 @@ def orc_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN (
       SELECT CAST(count(*) AS BIGINT) AS emb_n,
              CAST(sum(len(embedding)) AS BIGINT) AS emb_dims,
-             round(CAST(min(list_min(embedding)) AS DOUBLE), 6) AS emb_minv,
-             round(CAST(max(list_max(embedding)) AS DOUBLE), 6) AS emb_maxv
+             round(CAST(min(list_min(list_filter(embedding,
+               x -> NOT (isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))
+             ))) AS DOUBLE), 6) AS emb_minv,
+             round(CAST(max(list_max(list_filter(embedding,
+               x -> NOT (isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))
+             ))) AS DOUBLE), 6) AS emb_maxv
       FROM embeddings) e
     """,
     tags=("B1", "B7", "B15", "B17"),
@@ -443,11 +449,24 @@ def avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     epath = _staged_alt(spark, sf_dir, "avro", "embeddings")
     e = spark.read.format("avro_ocf").option("path", epath).load()
+    # r9 dirty-embeddings contract: a SOURCE transports malformed rows
+    # faithfully — emb_n and emb_dims deliberately count every row the
+    # codec carried, including NULL/short/NaN vectors (that IS the
+    # round-trip attestation) — but the extreme-value audit is
+    # finite-only, because min/max of NaN/Inf rank differently across
+    # engines and a transport check must not depend on NaN ordering.
+    finite = F.filter(
+        F.col("embedding"),
+        lambda x: ~(
+            F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf")))
+        ),
+    )
     emb = e.agg(
         F.count(F.lit(1)).cast("long").alias("emb_n"),
         F.sum(F.size("embedding")).cast("long").alias("emb_dims"),
-        F.round(F.min(F.array_min("embedding")).cast("double"), 6).alias("emb_minv"),
-        F.round(F.max(F.array_max("embedding")).cast("double"), 6).alias("emb_maxv"),
+        F.round(F.min(F.array_min(finite)).cast("double"), 6).alias("emb_minv"),
+        F.round(F.max(F.array_max(finite)).cast("double"), 6).alias("emb_maxv"),
     )
     return agg.crossJoin(F.broadcast(emb))
 

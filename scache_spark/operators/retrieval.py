@@ -29,9 +29,12 @@ from pyspark.sql.window import Window
 from scache_spark.catalog import load_table
 from scache_spark.functions import (
     SQL_COSINE_READY,
+    SQL_VECTOR_READY,
     bounded_window,
+    cosine_ready,
     sql_vec_cosine,
     vec_cosine,
+    vector_ready,
 )
 from scache_spark.operators.clustering import _SQL_ASSIGN0
 from scache_spark.operators.similarity import N_PLANES, lsh_bucket, sql_lsh_bucket
@@ -66,7 +69,8 @@ _PQ_CTES = f"""
     train AS (
       SELECT embedding,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
-      FROM (SELECT * FROM embeddings WHERE vec_id % {PQ_TRAIN_MOD} = 1
+      FROM (SELECT * FROM embeddings
+            WHERE vec_id % {PQ_TRAIN_MOD} = 1 AND {SQL_VECTOR_READY}
             ORDER BY vec_id LIMIT {PQ_K})
     ),
     ms AS (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m),
@@ -80,7 +84,7 @@ _PQ_CTES = f"""
       SELECT vec_id, m,
              [CAST(embedding[m * {PQ_SUBDIM} + i] AS DOUBLE)
               for i in range(1, {PQ_SUBDIM} + 1)] AS svec
-      FROM embeddings, ms
+      FROM (SELECT * FROM embeddings WHERE {SQL_VECTOR_READY}), ms
     ),
     codes AS (
       SELECT vec_id, m,
@@ -109,7 +113,12 @@ def _pq_frames(
     build from an already-materialized corpus instead of re-scanning.
     """
     if e is None:
-        e = load_table(spark, sf_dir, "embeddings")
+        # vector_ready, not cosine_ready: PQ scores squared L2, never
+        # divides by a norm — zero vectors are legitimate codes; a
+        # NaN/Inf element would capture the argmin of every subvector
+        # it touches, and a wrong-length vector slices to short
+        # subvectors whose zip_with pads NULL (r9 vector contract)
+        e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sub = e.select(
         "vec_id",
@@ -198,7 +207,7 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT m,
              [CAST(embedding[m * {PQ_SUBDIM} + i] AS DOUBLE)
               for i in range(1, {PQ_SUBDIM} + 1)] AS qvec
-      FROM embeddings, ms WHERE vec_id = 0
+      FROM embeddings, ms WHERE vec_id = 0 AND {SQL_VECTOR_READY}
     ),
     lut AS (
       SELECT cents.m, cents.c, {_sub_d2("qvec", "cvec")} AS qd2
@@ -229,8 +238,12 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The PQ build reads the corpus for subvectors, training rows, and
     # the query slice — materialize the vectors once and derive all
-    # three (the index-build posture, as ann_ivf_pq_topk).
-    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    # three (the index-build posture, as ann_ivf_pq_topk).  The ingest
+    # guard runs BEFORE the checkpoint: malformed vectors never enter
+    # the materialized index build.
+    e = vector_ready(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
     sub, cents, codes = _pq_frames(spark, sf_dir, e=e)
     q = sub.filter(F.col("vec_id") == 0).select(
         "m", F.col("svec").alias("qvec")
@@ -265,6 +278,7 @@ _H1_SQL = ", ".join(str(x) for x in _H1)
     WITH bucketed AS (
       SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS INT) AS bucket
       FROM embeddings
+      WHERE {SQL_COSINE_READY}
     ),
     qs AS (
       SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
@@ -290,7 +304,7 @@ _H1_SQL = ", ".join(str(x) for x in _H1)
     "comparable in tests.",
 )
 def retrieval_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
@@ -322,6 +336,7 @@ def retrieval_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, generate_subscripts(embedding, 1) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings
+      WHERE {SQL_VECTOR_READY}
     ),
     cents AS (
       SELECT label, list(avg ORDER BY dim) AS cvec
@@ -334,7 +349,8 @@ def retrieval_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
                [(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
                 * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
                 for i in range(1, {DIM} + 1)], 'sum'), 6) AS d2
-      FROM embeddings e JOIN cents c ON e.label = c.label
+      FROM (SELECT * FROM embeddings WHERE {SQL_VECTOR_READY}) e
+      JOIN cents c ON e.label = c.label
     ),
     stats AS (
       SELECT label, avg(d2) AS mu_d, stddev_samp(d2) AS sd_d
@@ -356,7 +372,12 @@ def retrieval_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before the stats pass so both engines z-score identical inputs.",
 )
 def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # vector_ready: centroid distance is L2 (no norm division), but a
+    # NaN/Inf element would drag its label's centroid AND the z-score
+    # moments — the audit the screen exists to run would be poisoned
+    # by the very vectors it should flag (r9: those are ingest
+    # rejects, counted by embedding_ingest_audit)
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     vals = e.select(
         "label",
         F.posexplode(
@@ -427,7 +448,7 @@ IVF_PROBE = 2
       SELECT m,
              [CAST(embedding[m * {PQ_SUBDIM} + i] AS DOUBLE)
               for i in range(1, {PQ_SUBDIM} + 1)] AS qvec
-      FROM embeddings, ms WHERE vec_id = 0
+      FROM embeddings, ms WHERE vec_id = 0 AND {SQL_VECTOR_READY}
     ),
     lut AS (
       SELECT cents.m, cents.c, {_sub_d2("qvec", "cvec")} AS qd2
@@ -461,8 +482,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus feeds FOUR build branches (IVF assignment, IVF seeds,
     # PQ subvectors, PQ training rows) — an index build is a multi-pass
     # algorithm, so materialize the vectors once (the MLlib posture)
-    # and derive every pass from the checkpoint.
-    e = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    # and derive every pass from the checkpoint, ingest-guarded first
+    # (r9 vector contract).
+    e = vector_ready(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
+        eager=True
+    )
     cents_ivf = _centroids(spark, sf_dir, e=e)
     assigned = _assign(e, cents_ivf)
     # query's IVF_PROBE nearest cells: rescore the query against all
@@ -692,7 +716,8 @@ _RRF_QUERY_VEC = 42  # the query doc/vector id (ann_ivf_probe convention)
                AS tr
       FROM bm
     ), qv AS (
-      SELECT embedding AS q FROM embeddings WHERE vec_id = {_RRF_QUERY_VEC}
+      SELECT embedding AS q FROM embeddings
+      WHERE vec_id = {_RRF_QUERY_VEC} AND {SQL_COSINE_READY}
     ), vec AS (
       SELECT vec_id,
              round((list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum') / (sqrt(list_aggregate([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) for i in range(1, len(e.embedding) + 1)], 'sum')) * sqrt(list_aggregate([CAST(qv.q[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE) for i in range(1, len(qv.q) + 1)], 'sum')))), 6) AS cos
@@ -790,7 +815,7 @@ _NDCG_QUERY = 42
     oracle=f"""
     WITH qv AS (
       SELECT embedding AS q, {sql_lsh_bucket("embedding")} AS qb
-      FROM embeddings WHERE vec_id = {_NDCG_QUERY}
+      FROM embeddings WHERE vec_id = {_NDCG_QUERY} AND {SQL_COSINE_READY}
     ),
     ideal AS (
       SELECT vec_id,
@@ -1072,7 +1097,7 @@ _CB_K = 10
     oracle=f"""
     WITH q AS (
       SELECT [CAST(x AS DOUBLE) for x in embedding] AS qe
-      FROM embeddings WHERE vec_id = {_CB_QUERY} AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id = {_CB_QUERY} AND {SQL_VECTOR_READY}
     ),
     scored AS (
       SELECT vec_id,
@@ -1085,8 +1110,8 @@ _CB_K = 10
                  ) + ")"
                  for qm in range(_CB_TOKENS)
              )}, 6) AS maxsim
-      FROM embeddings, q
-      WHERE vec_id <> {_CB_QUERY} AND embedding IS NOT NULL
+      FROM (SELECT * FROM embeddings WHERE {SQL_VECTOR_READY}), q
+      WHERE vec_id <> {_CB_QUERY}
     )
     SELECT vec_id, maxsim FROM scored
     ORDER BY maxsim DESC, vec_id ASC LIMIT {_CB_K}
@@ -1108,12 +1133,12 @@ _CB_K = 10
     "generalizes the slices unchanged.  Dots fold in element order "
     "in both engines; the MaxSim sum is 6dp-rounded BEFORE ranking "
     "with a vec_id tie-break so both engines rank identical doubles. "
-    "NULL embeddings cannot score (same contract as cosine_ready).",
+    "Malformed vectors cannot score (r9 vector_ready ingest "
+    "contract; MaxSim never divides by a norm, so zero vectors "
+    "legitimately score 0 and stay).",
 )
 def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     q = e.filter(F.col("vec_id") == _CB_QUERY).select(dbl.alias("qe"))
     docs = e.filter(F.col("vec_id") != _CB_QUERY).crossJoin(F.broadcast(q))

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
-from scache_spark.functions import bounded_window
+from scache_spark.functions import (
+    SQL_MOMENT_READY,
+    SQL_VECTOR_READY,
+    bounded_window,
+    vector_ready,
+)
 from scache_spark.functions import kll_fold_double
 from scache_spark.registry import register
 
@@ -216,37 +221,53 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            embedding[1] AS first_comp,
-           array_to_string([CAST(round(CAST(x AS DOUBLE) * 10000) AS INT)
+           array_to_string([CAST(least(greatest(round(CAST(x AS DOUBLE)
+                                 * 10000), -2147483648.0), 2147483647.0)
+                                 AS INT)
                             for x in embedding[1:4]], ',') AS head4,
            round(list_aggregate([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
                            for i in range(1, len(embedding) + 1)], 'sum'), 6)
                AS sq_norm,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
     FROM embeddings
+    WHERE {SQL_VECTOR_READY}
     """,
     tags=("B17",),
     doc="Array battery over array<float>: size/index/slice/higher-order "
     "fold (dot product) /filter — all codegen, no UDF.  head4 is "
     "serialized as integer 1e-4 units: float→string formatting is "
-    "engine-specific, fixed-point integers are not.",
+    "engine-specific, fixed-point integers are not.  vector_ready "
+    "(r9): the n_pos filter is a NaN trap — Spark's NaN > 0 is "
+    "false, DuckDB orders NaN above everything so its NaN > 0 is "
+    "TRUE; the ingest guard removes the divergence class.",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.functions import vec_dot
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     emb = F.col("embedding")
     return e.select(
         "vec_id",
         F.size(emb).cast("int").alias("dim"),
         F.element_at(emb, 1).alias("first_comp"),
+        # saturating fixed-point (r9): a finite-but-huge component
+        # (|x|*1e4 past INT range) must clamp, not wrap — Spark's
+        # non-ANSI double->int cast wraps bits while DuckDB's raises,
+        # so the clamp IS the portability contract
         F.array_join(
             F.transform(
                 F.slice(emb, 1, 4),
-                lambda x: F.round(x.cast("double") * 10000).cast("int"),
+                lambda x: F.least(
+                    F.greatest(
+                        F.round(x.cast("double") * 10000),
+                        F.lit(-2147483648.0),
+                    ),
+                    F.lit(2147483647.0),
+                ).cast("int"),
             ),
             ",",
         ).alias("head4"),
@@ -257,19 +278,29 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_explode_agg",
-    oracle="""
+    oracle=f"""
     SELECT label,
            CAST(count(*) AS BIGINT) AS n_components,
            round(avg(comp), 6) AS avg_comp,
            max(comp) AS max_comp
-    FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS comp FROM embeddings)
+    FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS comp
+          FROM embeddings WHERE {SQL_MOMENT_READY})
     GROUP BY label
     """,
     tags=("B17", "B7"),
-    doc="explode (unnest) then reaggregate per label.",
+    doc="explode (unnest) then reaggregate per label.  moment_ready "
+    "(r9): this is the engine's one cross-dimension SIGNED mean, so "
+    "beyond well-formedness (a NaN component would poison avg and "
+    "capture max in engine-specific ways) it needs the dynamic-range "
+    "clause — a planted alternating ±1e20 vector made the label's "
+    "avg order-DEFINED (Spark 0.0, DuckDB -0.000110: whichever "
+    "engine sums the small components before the huge terms cancel "
+    "keeps them; SCALE.md §20 #8).",
 )
 def array_explode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from scache_spark.functions import moment_ready
+
+    e = moment_ready(load_table(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.explode("embedding").alias("comp_f"))
         .select("label", F.col("comp_f").cast("double").alias("comp"))
@@ -846,7 +877,7 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "higher_order_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            (len(list_filter(embedding, x -> NOT (abs(x) <= 1.0))) = 0)
              AS all_unit,
@@ -860,6 +891,7 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AND embedding[i] > 0)) AS INT)
              AS n_pos_odd
     FROM embeddings
+    WHERE {SQL_VECTOR_READY}
     """,
     tags=("B17",),
     doc="Higher-order predicate battery: forall (every |x| <= 1), "
@@ -867,7 +899,10 @@ def explode_outer_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter (positive components at odd indices) — transform/filter/"
     "aggregate/forall/exists all inside whole-stage codegen, zero "
     "UDFs, zero shuffles.  The oracle states forall/exists as "
-    "list_filter cardinality tests, the portable form.",
+    "list_filter cardinality tests, the portable form.  vector_ready "
+    "(r9): every predicate here is a NaN-ordering trap (NaN > 0.5 "
+    "differs between the engines), so the battery runs on the "
+    "well-formed universe.",
 )
 def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.col("embedding")
@@ -881,7 +916,7 @@ def higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(emb)),
         lambda i: (i % 2 == 1) & (F.element_at(emb, i) > 0),
     )
-    return load_table(spark, sf_dir, "embeddings").select(
+    return vector_ready(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.forall(emb, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
         F.exists(emb, lambda x: x > 0.5).alias("any_big"),

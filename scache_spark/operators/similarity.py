@@ -22,10 +22,12 @@ from pyspark.sql.window import Window
 from scache_spark.catalog import load_table
 from scache_spark.functions import (
     SQL_COSINE_READY,
+    SQL_VECTOR_READY,
     bounded_window,
     cosine_ready,
     sql_vec_cosine,
     vec_cosine,
+    vector_ready,
 )
 from scache_spark.registry import register
 
@@ -164,6 +166,7 @@ _SQL_BUCKET = sql_lsh_bucket("embedding")
            CAST(count(*) AS BIGINT) AS n_vectors,
            min(vec_id) AS min_vec_id
     FROM embeddings
+    WHERE {SQL_COSINE_READY}
     GROUP BY 1
     """,
     tags=("B25",),
@@ -173,7 +176,11 @@ _SQL_BUCKET = sql_lsh_bucket("embedding")
     "of the data.  Recall vs brute force is asserted in pytest.",
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # cosine_ready: the buckets exist to serve cosine probes, so the
+    # bucketed universe is the cosine-eligible one (r9 vector ingest
+    # contract — malformed/zero-norm vectors are counted by
+    # embedding_ingest_audit, never silently bucketed)
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     return (
         e.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")
@@ -190,6 +197,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bucketed AS (
       SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS INT) AS bucket
       FROM embeddings
+      WHERE {SQL_COSINE_READY}
     ),
     q AS (SELECT embedding AS qv, bucket AS q_bucket FROM bucketed WHERE vec_id = 0)
     SELECT vec_id, {sql_vec_cosine("embedding", "qv")} AS cosine
@@ -203,7 +211,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket, top-10 within it.  The scale path behind knn_brute_cosine.",
 )
 def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
@@ -226,11 +234,12 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_int8_quantize",
-    oracle="""
+    oracle=f"""
     WITH vals AS (
       SELECT CAST(unnest(embedding) AS DOUBLE) AS val,
              generate_subscripts(embedding, 1) AS dim
       FROM embeddings
+      WHERE {SQL_VECTOR_READY}
     ),
     rng AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM vals GROUP BY dim),
     q AS (
@@ -265,7 +274,11 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer-exact (codes) up to a final rounded division.",
 )
 def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # vector_ready, not cosine_ready: quantization never divides by
+    # the norm, so zero vectors stay (they quantize losslessly); a
+    # single NaN/Inf element would poison its dimension's min/max
+    # range and silently wreck every code in that dimension
+    emb = vector_ready(load_table(spark, sf_dir, "embeddings"))
     vals = emb.select(F.posexplode("embedding").alias("dim0", "valf")).select(
         # long: DuckDB generate_subscripts is BIGINT — keep dtypes equal
         (F.col("dim0") + 1).cast("long").alias("dim"),
@@ -305,6 +318,7 @@ _H1_SET = ", ".join(str(v) for v in [0] + [1 << p for p in range(N_PLANES)])
     WITH bucketed AS (
       SELECT vec_id, embedding, CAST({_SQL_BUCKET} AS INT) AS bucket
       FROM embeddings
+      WHERE {SQL_COSINE_READY}
     ),
     q AS (SELECT embedding AS qv, bucket AS q_bucket FROM bucketed WHERE vec_id = 0)
     SELECT vec_id,
@@ -326,7 +340,7 @@ _H1_SET = ", ".join(str(v) for v in [0] + [1 << p for p in range(N_PLANES)])
     "recall vs single-probe is asserted in pytest.",
 )
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = cosine_ready(load_table(spark, sf_dir, "embeddings"))
     bucketed = e.select(
         "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
     )
@@ -363,7 +377,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(i - 1 AS INT) AS dim,
              CAST(embedding[i] AS DOUBLE) AS val
       FROM embeddings, unnest(range(1, {DIM + 1})) AS t(i)
-      WHERE embedding IS NOT NULL
+      WHERE {SQL_VECTOR_READY}
     ),
     moments AS (
       SELECT dim,
@@ -394,11 +408,13 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical values (float-fold parity rule, FIXTURES.md).",
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL embeddings carry no dimensions (r6; posexplode skips them
-    # implicitly — the filter makes the universe explicit on both sides)
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    # r9: full vector_ready (was isNotNull-only, r6).  A wrong-length
+    # vector would desynchronize the two engines' dimension universes
+    # (posexplode emits its actual indices; the oracle's fixed
+    # range(1,65) probe reads NULLs past its end), and one NaN element
+    # turns that dimension's mean/variance into NaN — the screen must
+    # measure the well-formed corpus, the audit counts the rest
+    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
     moments = (
         e.select(F.posexplode("embedding").alias("dim", "val_f"))
         .select(F.col("dim").cast("int"), F.col("val_f").cast("double").alias("val"))
@@ -562,4 +578,93 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         overlap.cast("int").alias("n_overlap"),
         F.round(overlap.cast("double") / _MRL_K, 6).alias(f"recall_at_{_MRL_K}"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector ingest audit (r9 — the observability half of vector_ready)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_ingest_audit",
+    oracle="""
+    SELECT CASE
+             WHEN embedding IS NULL THEN 'null_vec'
+             WHEN len(embedding) <> 64 THEN 'wrong_dim'
+             WHEN coalesce(list_bool_or([x IS NULL for x in embedding]),
+                           false) THEN 'null_elem'
+             WHEN coalesce(list_bool_or([isnan(CAST(x AS DOUBLE))
+                                         for x in embedding]),
+                           false) THEN 'nan_elem'
+             WHEN coalesce(list_bool_or([isinf(CAST(x AS DOUBLE))
+                                         for x in embedding]),
+                           false) THEN 'inf_elem'
+             WHEN coalesce(list_bool_or([abs(CAST(x AS DOUBLE)) > 1000000.0
+                                         for x in embedding]),
+                           false) THEN 'mag_outlier'
+             WHEN list_aggregate([CAST(x AS DOUBLE) * x for x in embedding],
+                                 'sum') = 0 THEN 'zero_norm'
+             ELSE 'ok'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(vec_id) AS min_vec_id,
+           max(vec_id) AS max_vec_id
+    FROM embeddings
+    GROUP BY 1
+    """,
+    tags=("B25", "B20", "B17", "mining"),
+    doc="Per-defect-class census of the embedding column — the "
+    "observability half of the r9 vector ingest contract "
+    "(functions.vector_ready): every vector the cosine/PQ/IVF/array "
+    "family EXCLUDES is COUNTED here, by cause, with an id range for "
+    "triage, so the exclusion is never a silent drop (no-silent-caps "
+    "rule).  Classes, in precedence order: NULL vector (encoder job "
+    "died mid-shard), wrong dimension (truncated or concatenated "
+    "write), NULL element (columnar writer partial flush), NaN (0/0 "
+    "normalization upstream), ±Inf (fp16 overflow at encode), "
+    "magnitude outlier (well-formed but past MOMENT_MAG_BOUND — "
+    "excluded only from cross-dimension signed means, see "
+    "moment_ready), zero norm (dead encoder — well-formed but "
+    "cosine-ineligible), ok.  "
+    "Scale shape: the classification is a per-row codegen expression "
+    "(exists/aggregate higher-order funcs, no UDF, no explode) and "
+    "the census is one map-side-combinable aggregate over at most 7 "
+    "groups — one narrow exchange regardless of corpus size.  The "
+    "precedence matters for engine agreement: each class is decided "
+    "only after every NaN-ordering-sensitive class above it has been "
+    "ruled out (Spark and DuckDB disagree on NaN > 0, see "
+    "vector_ready's docstring).",
+)
+def embedding_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scache_spark.functions import EMB_DIM, MOMENT_MAG_BOUND
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = F.col("embedding")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    sumsq = F.aggregate(c, F.lit(0.0), lambda a, x: a + dbl(x) * dbl(x))
+    status = (
+        F.when(c.isNull(), "null_vec")
+        .when(F.size(c) != EMB_DIM, "wrong_dim")
+        .when(F.exists(c, lambda x: x.isNull()), "null_elem")
+        .when(F.exists(c, lambda x: F.isnan(dbl(x))), "nan_elem")
+        .when(
+            F.exists(c, lambda x: F.abs(dbl(x)) == F.lit(float("inf"))),
+            "inf_elem",
+        )
+        .when(
+            F.exists(c, lambda x: F.abs(dbl(x)) > F.lit(MOMENT_MAG_BOUND)),
+            "mag_outlier",
+        )
+        .when(sumsq == 0, "zero_norm")
+        .otherwise("ok")
+    )
+    return (
+        e.select(status.alias("status"), "vec_id")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
     )

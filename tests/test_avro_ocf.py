@@ -137,6 +137,50 @@ def test_spark_array_column_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+def test_spark_dirty_vector_transport(spark, tmp_path):
+    """SCALE.md §20 #6 (sources transport, operators validate): every
+    dirty-embeddings corruption class — NULL vector, empty, wrong
+    length, NULL element, NaN, ±Inf, -0.0, float32-edge magnitude —
+    survives the distributed Avro write/read BIT-exactly.  The codec
+    must not sanitize, drop, or reorder malformed vectors; that is
+    vector_ready's job downstream."""
+    import math
+    import struct as _s
+
+    A.register_avro_ocf(spark)
+    rows = [
+        Row(k=1, emb=None),
+        Row(k=2, emb=[]),
+        Row(k=3, emb=[0.5] * 32),
+        Row(k=4, emb=[0.5] * 128),
+        Row(k=5, emb=[1.0, None, 2.0]),
+        Row(k=6, emb=[float("nan"), 1.0]),
+        Row(k=7, emb=[float("inf"), float("-inf")]),
+        Row(k=8, emb=[-0.0, 0.0]),
+        Row(k=9, emb=[1.0e20, -1.0e20, 3.0e38]),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, emb array<float>")
+    out = str(tmp_path / "avro_dirty_vec")
+    df.write.format("avro_ocf").option("path", out).mode("overwrite").save()
+    back = spark.read.format("avro_ocf").option("path", out).load()
+    assert back.schema == df.schema
+    got = {r.k: r.emb for r in back.collect()}
+    assert len(got) == len(rows)
+    for r in rows:
+        want, have = r.emb, got[r.k]
+        if want is None:
+            assert have is None
+            continue
+        assert len(have) == len(want)
+        for w, h in zip(want, have):
+            if w is None:
+                assert h is None
+            else:  # bit-exact float32: NaN payload, signed zero, Inf
+                assert _s.pack("<f", h) == _s.pack("<f", w), (r.k, w, h)
+    # explicit: NaN transported AS NaN (not None, not 0.0)
+    assert math.isnan(got[6][0])
+
+
 # ---------------------------------------------------------------------------
 # property: arbitrary rows survive the full OCF round trip bit-exactly
 # ---------------------------------------------------------------------------

@@ -54,6 +54,15 @@ _vec_token = st.one_of(
     st.integers(min_value=0, max_value=2**31 - 1),
     st.none(),      # NULL embedding (ingest reject)
     st.just(-1),    # dead encoder -> zero vector
+    # r9 vector_ready classes (SCALE.md §20): each draws ONE malformed
+    # shape the well-formedness clause must reject in both engines
+    st.just(-2),    # truncated write -> short vector
+    st.just(-3),    # concatenated write -> long vector
+    st.just(-4),    # partial columnar flush -> NULL element
+    st.just(-5),    # 0/0 normalization upstream -> NaN element
+    st.just(-6),    # fp16 overflow at encode -> +Inf element
+    st.just(-7),    # empty list
+    st.just(-8),    # float32-edge magnitude (well-formed; double-fold)
 )
 
 
@@ -62,6 +71,20 @@ def _expand_vec(tok):
         return None
     if tok == -1:
         return [0.0] * _DIM
+    if tok == -2:
+        return [0.5] * (_DIM // 2)
+    if tok == -3:
+        return [0.5] * (_DIM * 2)
+    if tok == -4:
+        return [0.5] * (_DIM - 1) + [None]
+    if tok == -5:
+        return [float("nan")] + [0.5] * (_DIM - 1)
+    if tok == -6:
+        return [0.5] * (_DIM - 1) + [float("inf")]
+    if tok == -7:
+        return []
+    if tok == -8:
+        return [1.0e20 if i % 2 else -1.0e20 for i in range(_DIM)]
     import numpy as np
 
     rs = np.random.RandomState(tok)
@@ -235,15 +258,22 @@ def test_classifier_auc_single_class_corpus(spark, tmp_path_factory):
 @_SETTINGS
 @given(toks=st.lists(_vec_token, min_size=20, max_size=40))
 def test_vector_contracts_fuzzed(spark, tmp_path_factory, toks):
-    """The cosine_ready contract (NULL / zero-norm exclusion) holds for
-    ANY mix of dead-encoder and NULL embeddings."""
+    """The vector_ready / cosine_ready contracts (NULL / zero-norm /
+    wrong-dim / non-finite / NULL-element exclusion, SCALE.md §20)
+    hold for ANY mix of corruption classes — including the audit that
+    counts them, so the census precedence algebra is fuzzed too."""
     tmp = tmp_path_factory.mktemp("fuzz_vecs")
     vecs = [(i, _expand_vec(t), i % 3) for i, t in enumerate(toks)]
     sf = _stage(tmp, vecs=vecs)
     _check(
         spark,
         sf,
-        ["dedup_embedding_cosine", "embedding_dim_stats"],
+        [
+            "dedup_embedding_cosine",
+            "embedding_dim_stats",
+            "embedding_ingest_audit",
+            "knn_brute_cosine",
+        ],
         ["embeddings"],
     )
 

@@ -414,3 +414,103 @@ def test_dirty_orders_contracts_hold(spark, dirty_orders_dir):
         spdf = REGISTRY[name].fn(spark, dirty_orders_dir).toPandas()
         odf = con.execute(oracles[name]).df()
         assert_frames_match(spdf, odf, name)
+
+
+# ---------------------------------------------------------------------------
+# dirty-embeddings contract (r9): the vector_ready ingest classes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dirty_embeddings_dir():
+    from tools.scale_stress import stage_dirty_embeddings
+
+    out = stage_dirty_embeddings("/root/testdata/sf0.001")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dirty_embeddings_contracts_hold(spark, dirty_embeddings_dir):
+    """A representative slice of the vector family must match its
+    oracles on the planted corruption classes — the in-suite guard for
+    the --dirty-embeddings axis (SCALE_STRESS_dirty_embeddings.json;
+    the full 31-query pool runs there at sf0.1)."""
+    from __spark_entry__ import oracle_sql
+
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import assert_frames_match
+
+    _ensure_loaded()
+    oracles = oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{dirty_embeddings_dir}/{t}.parquet')"
+        )
+    for name in [
+        "embedding_ingest_audit",
+        "knn_brute_cosine",
+        "ann_lsh_buckets",
+        "embedding_int8_quantize",
+        "embedding_dim_stats",
+        "array_explode_agg",
+        "kmeans_two_rounds",
+        "posexplode_embedding_head",
+    ]:
+        spdf = REGISTRY[name].fn(spark, dirty_embeddings_dir).toPandas()
+        odf = con.execute(oracles[name]).df()
+        assert_frames_match(spdf, odf, name)
+
+
+def test_dirty_embeddings_plant_classes_pinned(spark, dirty_embeddings_dir):
+    """Each planted vector must land on its EXACT audit class (the
+    census precedence contract), the negative-id healthy plant must
+    NOT hijack a k-means/IVF seed, and the magnitude outlier must be
+    excluded from the cross-dimension signed mean but present in the
+    cosine universe (SCALE.md §20 #8)."""
+    from scache_spark.functions import cosine_ready, moment_ready
+    from scache_spark.catalog import load_table
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    e = load_table(spark, dirty_embeddings_dir, "embeddings")
+    plant_ids = {95001, 95002, 95003, 95004, 95005, 95006, 95007, 95008,
+                 95009, 95010, -95011}
+    audit = (
+        REGISTRY["embedding_ingest_audit"]
+        .fn(spark, dirty_embeddings_dir)
+        .toPandas()
+        .set_index("status")
+    )
+    # clean sf0.001 embeddings are all 'ok', so every degraded class
+    # count is exactly its plant count
+    assert int(audit.loc["null_vec", "n_vecs"]) == 1
+    assert int(audit.loc["wrong_dim", "n_vecs"]) == 3
+    assert int(audit.loc["null_elem", "n_vecs"]) == 1
+    assert int(audit.loc["nan_elem", "n_vecs"]) == 1
+    assert int(audit.loc["inf_elem", "n_vecs"]) == 2
+    assert int(audit.loc["mag_outlier", "n_vecs"]) == 1
+    assert int(audit.loc["mag_outlier", "min_vec_id"]) == 95009
+    # healthy plants (NULL-label 95010, negative-id -95011) are 'ok'
+    assert int(audit.loc["ok", "max_vec_id"]) == 95010
+    assert int(audit.loc["ok", "min_vec_id"]) == -95011
+    # seed-id-range rule: -95011 passes vector_ready yet must not seed
+    from scache_spark.operators.clustering import _centroids
+
+    cells = {r.cell for r in _centroids(spark, dirty_embeddings_dir).collect()}
+    assert -95011 not in cells and all(c >= 0 for c in cells)
+    # the magnitude outlier flows the cosine universe (order-mirrored
+    # folds) but not the moment universe (signed-sum cancellation)
+    cos_ids = {
+        r.vec_id
+        for r in cosine_ready(e).select("vec_id").collect()
+        if r.vec_id in plant_ids
+    }
+    mom_ids = {
+        r.vec_id
+        for r in moment_ready(e).select("vec_id").collect()
+        if r.vec_id in plant_ids
+    }
+    assert cos_ids == {95009, 95010, -95011}
+    assert mom_ids == {95010, -95011}

@@ -36,6 +36,9 @@ name-substring scoping and write their own artifact):
                     render samples (§18)
   --dirty-binary    pathological binary payloads hitting the multimodal
                     decode contract (§19)
+  --dirty-embeddings
+                    pathological vector rows hitting the vector_ready
+                    ingest contract (§20)
 """
 
 from __future__ import annotations
@@ -1070,6 +1073,132 @@ def run_dirty_binary(base: str, subs: list[str]) -> None:
     sys.exit(1 if n_fail else 0)
 
 
+# --dirty-embeddings (r9, this session): the vector-column corruption
+# classes the r6 --dirty axis did NOT plant — wrong dimension
+# (truncated/concatenated encoder write), NULL element (columnar
+# partial flush), NaN (0/0 normalization upstream), +/-Inf (fp16
+# overflow at encode), a float32-edge magnitude (1e20: its SQUARE
+# overflows float32, so the row proves every dot/norm folds in
+# DOUBLE), and a healthy vector under a corrupt NEGATIVE id (the
+# seed-hijack probe for the "first K ids" IVF/k-means seed rule).
+# Both engines read the same staged parquet; the contract under test
+# is functions.vector_ready / SQL_VECTOR_READY at every embeddings
+# load site, with embedding_ingest_audit counting each planted class.
+_DIRTY_EMB_ROWS_SQL = """
+    SELECT CAST(95001 AS BIGINT) AS vec_id,
+           CAST(NULL AS FLOAT[]) AS embedding, CAST(1 AS INT) AS label
+    UNION ALL SELECT 95002, CAST([] AS FLOAT[]), 2
+    UNION ALL SELECT 95003,
+      [CAST(0.01 * j AS FLOAT) for j in range(1, 33)], 3
+    UNION ALL SELECT 95004,
+      [CAST(0.01 * j AS FLOAT) for j in range(1, 129)], 4
+    UNION ALL SELECT 95005,
+      [CASE WHEN j = 7 THEN NULL ELSE CAST(0.01 * j AS FLOAT) END
+       for j in range(1, 65)], 5
+    UNION ALL SELECT 95006,
+      [CASE WHEN j = 9 THEN CAST('nan' AS FLOAT)
+            ELSE CAST(0.01 * j AS FLOAT) END for j in range(1, 65)], 6
+    UNION ALL SELECT 95007,
+      [CASE WHEN j = 11 THEN CAST('inf' AS FLOAT)
+            ELSE CAST(0.01 * j AS FLOAT) END for j in range(1, 65)], 7
+    UNION ALL SELECT 95008,
+      [CASE WHEN j = 13 THEN CAST('-inf' AS FLOAT)
+            ELSE CAST(0.01 * j AS FLOAT) END for j in range(1, 65)], 8
+    UNION ALL SELECT 95009,
+      [CAST(1.0e20 * (CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END) AS FLOAT)
+       for j in range(1, 65)], 9
+    UNION ALL SELECT 95010,
+      [CAST(0.02 * j AS FLOAT) for j in range(1, 65)], NULL
+    UNION ALL SELECT -95011,
+      [CAST(0.03 * j AS FLOAT) for j in range(1, 65)], 1
+"""
+# expected embedding_ingest_audit classes for the plants:
+#   95001 null_vec    95002+95003+95004 wrong_dim   95005 null_elem
+#   95006 nan_elem    95007+95008 inf_elem
+#   95009 mag_outlier (finite float32-edge magnitude: flows the
+#         order-mirrored dot/cosine folds — the double-fold proof —
+#         but is excluded from the cross-dimension signed mean, the
+#         avg-cancellation finding in SCALE.md §20 #8)
+#   95010 ok (NULL label exercises the label-join paths)
+#   -95011 ok (must NOT become an IVF/k-means seed despite id < K)
+# (the r6 --dirty axis already plants zero_norm as vec 990001)
+
+
+def stage_dirty_embeddings(base: str) -> str:
+    """Stage a replica with the planted vector rows appended to
+    embeddings; every other table copies verbatim."""
+    key = base.strip("/").replace("/", "_")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_embeddings")
+    marker = os.path.join(out, "_STAGED")
+    if os.path.exists(marker):
+        return out
+    import glob as _glob
+    import shutil as _shutil
+
+    derived_key = out.strip("/").replace("/", "_")
+    for root in (".alt_src", ".stream_src"):
+        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
+            _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        src = f"read_parquet('{base}/{t}.parquet')"
+        sel = (
+            f"SELECT * FROM {src} UNION ALL {_DIRTY_EMB_ROWS_SQL}"
+            if t == "embeddings"
+            else f"SELECT * FROM {src}"
+        )
+        con.execute(
+            f"COPY ({sel}) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        print(f"  staged {t}", flush=True)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"base": base, "dirty_rows": 11}))
+    return out
+
+
+def run_dirty_embeddings(base: str, subs: list[str]) -> None:
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    from __spark_entry__ import oracle_sql
+
+    oracles = oracle_sql()
+    # dynamic pool, like --dirty: every oracle that reads the
+    # embeddings table sees the planted vectors
+    pool = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None and "embeddings" in s.oracle
+    )
+    names = [n for n in pool if not subs or any(x in n for x in subs)]
+    print(f"staging dirty-embeddings replica from {base} ...", flush=True)
+    sf_dir = stage_dirty_embeddings(base)
+    spark = get_session("scale-stress-dirty-embeddings")
+    results = run_queries(spark, sf_dir, names, oracles)
+    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
+    out = {
+        "base": base,
+        "mode": "dirty-embeddings (11 planted vector rows: NULL / empty / "
+        "short-32 / long-128 vectors, NULL / NaN / +Inf / -Inf "
+        "elements, a 1e20 float32-edge magnitude vector, a healthy "
+        "NULL-label vector, and a healthy vector under a negative id "
+        "probing the seed-id-range rule)",
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
+        "queries": results,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_dirty_embeddings{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
+    sys.exit(1 if n_fail else 0)
+
+
 def hot_band_stats(sf_dir: str) -> dict:
     """Diagnostic: size of the largest (band_id, band_hash) bucket and
     the number of buckets the BAND_CAP guard demotes, computed on the
@@ -1466,6 +1595,9 @@ def main() -> None:
     dirty_binary = "--dirty-binary" in args
     if dirty_binary:
         args.remove("--dirty-binary")
+    dirty_embeddings = "--dirty-embeddings" in args
+    if dirty_embeddings:
+        args.remove("--dirty-embeddings")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
@@ -1506,6 +1638,12 @@ def main() -> None:
         or dirty_events or dirty_catalog or dirty_orders or dirty_trace
     ):
         sys.exit("scale_stress: --dirty-binary is its own protocol")
+    if dirty_embeddings and (
+        rest or skew is not None or boilerplate or checksum or dirty
+        or dirty_events or dirty_catalog or dirty_orders or dirty_trace
+        or dirty_binary
+    ):
+        sys.exit("scale_stress: --dirty-embeddings is its own protocol")
     if boilerplate:
         run_boilerplate(base, factor, subs)
         return
@@ -1529,6 +1667,9 @@ def main() -> None:
         return
     if dirty_binary:
         run_dirty_binary(base, subs)
+        return
+    if dirty_embeddings:
+        run_dirty_embeddings(base, subs)
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
