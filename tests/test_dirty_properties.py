@@ -150,7 +150,8 @@ def _stage(tmp, docs=None, vecs=None, events=None) -> str:
         pdf["n_chars"] = [len(t) if t is not None else 0 for t in pdf["text"]]
         con.register("d", pdf)
         con.execute(
-            f"""COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+            f"""COPY (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CAST(text AS VARCHAR) AS text, lang,
                         source, CAST(n_chars AS BIGINT) AS n_chars FROM d)
                 TO '{tmp}/documents.parquet' (FORMAT PARQUET)"""
         )
@@ -719,4 +720,59 @@ def test_trace_monitor_host_universe_fuzzed(
         sf,
         ["task_host_utilization_align"],
         ["lineitem", "events"],
+    )
+
+
+# --- binary decode fuzz (r9: the dirty-BINARY axis had fixed plants only) --
+
+# Payload shapes drawn over the _safe_decode surface (SCALE.md §19):
+# raw bodies (incl. multibyte — octet_length vs char-length asymmetry),
+# well-framed SCB1 headers whose declared length exactly equals the
+# body's UTF-8 byte length, random declared lengths (which sometimes
+# happen to match — the generator does not avoid the ok path),
+# leading-zero declared lengths, bare/bad magic, header truncations,
+# framed-zero-length, and oversize declarations past the decode budget.
+_bin_body = st.text(alphabet=st.sampled_from(list("ab0:ж☃xyz ")), max_size=24)
+_bin_payload = st.one_of(
+    st.none(),
+    st.just(""),
+    _bin_body,
+    _bin_body.map(lambda b: f"SCB1:{len(b.encode('utf-8'))}:{b}"),
+    st.tuples(_bin_body, st.integers(min_value=0, max_value=40)).map(
+        lambda t: f"SCB1:{t[1]}:{t[0]}"
+    ),
+    st.just("SCB"),
+    st.just("SCBX:5:hello"),
+    st.just("SCB1:"),
+    st.just("SCB1:12"),
+    st.just("SCB1:0:"),
+    st.just("SCB1:007:abcdefg"),
+    _bin_body.map(lambda b: f"SCB1:2000000:{b}"),
+)
+
+
+@_SETTINGS
+@given(payloads=st.lists(_bin_payload, min_size=12, max_size=30))
+def test_binary_decode_contract_fuzzed(spark, tmp_path_factory, payloads):
+    """The _safe_decode ↔ _SQL_DECODE status precedence and the
+    body-byte fan-outs (frames / audio windows / pHash) agree for ANY
+    payload mix — the property form of the fixed dirty-binary plants,
+    closing the same fixed-case-only gap the r8 trace fuzzer closed
+    for the log-parse family."""
+    tmp = tmp_path_factory.mktemp("fuzz_bin")
+    docs = [(i, p) for i, p in enumerate(payloads)]
+    sf = _stage(tmp, docs=docs)
+    _check(
+        spark,
+        sf,
+        [
+            "multimodal_meta",
+            "multimodal_features",
+            "multimodal_decode_audit",
+            "multimodal_feature_agg",
+            "multimodal_frame_sample",
+            "multimodal_audio_energy",
+            "multimodal_phash_neardup",
+        ],
+        ["documents"],
     )
