@@ -235,8 +235,8 @@ def main() -> None:
     # a 1.5x phantom) while multi-second queries stop at the base reps
     # (their spread was already low and extra passes only burn wall).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))
-    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8")))
-    target_cum = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_CUM_S", "2.0"))
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "10")))
+    target_cum = float(os.environ.get("SPARK_GRAFT_BENCH_TARGET_CUM_S", "3.0"))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     t_wall0 = time.time()
@@ -250,6 +250,16 @@ def main() -> None:
         print(f"# {tag} done over {len(names)} queries "
               f"({round(time.time() - t_wall0, 1)}s elapsed)", file=sys.stderr)
 
+    # Untimed warm-up pass (r9, noise-floor item): the FIRST-ever
+    # execution of each plan in a session pays Catalyst analysis,
+    # whole-stage-codegen compilation, JVM JIT, and cold page cache —
+    # one systematically slow sample per query that the min-estimator
+    # ignores but the (max-min)/min noise floor misreads as load
+    # noise.  Warm once, then measure: the spread now reflects actual
+    # run-to-run variance, which is what the regression detector needs.
+    _one_pass(HEADLINE, "warm-up (untimed)")
+    for name in HEADLINE:
+        samples[name].clear()
     for rep in range(reps):
         _one_pass(HEADLINE, f"pass {rep + 1}/{reps}")
     for rep in range(reps, max_reps):
@@ -262,16 +272,35 @@ def main() -> None:
         name: round((max(ts) - min(ts)) / min(ts), 3) if min(ts) > 0 else None
         for name, ts in samples.items()
     }
+    # The estimator-relevant noise floor (r9): the headline number is a
+    # SUM OF MINIMA, so its uncertainty per query is how far the min
+    # would move had the best sample been lost — the gap to the SECOND
+    # smallest sample — not the worst outlier the max-based spread
+    # reports.  On this box a 0.3 s query jitters ~0.1 s absolute under
+    # OS/GC load (max-spread ~0.3 no matter how many reps), while its
+    # two smallest of 8 samples sit within a few percent — so min_gap
+    # is the regression detector's real resolution: a 1.3x change in a
+    # query with min_gap 0.05 is 6 sigma, unmissable.  Both metrics are
+    # recorded; max-spread stays for load-blip forensics.
+    min_gap = {}
+    for name, ts in samples.items():
+        s = sorted(ts)
+        min_gap[name] = (
+            round((s[1] - s[0]) / s[0], 3) if len(s) > 1 and s[0] > 0 else None
+        )
     for name in HEADLINE:
         print(f"# {name}: {timings[name]}s (spread {spread[name]}, "
-              f"{rows[name]} rows)", file=sys.stderr)
+              f"min_gap {min_gap[name]}, {rows[name]} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     spreads = sorted(s for s in spread.values() if s is not None)
-    # kept deliberately SHORT (4 keys): it sits inside the ~2000-char
+    gaps = sorted(g for g in min_gap.values() if g is not None)
+    # kept deliberately SHORT: it sits inside the ~2000-char
     # truncation-survivor budget alongside the shared block + timings
     noise_floor = {
         "median_rel_spread": round(spreads[len(spreads) // 2], 3) if spreads else None,
         "p90_rel_spread": round(spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
+        "median_min_gap": round(gaps[len(gaps) // 2], 3) if gaps else None,
+        "p90_min_gap": round(gaps[int(len(gaps) * 0.9)], 3) if gaps else None,
         "reps_min": min(len(ts) for ts in samples.values()),
         "reps_max": max(len(ts) for ts in samples.values()),
     }
