@@ -231,7 +231,7 @@ def main() -> None:
     # base interleaved passes run every query; EXTRA interleaved passes
     # then rerun only the queries whose cumulative sample time is still
     # under TARGET_CUM_S, until that bar or MAX_REPS — sub-second
-    # queries get up to 8 minima samples (where a single load blip was
+    # queries get up to 10 minima samples (where a single load blip was
     # a 1.5x phantom) while multi-second queries stop at the base reps
     # (their spread was already low and extra passes only burn wall).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4")))

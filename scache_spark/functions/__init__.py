@@ -125,9 +125,9 @@ poisons every downstream dot product, so the dimension check belongs
 at load, where the reject is countable (embedding_ingest_audit)."""
 
 
-def vector_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+def vector_ready(df, col: str = "embedding"):
     """r9 VECTOR INGEST CONTRACT (SCALE_STRESS_dirty_embeddings.json):
-    a vector is well-formed iff it is non-NULL, exactly ``dim``
+    a vector is well-formed iff it is non-NULL, exactly ``EMB_DIM``
     elements, and every element is non-NULL and finite.  Real 100 TB
     corruption classes behind each clause: NULL vector (encoder job
     died mid-shard), short/long vector (truncated or concatenated
@@ -152,11 +152,11 @@ def vector_ready(df, col: str = "embedding", dim: int = EMB_DIM):
         | F.isnan(x.cast("double"))
         | (F.abs(x.cast("double")) == F.lit(float("inf"))),
     )
-    return df.filter(c.isNotNull() & (F.size(c) == dim) & ~bad_elem)
+    return df.filter(c.isNotNull() & (F.size(c) == EMB_DIM) & ~bad_elem)
 
 
 SQL_VECTOR_READY = (
-    "(embedding IS NOT NULL AND len(embedding) = 64 AND NOT coalesce("
+    f"(embedding IS NOT NULL AND len(embedding) = {EMB_DIM} AND NOT coalesce("
     "list_bool_or([x IS NULL OR isnan(CAST(x AS DOUBLE)) "
     "OR isinf(CAST(x AS DOUBLE)) for x in embedding]), false))"
 )
@@ -174,14 +174,14 @@ element-order folds (vec_dot) are mirrored exactly — only a
 cross-dimension SIGNED mean needs this bound."""
 
 
-def moment_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+def moment_ready(df, col: str = "embedding"):
     """vector_ready plus the dynamic-range clause above — the load
     guard for cross-dimension signed-sum moment queries."""
     over = F.exists(
         F.col(col),
         lambda x: F.abs(x.cast("double")) > F.lit(MOMENT_MAG_BOUND),
     )
-    return vector_ready(df, col, dim).filter(~over)
+    return vector_ready(df, col).filter(~over)
 
 
 SQL_MOMENT_READY = (
@@ -191,7 +191,7 @@ SQL_MOMENT_READY = (
 )
 
 
-def cosine_ready(df, col: str = "embedding", dim: int = EMB_DIM):
+def cosine_ready(df, col: str = "embedding"):
     """r6 VECTOR CONTRACT, r9-extended (well-formedness first): on top
     of ``vector_ready``, a ZERO-NORM vector (a dead encoder's output —
     real data) has no defined cosine direction (0/0), so the cosine
@@ -205,7 +205,7 @@ def cosine_ready(df, col: str = "embedding", dim: int = EMB_DIM):
     sq = F.aggregate(
         F.col(col), F.lit(0.0), lambda a, x: a + x.cast("double") * x
     )
-    return vector_ready(df, col, dim).filter(sq > 0)
+    return vector_ready(df, col).filter(sq > 0)
 
 
 SQL_COSINE_READY = (

@@ -601,17 +601,24 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_audio_energy",
     oracle=f"""
-    WITH decoded AS ({_SQL_DECODE})
+    WITH decoded AS ({_SQL_DECODE}),
+    hexed AS (
+      SELECT doc_id, hex(encode(body)) AS h,
+             octet_length(encode(body)) AS nb
+      FROM decoded WHERE status = 'ok')
     SELECT doc_id AS asset_id,
            CAST(g AS INT) AS win_no,
-           round(sqrt(list_aggregate(
-             [CAST(ascii(substr(body, g*{_AUDIO_WIN} + i, 1)) AS DOUBLE)
-              * ascii(substr(body, g*{_AUDIO_WIN} + i, 1))
-              for i in range(1, {_AUDIO_WIN} + 1)], 'sum') / 64.0), 6) AS rms
-    FROM decoded,
+           round(sqrt(CAST(list_aggregate(
+             [CAST(('0x' || substr(h, (g*{_AUDIO_WIN} + i - 1) * 2 + 1, 2))
+                   AS INT)
+              * CAST(('0x' || substr(h, (g*{_AUDIO_WIN} + i - 1) * 2 + 1, 2))
+                     AS INT)
+              for i in range(1, {_AUDIO_WIN} + 1)], 'sum') AS DOUBLE)
+             / 64.0), 6) AS rms
+    FROM hexed,
          (SELECT unnest(range(0, {_AUDIO_MAX_WIN})) AS g)
-    WHERE status = 'ok' AND doc_id % 3 = 1
-      AND g < floor(length(body) / {_AUDIO_WIN})
+    WHERE doc_id % 3 = 1
+      AND g < nb // {_AUDIO_WIN}
     """,
     tags=("north-star", "B23", "B16"),
     doc="Audio windowed-energy extraction over opaque binary assets: "
@@ -621,7 +628,12 @@ def _audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "trimming build on, completing the multimodal legs (image "
     "pHash, video frame sampling, audio energy).  One scan, no "
     "shuffle, window rows fan out inside the Arrow batch; the "
-    "oracle recomputes every window from the text bytes, verifying "
+    "oracle recomputes every window from the decoded UTF-8 BYTES "
+    "via hex extraction (r9 code-review fix: the original "
+    "length/ascii form counted CHARACTERS and squared CODEPOINTS, "
+    "diverging from the byte-true Spark side on any multibyte 'ok' "
+    "audio payload — the last decode leg still on the char "
+    "shortcut the frame/pHash oracles dropped in r6), verifying "
     "the decode-window-reduce chain exactly.",
 )
 def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

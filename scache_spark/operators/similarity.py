@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from scache_spark.catalog import load_table
 from scache_spark.functions import (
+    MOMENT_MAG_BOUND,
     SQL_COSINE_READY,
     SQL_VECTOR_READY,
     bounded_window,
@@ -588,10 +589,10 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ingest_audit",
-    oracle="""
+    oracle=f"""
     SELECT CASE
              WHEN embedding IS NULL THEN 'null_vec'
-             WHEN len(embedding) <> 64 THEN 'wrong_dim'
+             WHEN len(embedding) <> {DIM} THEN 'wrong_dim'
              WHEN coalesce(list_bool_or([x IS NULL for x in embedding]),
                            false) THEN 'null_elem'
              WHEN coalesce(list_bool_or([isnan(CAST(x AS DOUBLE))
@@ -600,7 +601,8 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN coalesce(list_bool_or([isinf(CAST(x AS DOUBLE))
                                          for x in embedding]),
                            false) THEN 'inf_elem'
-             WHEN coalesce(list_bool_or([abs(CAST(x AS DOUBLE)) > 1000000.0
+             WHEN coalesce(list_bool_or([abs(CAST(x AS DOUBLE))
+                                         > {MOMENT_MAG_BOUND!r}
                                          for x in embedding]),
                            false) THEN 'mag_outlier'
              WHEN list_aggregate([CAST(x AS DOUBLE) * x for x in embedding],

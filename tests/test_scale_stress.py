@@ -248,7 +248,7 @@ def test_dirty_binary_plant_statuses_pinned(spark, dirty_binary_dir):
     feats = (
         REGISTRY["multimodal_features"]
         .fn(spark, dirty_binary_dir)
-        .filter("asset_id >= 91001 AND asset_id <= 91011")
+        .filter("asset_id >= 91001 AND asset_id <= 91012")
         .toPandas()
         .set_index("asset_id")
     )
@@ -264,6 +264,10 @@ def test_dirty_binary_plant_statuses_pinned(spark, dirty_binary_dir):
         91009: "ok",
         91010: "empty",
         91011: "empty",
+        # multibyte framed audio: 24 snowmen = 72 UTF-8 bytes; the
+        # declared length and every downstream window count are
+        # BYTE-derived (r9 char-vs-byte audio-oracle regression plant)
+        91012: "ok",
     }
     got = feats["decode_status"].to_dict()
     assert got == expected, got
@@ -271,6 +275,7 @@ def test_dirty_binary_plant_statuses_pinned(spark, dirty_binary_dir):
     assert feats.loc[91004, "n_bytes"] == 5
     assert feats.loc[91007, "n_bytes"] == 256
     assert feats.loc[91009, "n_bytes"] == 200
+    assert feats.loc[91012, "n_bytes"] == 72  # bytes, not 24 chars
     frames = (
         REGISTRY["multimodal_frame_sample"]
         .fn(spark, dirty_binary_dir)
@@ -282,11 +287,13 @@ def test_dirty_binary_plant_statuses_pinned(spark, dirty_binary_dir):
     wins = (
         REGISTRY["multimodal_audio_energy"]
         .fn(spark, dirty_binary_dir)
-        .filter("asset_id >= 91001 AND asset_id <= 91011")
+        .filter("asset_id >= 91001 AND asset_id <= 91012")
         .toPandas()
     )
-    assert sorted(wins["asset_id"].unique()) == [91009]
-    assert len(wins) == 3  # 200 // 64
+    assert sorted(wins["asset_id"].unique()) == [91009, 91012]
+    # 200 // 64 = 3 ASCII windows; 72 bytes // 64 = 1 multibyte window
+    # (a char-counting decode would emit ZERO windows for 91012)
+    assert len(wins) == 4
 
 
 # ---------------------------------------------------------------------------

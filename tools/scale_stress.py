@@ -303,12 +303,18 @@ _DIRTY_ROWS_SQL = """
 """
 
 
-def stage_dirty(base: str) -> str:
-    """Stage a replica whose documents table carries the 13 planted
-    pathological rows appended to the untouched fixture; every other
-    table is copied verbatim."""
+def _stage_dirty_replica(
+    base: str, suffix: str, plants: dict, n_rows: int
+) -> str:
+    """Shared dirty-replica stager (r9 consolidation — the seven axes
+    previously each re-pasted this skeleton, so a fix to the shared
+    mechanics had to be replicated by hand into every copy).  Appends
+    each table's planted rows (``plants``: table -> SQL producing them;
+    the SQL may reference the source scan via the literal ``{src}``)
+    and copies every other table verbatim; ``n_rows`` lands in the
+    staging marker for provenance."""
     key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty")
+    out = os.path.join(REPO, ".scale_stress", f"{key}_{suffix}")
     marker = os.path.join(out, "_STAGED")
     if os.path.exists(marker):
         return out
@@ -326,23 +332,36 @@ def stage_dirty(base: str) -> str:
     con = duckdb.connect()
     for t in TABLES:
         src = f"read_parquet('{base}/{t}.parquet')"
-        if t == "documents":
-            sel = f"SELECT * FROM {src} UNION ALL {_DIRTY_ROWS_SQL}"
-        elif t == "embeddings":
-            sel = f"SELECT * FROM {src} UNION ALL {_DIRTY_VECS_SQL}"
-        else:
-            sel = f"SELECT * FROM {src}"
+        sel = f"SELECT * FROM {src}"
+        if t in plants:
+            # .replace, not .format: plant SQL legitimately contains
+            # literal braces (JSON props, struct literals)
+            sel += " UNION ALL " + plants[t].replace("{src}", src)
         con.execute(
             f"COPY ({sel}) TO '{out}/{t}.parquet' "
             f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
         )
         print(f"  staged {t}", flush=True)
     with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 13}))
+        f.write(json.dumps({"base": base, "dirty_rows": n_rows}))
     return out
 
 
-def run_dirty(base: str, subs: list[str]) -> None:
+def _run_dirty_protocol(
+    base: str,
+    subs: list,
+    *,
+    axis: str,
+    stage_fn,
+    mode: str,
+    pool_fn=None,
+    pool_list=None,
+) -> None:
+    """Shared dirty-protocol runner (r9 consolidation): stage the
+    axis replica, run its query pool against the DuckDB oracles, and
+    write SCALE_STRESS_<axis>[_<subs>].json.  The pool is either a
+    fixed curated list (``pool_list``, asserted registered) or dynamic
+    — every registered query whose oracle satisfies ``pool_fn``."""
     from scache_spark.registry import REGISTRY, _ensure_loaded
     from scache_spark.session import get_session
 
@@ -350,32 +369,59 @@ def run_dirty(base: str, subs: list[str]) -> None:
     from __spark_entry__ import oracle_sql
 
     oracles = oracle_sql()
-    pool = sorted(
-        n
-        for n, s in REGISTRY.items()
-        if s.oracle is not None
-        and ("documents" in s.oracle or "embeddings" in s.oracle)
-    )
+    if pool_list is not None:
+        missing = [n for n in pool_list if n not in REGISTRY]
+        assert not missing, f"{axis} pool names not registered: {missing}"
+        pool = list(pool_list)
+    else:
+        pool = sorted(
+            n
+            for n, s in REGISTRY.items()
+            if s.oracle is not None and pool_fn(s.oracle)
+        )
     names = [n for n in pool if not subs or any(x in n for x in subs)]
-    print(f"staging dirty replica from {base} ...", flush=True)
-    sf_dir = stage_dirty(base)
-    spark = get_session("scale-stress-dirty")
+    tag = axis.replace("_", "-")
+    print(f"staging {tag} replica from {base} ...", flush=True)
+    sf_dir = stage_fn(base)
+    spark = get_session(f"scale-stress-{tag}")
     results = run_queries(spark, sf_dir, names, oracles)
     n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
     out = {
         "base": base,
-        "mode": "dirty-corpus (13 planted pathological document rows)",
+        "mode": mode,
         "n_queries": len(results),
         "n_fail": n_fail,
         "total_sec": round(sum(r["sec"] for r in results.values()), 1),
         "queries": results,
     }
     suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty{suffix}.json")
+    path = os.path.join(REPO, f"SCALE_STRESS_{axis}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
     sys.exit(1 if n_fail else 0)
+
+
+def stage_dirty(base: str) -> str:
+    """Dirty-corpus replica: 13 pathological document rows + 4
+    pathological embedding rows (SCALE.md §13)."""
+    return _stage_dirty_replica(
+        base,
+        "dirty",
+        {"documents": _DIRTY_ROWS_SQL, "embeddings": _DIRTY_VECS_SQL},
+        13,
+    )
+
+
+def run_dirty(base: str, subs: list[str]) -> None:
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty",
+        stage_fn=stage_dirty,
+        pool_fn=lambda o: "documents" in o or "embeddings" in o,
+        mode="dirty-corpus (13 planted pathological document rows)",
+    )
 
 
 # --dirty-events (r7): DIRTY-EVENTS stress — the pathological event
@@ -421,77 +467,29 @@ _DIRTY_EVENTS_SQL = """
 
 
 def stage_dirty_events(base: str) -> str:
-    """Stage a replica whose events table carries the 12 planted
-    pathological rows plus one full-row duplicate of event_id 42
-    appended to the untouched fixture; every other table is copied
-    verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_events")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        if t == "events":
-            sel = (
-                f"SELECT * FROM {src} UNION ALL {_DIRTY_EVENTS_SQL} "
-                f"UNION ALL SELECT * FROM {src} WHERE event_id = 42"
-            )
-        else:
-            sel = f"SELECT * FROM {src}"
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 13}))
-    return out
+    """Dirty-events replica: 12 pathological event rows + 1 full-row
+    duplicate of event_id 42 (SCALE.md §14)."""
+    return _stage_dirty_replica(
+        base,
+        "dirty_events",
+        {
+            "events": _DIRTY_EVENTS_SQL
+            + " UNION ALL SELECT * FROM {src} WHERE event_id = 42"
+        },
+        13,
+    )
 
 
 def run_dirty_events(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    pool = sorted(
-        n
-        for n, s in REGISTRY.items()
-        if s.oracle is not None and "events" in s.oracle
-    )
-    names = [n for n in pool if not subs or any(x in n for x in subs)]
-    print(f"staging dirty-events replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_events(base)
-    spark = get_session("scale-stress-dirty-events")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-events (12 planted pathological event rows "
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_events",
+        stage_fn=stage_dirty_events,
+        pool_fn=lambda o: "events" in o,
+        mode="dirty-events (12 planted pathological event rows "
         "+ 1 full-row duplicate of event_id 42)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_events{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+    )
 
 
 # --dirty-catalog (r7): DIRTY-CATALOG stress — pathological rows in the
@@ -617,153 +615,55 @@ _DIRTY_ORDERS_COLS = (
 
 
 def stage_dirty_orders(base: str) -> str:
-    """Stage a replica with the planted pathological rows appended to
-    orders and lineitem; every other table copies verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_orders")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    extra = {"orders": _DIRTY_ORDERS_SQL, "lineitem": _DIRTY_LINEITEM_SQL}
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {extra[t]}"
-            if t in extra
-            else f"SELECT * FROM {src}"
-        )
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 5 + 5}))
-    return out
+    """Dirty-orders replica: pathological fact dates and numerics on
+    orders and lineitem (SCALE.md §17)."""
+    return _stage_dirty_replica(
+        base,
+        "dirty_orders",
+        {"orders": _DIRTY_ORDERS_SQL, "lineitem": _DIRTY_LINEITEM_SQL},
+        5 + 5,
+    )
 
 
 def run_dirty_orders(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    pool = sorted(
-        n
-        for n, s in REGISTRY.items()
-        if s.oracle is not None
-        and any(c in s.oracle for c in _DIRTY_ORDERS_COLS)
-    )
-    names = [n for n in pool if not subs or any(x in n for x in subs)]
-    print(f"staging dirty-orders replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_orders(base)
-    spark = get_session("scale-stress-dirty-orders")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-orders (10 planted pathological orders/lineitem "
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_orders",
+        stage_fn=stage_dirty_orders,
+        pool_fn=lambda o: any(c in o for c in _DIRTY_ORDERS_COLS),
+        mode="dirty-orders (10 planted pathological orders/lineitem "
         "rows: NULL/epoch/future dates, zero/negative/1e12 money, "
         "100%/negative discounts, NULL/empty statuses)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_orders{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+    )
 
 
 def stage_dirty_catalog(base: str) -> str:
-    """Stage a replica with the planted pathological rows appended to
-    part, supplier and customer; every other table copies verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_catalog")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    extra = {
-        "part": _DIRTY_PART_SQL,
-        "supplier": _DIRTY_SUPPLIER_SQL,
-        "customer": _DIRTY_CUSTOMER_SQL,
-    }
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {extra[t]}"
-            if t in extra
-            else f"SELECT * FROM {src}"
-        )
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 9 + 6 + 5}))
-    return out
+    """Dirty-catalog replica: pathological part/supplier/customer
+    string rows (SCALE.md §16)."""
+    return _stage_dirty_replica(
+        base,
+        "dirty_catalog",
+        {
+            "part": _DIRTY_PART_SQL,
+            "supplier": _DIRTY_SUPPLIER_SQL,
+            "customer": _DIRTY_CUSTOMER_SQL,
+        },
+        9 + 6 + 5,
+    )
 
 
 def run_dirty_catalog(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    pool = sorted(
-        n
-        for n, s in REGISTRY.items()
-        if s.oracle is not None
-        and any(c in s.oracle for c in _DIRTY_CATALOG_COLS)
-    )
-    names = [n for n in pool if not subs or any(x in n for x in subs)]
-    print(f"staging dirty-catalog replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_catalog(base)
-    spark = get_session("scale-stress-dirty-catalog")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-catalog (20 planted pathological part/supplier/"
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_catalog",
+        stage_fn=stage_dirty_catalog,
+        pool_fn=lambda o: any(c in o for c in _DIRTY_CATALOG_COLS),
+        mode="dirty-catalog (20 planted pathological part/supplier/"
         "customer rows: NULL/empty/dup/case/unicode names, NULL "
         "balances, NULL/empty/lowercase/padded segments)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_catalog{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+    )
 
 
 # --dirty-trace (r8): DIRTY-TRACE stress — the trace/eventlog parse
@@ -872,80 +772,33 @@ DIRTY_TRACE_QUERIES = [
 
 
 def stage_dirty_trace(base: str) -> str:
-    """Stage a replica with the planted trace-sample rows appended to
-    lineitem and events; every other table copies verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_trace")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    extra = {
-        "lineitem": _DIRTY_TRACE_LINEITEM_SQL,
-        "events": _DIRTY_TRACE_EVENTS_SQL,
-    }
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {extra[t]}"
-            if t in extra
-            else f"SELECT * FROM {src}"
-        )
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 13 + 4}))
-    return out
+    """Dirty-trace replica: pathological trace-sample lineitem rows and
+    monitor events (SCALE.md §18)."""
+    return _stage_dirty_replica(
+        base,
+        "dirty_trace",
+        {
+            "lineitem": _DIRTY_TRACE_LINEITEM_SQL,
+            "events": _DIRTY_TRACE_EVENTS_SQL,
+        },
+        13 + 4,
+    )
 
 
 def run_dirty_trace(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    missing = [n for n in DIRTY_TRACE_QUERIES if n not in REGISTRY]
-    assert not missing, f"dirty-trace pool names not registered: {missing}"
-    names = [
-        n for n in DIRTY_TRACE_QUERIES if not subs or any(x in n for x in subs)
-    ]
-    print(f"staging dirty-trace replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_trace(base)
-    spark = get_session("scale-stress-dirty-trace")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-trace (13 planted lineitem rows hitting the "
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_trace",
+        stage_fn=stage_dirty_trace,
+        pool_list=DIRTY_TRACE_QUERIES,
+        mode="dirty-trace (13 planted lineitem rows hitting the "
         "l_orderkey%50 trace sample + 4 monitor events: 'null' "
         "tokens in time/size/host/id fields, negative and 1e13-second "
         "durations, out-of-order spans, fin==start 0/0 fractions, "
         "unparseable host ordinals, duplicate attempt ids with "
         "conflicting metrics)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_trace{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+    )
 
 
 # --dirty-binary (r9, VERDICT item 3): DIRTY-BINARY stress — the binary
@@ -979,7 +832,8 @@ _DIRTY_BINARY_ROWS_SQL = """
       (91008, repeat('z', 1000001), 'en', 'binplant'),
       (91009, 'SCB1:200:' || repeat('xyzku', 40), 'en', 'binplant'),
       (91010, '', 'en', 'binplant'),
-      (91011, 'SCB1:0:', 'en', 'binplant')
+      (91011, 'SCB1:0:', 'en', 'binplant'),
+      (91012, 'SCB1:72:' || repeat('☃', 24), 'en', 'binplant')
     ) t(doc_id, text, lang, source)
 """
 
@@ -989,6 +843,10 @@ _DIRTY_BINARY_ROWS_SQL = """
 #   91007 ok-framed(video,4 frames from body)        91008 oversize(image,raw)
 #   91009 ok-framed(audio,3 windows from body)       91010 empty(video)
 #   91011 empty(image,framed-zero-length)
+#   91012 ok-framed(audio, MULTIBYTE body: 24 snowmen = 72 UTF-8 bytes,
+#         so declared length, window count (72//64 = 1) and RMS values
+#         are all BYTE-derived — the char-vs-byte regression plant for
+#         the r9 audio-oracle fix; 24 chars would yield ZERO windows)
 
 DIRTY_BINARY_QUERIES = [
     "multimodal_meta",
@@ -1002,75 +860,29 @@ DIRTY_BINARY_QUERIES = [
 
 
 def stage_dirty_binary(base: str) -> str:
-    """Stage a replica with the planted binary-payload rows appended
-    to documents; every other table copies verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_binary")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {_DIRTY_BINARY_ROWS_SQL}"
-            if t == "documents"
-            else f"SELECT * FROM {src}"
-        )
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 11}))
-    return out
+    """Dirty-binary replica: planted binary-payload document rows
+    (SCALE.md §19)."""
+    return _stage_dirty_replica(
+        base, "dirty_binary", {"documents": _DIRTY_BINARY_ROWS_SQL}, 12
+    )
 
 
 def run_dirty_binary(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    missing = [n for n in DIRTY_BINARY_QUERIES if n not in REGISTRY]
-    assert not missing, f"dirty-binary pool names not registered: {missing}"
-    names = [
-        n for n in DIRTY_BINARY_QUERIES if not subs or any(x in n for x in subs)
-    ]
-    print(f"staging dirty-binary replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_binary(base)
-    spark = get_session("scale-stress-dirty-binary")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-binary (11 planted binary-payload rows: NULL / "
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_binary",
+        stage_fn=stage_dirty_binary,
+        pool_list=DIRTY_BINARY_QUERIES,
+        mode="dirty-binary (12 planted binary-payload rows: NULL / "
         "zero-byte / framed-zero-length assets, bad-magic and "
         "bare-magic frames, a truncated frame, oversize declared and "
-        "oversize raw payloads past the 1 MB decode budget, and valid "
-        "framed audio/video assets proving body-byte decode)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_binary{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+        "oversize raw payloads past the 1 MB decode budget, valid "
+        "framed audio/video assets proving body-byte decode, and a "
+        "MULTIBYTE framed audio asset whose declared length and "
+        "window count are UTF-8-byte-derived — the r9 char-vs-byte "
+        "audio-oracle regression plant)",
+    )
 
 
 # --dirty-embeddings (r9, this session): the vector-column corruption
@@ -1125,78 +937,26 @@ _DIRTY_EMB_ROWS_SQL = """
 
 
 def stage_dirty_embeddings(base: str) -> str:
-    """Stage a replica with the planted vector rows appended to
-    embeddings; every other table copies verbatim."""
-    key = base.strip("/").replace("/", "_")
-    out = os.path.join(REPO, ".scale_stress", f"{key}_dirty_embeddings")
-    marker = os.path.join(out, "_STAGED")
-    if os.path.exists(marker):
-        return out
-    import glob as _glob
-    import shutil as _shutil
-
-    derived_key = out.strip("/").replace("/", "_")
-    for root in (".alt_src", ".stream_src"):
-        for d in _glob.glob(os.path.join(REPO, root, f"*{derived_key}*")):
-            _shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    con = duckdb.connect()
-    for t in TABLES:
-        src = f"read_parquet('{base}/{t}.parquet')"
-        sel = (
-            f"SELECT * FROM {src} UNION ALL {_DIRTY_EMB_ROWS_SQL}"
-            if t == "embeddings"
-            else f"SELECT * FROM {src}"
-        )
-        con.execute(
-            f"COPY ({sel}) TO '{out}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
-        )
-        print(f"  staged {t}", flush=True)
-    with open(marker, "w") as f:
-        f.write(json.dumps({"base": base, "dirty_rows": 11}))
-    return out
+    """Dirty-embeddings replica: planted vector corruption rows
+    (SCALE.md §20)."""
+    return _stage_dirty_replica(
+        base, "dirty_embeddings", {"embeddings": _DIRTY_EMB_ROWS_SQL}, 11
+    )
 
 
 def run_dirty_embeddings(base: str, subs: list[str]) -> None:
-    from scache_spark.registry import REGISTRY, _ensure_loaded
-    from scache_spark.session import get_session
-
-    _ensure_loaded()
-    from __spark_entry__ import oracle_sql
-
-    oracles = oracle_sql()
-    # dynamic pool, like --dirty: every oracle that reads the
-    # embeddings table sees the planted vectors
-    pool = sorted(
-        n
-        for n, s in REGISTRY.items()
-        if s.oracle is not None and "embeddings" in s.oracle
-    )
-    names = [n for n in pool if not subs or any(x in n for x in subs)]
-    print(f"staging dirty-embeddings replica from {base} ...", flush=True)
-    sf_dir = stage_dirty_embeddings(base)
-    spark = get_session("scale-stress-dirty-embeddings")
-    results = run_queries(spark, sf_dir, names, oracles)
-    n_fail = sum(1 for r in results.values() if r["status"] == "FAIL")
-    out = {
-        "base": base,
-        "mode": "dirty-embeddings (11 planted vector rows: NULL / empty / "
+    _run_dirty_protocol(
+        base,
+        subs,
+        axis="dirty_embeddings",
+        stage_fn=stage_dirty_embeddings,
+        pool_fn=lambda o: "embeddings" in o,
+        mode="dirty-embeddings (11 planted vector rows: NULL / empty / "
         "short-32 / long-128 vectors, NULL / NaN / +Inf / -Inf "
         "elements, a 1e20 float32-edge magnitude vector, a healthy "
         "NULL-label vector, and a healthy vector under a negative id "
         "probing the seed-id-range rule)",
-        "n_queries": len(results),
-        "n_fail": n_fail,
-        "total_sec": round(sum(r["sec"] for r in results.values()), 1),
-        "queries": results,
-    }
-    suffix = "" if not subs else "_" + "_".join(subs)[:40]
-    path = os.path.join(REPO, f"SCALE_STRESS_dirty_embeddings{suffix}.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"\n{'ALL MATCH' if n_fail == 0 else f'{n_fail} FAILURES'} — wrote {path}")
-    sys.exit(1 if n_fail else 0)
+    )
 
 
 def hot_band_stats(sf_dir: str) -> dict:
@@ -1568,108 +1328,46 @@ def main() -> None:
         i = args.index("--skew")
         skew = int(args[i + 1])
         del args[i : i + 2]
-    rest = "--rest" in args
-    if rest:
-        args.remove("--rest")
-    boilerplate = "--boilerplate" in args
-    if boilerplate:
-        args.remove("--boilerplate")
-    checksum = "--checksum" in args
-    if checksum:
-        args.remove("--checksum")
-    dirty = "--dirty" in args
-    if dirty:
-        args.remove("--dirty")
-    dirty_events = "--dirty-events" in args
-    if dirty_events:
-        args.remove("--dirty-events")
-    dirty_catalog = "--dirty-catalog" in args
-    if dirty_catalog:
-        args.remove("--dirty-catalog")
-    dirty_orders = "--dirty-orders" in args
-    if dirty_orders:
-        args.remove("--dirty-orders")
-    dirty_trace = "--dirty-trace" in args
-    if dirty_trace:
-        args.remove("--dirty-trace")
-    dirty_binary = "--dirty-binary" in args
-    if dirty_binary:
-        args.remove("--dirty-binary")
-    dirty_embeddings = "--dirty-embeddings" in args
-    if dirty_embeddings:
-        args.remove("--dirty-embeddings")
     if "--base" in args:
         i = args.index("--base")
         base = args[i + 1]
         del args[i : i + 2]
+    # Exclusive protocol flags: each runs its own staging + pool, so AT
+    # MOST ONE may be set (r9: collected into a table — the previous
+    # per-flag guard ladder had to enumerate every earlier flag and a
+    # missed term would silently let two stagers share an artifact).
+    protocols = {
+        "--boilerplate": lambda: run_boilerplate(base, factor, subs),
+        "--checksum": lambda: run_checksum(base, factor),
+        "--dirty": lambda: run_dirty(base, subs),
+        "--dirty-events": lambda: run_dirty_events(base, subs),
+        "--dirty-catalog": lambda: run_dirty_catalog(base, subs),
+        "--dirty-orders": lambda: run_dirty_orders(base, subs),
+        "--dirty-trace": lambda: run_dirty_trace(base, subs),
+        "--dirty-binary": lambda: run_dirty_binary(base, subs),
+        "--dirty-embeddings": lambda: run_dirty_embeddings(base, subs),
+    }
+    chosen = [f for f in protocols if f in args]
+    for f in chosen:
+        args.remove(f)
+    rest = "--rest" in args
+    if rest:
+        args.remove("--rest")
     subs = args
+    if len(chosen) > 1:
+        sys.exit(f"scale_stress: {' '.join(chosen)} are mutually exclusive "
+                 "protocols; run them separately")
     # flag validation (r5 advice): the --rest pool is defined against
     # the uniform replica, and a skew factor below 1 replicates nothing
     if rest and skew is not None:
         sys.exit("scale_stress: --rest cannot be combined with --skew; run separately")
     if skew is not None and skew < 1:
         sys.exit("scale_stress: --skew requires a hot-copy count >= 1")
-    if boilerplate and (rest or skew is not None or checksum):
-        sys.exit("scale_stress: --boilerplate runs its own two-severity protocol")
-    if checksum and (rest or skew is not None):
-        sys.exit("scale_stress: --checksum runs only on the uniform replica")
-    if dirty and (rest or skew is not None or boilerplate or checksum):
-        sys.exit("scale_stress: --dirty is its own protocol")
-    if dirty_events and (
-        rest or skew is not None or boilerplate or checksum or dirty
-    ):
-        sys.exit("scale_stress: --dirty-events is its own protocol")
-    if dirty_catalog and (
-        rest or skew is not None or boilerplate or checksum or dirty or dirty_events
-    ):
-        sys.exit("scale_stress: --dirty-catalog is its own protocol")
-    if dirty_orders and (
-        rest or skew is not None or boilerplate or checksum or dirty
-        or dirty_events or dirty_catalog
-    ):
-        sys.exit("scale_stress: --dirty-orders is its own protocol")
-    if dirty_trace and (
-        rest or skew is not None or boilerplate or checksum or dirty
-        or dirty_events or dirty_catalog or dirty_orders
-    ):
-        sys.exit("scale_stress: --dirty-trace is its own protocol")
-    if dirty_binary and (
-        rest or skew is not None or boilerplate or checksum or dirty
-        or dirty_events or dirty_catalog or dirty_orders or dirty_trace
-    ):
-        sys.exit("scale_stress: --dirty-binary is its own protocol")
-    if dirty_embeddings and (
-        rest or skew is not None or boilerplate or checksum or dirty
-        or dirty_events or dirty_catalog or dirty_orders or dirty_trace
-        or dirty_binary
-    ):
-        sys.exit("scale_stress: --dirty-embeddings is its own protocol")
-    if boilerplate:
-        run_boilerplate(base, factor, subs)
-        return
-    if checksum:
-        run_checksum(base, factor)
-        return
-    if dirty:
-        run_dirty(base, subs)
-        return
-    if dirty_events:
-        run_dirty_events(base, subs)
-        return
-    if dirty_catalog:
-        run_dirty_catalog(base, subs)
-        return
-    if dirty_orders:
-        run_dirty_orders(base, subs)
-        return
-    if dirty_trace:
-        run_dirty_trace(base, subs)
-        return
-    if dirty_binary:
-        run_dirty_binary(base, subs)
-        return
-    if dirty_embeddings:
-        run_dirty_embeddings(base, subs)
+    if chosen and (rest or skew is not None):
+        sys.exit(f"scale_stress: {chosen[0]} is its own protocol and cannot "
+                 "be combined with --rest/--skew")
+    if chosen:
+        protocols[chosen[0]]()
         return
 
     from scache_spark.registry import REGISTRY, _ensure_loaded
