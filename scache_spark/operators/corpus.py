@@ -788,3 +788,158 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("redacted_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL dedup (r9) — the crawl-frontier dedup BEFORE content dedup
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL render (render→canonicalize convention, as
+# url_domain_curation): each document's URL carries the five noise
+# classes a crawl frontier actually sees — case-varied host, explicit
+# default port, tracking params in varying order, trailing slash, and
+# a fragment — while its CANONICAL identity is (host, page-id, page
+# param) derived from doc columns, so distinct documents legitimately
+# collide on the canonical form (the duplicates the canonicalizer
+# exists to find).
+_SQL_URL_RENDER = """
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN upper(coalesce(source, 'unknown'))
+                     ELSE coalesce(source, 'unknown') END
+             || '.example.'
+             || CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END
+             || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+             || '/p/' || CAST(coalesce(n_chars, 0) % 50 AS VARCHAR)
+             || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+             || CASE WHEN doc_id % 2 = 1
+                     THEN '?utm_source=feed&page='
+                          || CAST(doc_id % 2 AS VARCHAR)
+                          || '&utm_campaign=w' || CAST(doc_id % 4 AS VARCHAR)
+                     ELSE '?page=' || CAST(doc_id % 2 AS VARCHAR) END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN '#sec' || CAST(doc_id % 9 AS VARCHAR)
+                     ELSE '' END AS url
+      FROM documents
+      WHERE source IS NOT NULL
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH urls AS ({_SQL_URL_RENDER}),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(split_part(
+                 replace(regexp_replace(url, '#.*$', ''), ':443/', '/'),
+                 '?', 1), '/$', ''))
+             || '?page='
+             || regexp_extract(regexp_replace(url, '#.*$', ''),
+                               '[?&]page=([0-9]+)', 1) AS canonical_url
+      FROM urls
+    ),
+    per_canon AS (
+      SELECT canonical_url,
+             regexp_extract(canonical_url, 'example[.](com|org)', 0)
+               AS domain,
+             CAST(count(*) AS BIGINT) AS n_variants
+      FROM canon GROUP BY 1, 2
+    )
+    SELECT domain,
+           CAST(sum(n_variants) AS BIGINT) AS n_raw_urls,
+           CAST(count(*) AS BIGINT) AS n_canonical,
+           round(1.0 - CAST(count(*) AS DOUBLE) / sum(n_variants), 6)
+               AS dup_rate,
+           CAST(max(n_variants) AS BIGINT) AS max_variants,
+           CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups
+    FROM per_canon GROUP BY domain
+    """,
+    tags=("B24", "B14", "B13", "B7"),
+    doc="Canonical-URL dedup — the crawl-frontier dedup that runs "
+    "BEFORE any content dedup: normalize scheme/host case, strip the "
+    "default :443 port, drop the fragment, drop tracking params "
+    "(param-allowlist canonicalization: only `page` survives, "
+    "order-independent), strip the trailing slash, then roll up raw "
+    "vs canonical counts, dup rate, largest variant group and dup "
+    "group count per registered domain.  The render plants all five "
+    "noise classes deterministically, so the dedup finds REAL "
+    "collisions — the canonical identity is (source host, lang TLD, "
+    "n_chars%50 page id, doc parity page param), coarse enough that "
+    "distinct documents genuinely share it; both "
+    "engines canonicalize the same rendered string with the same "
+    "regex pipeline (Java-regex ∩ RE2 dialect), so any divergence in "
+    "the string algebra is a mismatch.  NULL-source docs are "
+    "frontier rejects (no host — filtered identically on both "
+    "sides).  Scale shape: per-row codegen string ops, a map-side-"
+    "combinable (canonical_url, domain) count, then a per-domain "
+    "rollup of the already-collapsed frame — two narrow exchanges, "
+    "no window, no join; at 100 TB the render is replaced by a real "
+    "url column and the canonicalizer is unchanged.",
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    host = F.concat(
+        F.coalesce(F.col("source"), F.lit("unknown")),
+        F.lit(".example."),
+        F.when(F.col("lang") == "en", "com").otherwise("org"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.upper(host)).otherwise(host),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/p/"),
+        (F.coalesce(F.col("n_chars"), F.lit(0)) % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, "/").otherwise(""),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(
+                F.lit("?utm_source=feed&page="),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit("&utm_campaign=w"),
+                (F.col("doc_id") % 4).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(F.lit("?page="), (F.col("doc_id") % 2).cast("string"))
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("#sec"), (F.col("doc_id") % 9).cast("string")),
+        ).otherwise(""),
+    )
+    nofrag = F.regexp_replace(url, "#.*$", "")
+    noport = F.regexp_replace(nofrag, ":443/", "/")
+    base = F.regexp_replace(
+        F.lower(F.substring_index(noport, "?", 1)), "/$", ""
+    )
+    canon = F.concat(
+        base,
+        F.lit("?page="),
+        F.regexp_extract(nofrag, r"[?&]page=([0-9]+)", 1),
+    )
+    per_canon = (
+        d.select(canon.alias("canonical_url"))
+        .select(
+            "canonical_url",
+            F.regexp_extract(
+                F.col("canonical_url"), r"example[.](com|org)", 0
+            ).alias("domain"),
+        )
+        .groupBy("canonical_url", "domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+    )
+    return per_canon.groupBy("domain").agg(
+        F.sum("n_variants").cast("long").alias("n_raw_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_canonical"),
+        F.round(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("n_variants"), 6
+        ).alias("dup_rate"),
+        F.max("n_variants").cast("long").alias("max_variants"),
+        F.sum((F.col("n_variants") > 1).cast("int")).cast("long").alias(
+            "n_dup_groups"
+        ),
+    )

@@ -145,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     # the rotated-out veterans (all graded green in earlier rounds).
     # r9 additions (new this round, next in the never-graded line)
     "embedding_ingest_audit",  # B25/B20/B17 vector defect census (r9, never graded)
+    "url_canonical_dedup",  # B24/B14/B13 crawl-frontier canonical-URL dedup (r9, never graded)
     "winnowing_neardup_pairs",  # B24/B13/B17 MOSS winnowing fingerprints (r9, never graded)
     "pii_redaction_audit",  # B24/B14/B20 PII detection/redaction audit (r9, never graded)
     "matryoshka_truncation_recall",  # B25/B17/B10 truncated-embedding recall (r9, never graded)
