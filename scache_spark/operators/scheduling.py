@@ -394,15 +394,26 @@ def _policy_compare(pdf: pd.DataFrame) -> pd.DataFrame:
     sizes = {int(r): int(s) for r, s in zip(pdf["rid"], pdf["sz"])}
     shuf = {int(r): int(s) for r, s in zip(pdf["rid"], pdf["sh"])}
     k = N_SCHED_HOSTS
+    # MAKESPAN CONTRACT (dirty-trace fuzz): every policy's makespan is
+    # the max over ALL K hosts' final loads, empty hosts at 0 — the
+    # physical reading (an idle host finishes at t=0).  On a clean
+    # trace (sizes >= 0) this equals the occupied-hosts max, but a
+    # garbage trace can yield NEGATIVE task sizes (fin < start), where
+    # occupied-only vs K-wide diverge — and the oracle's recursive
+    # loads array is K-wide, so the pandas side must be too.
     rr = [0] * k
     for rid, sz in sizes.items():
         rr[rid % k] += sz
     fifo = _greedy_min_load(
         [(rid, sizes[rid] + shuf[rid]) for rid in sorted(sizes)]
     )
-    fifo_makespan = max(ct for _, _, ct in fifo)
+    fifo_loads = [0] * k
+    for _, host, ct in fifo:
+        fifo_loads[host] = ct  # ct is the host's load after the task
     lpt_out = _lpt_pack(pdf[["rid", "sz"]])
-    lpt_loads = lpt_out.groupby("host")["sz"].sum()
+    lpt_loads = [0] * k
+    for host, s in zip(lpt_out["host"], lpt_out["sz"]):
+        lpt_loads[int(host)] += int(s)
     total = sum(sizes.values())
     ideal = max(-(-total // k), max(sizes.values()))
     return pd.DataFrame(
@@ -410,8 +421,8 @@ def _policy_compare(pdf: pd.DataFrame) -> pd.DataFrame:
             "policy": ["round_robin", "fifo", "lpt", "coflow", "ideal"],
             "makespan": [
                 int(max(rr)),
-                int(fifo_makespan),
-                int(lpt_loads.max()),
+                int(max(fifo_loads)),
+                int(max(lpt_loads)),
                 int(max(shuf.values())),
                 int(ideal),
             ],
@@ -485,9 +496,17 @@ _POLICY_RACE_TAIL = f"""
       ORDER BY rn DESC LIMIT 1
     ),
     rr AS (
+      -- K-wide makespan contract (see _policy_compare): seed every
+      -- host with load 0 so idle hosts participate in the max — on a
+      -- garbage trace with negative task sizes the occupied-only max
+      -- diverges from the pandas side's [0]*K accumulator
       SELECT CAST(max(hl) AS BIGINT) AS m FROM (
-        SELECT rid % {N_SCHED_HOSTS} AS host, sum(sz) AS hl
-        FROM tasks GROUP BY 1)
+        SELECT host, sum(hsz) AS hl FROM (
+          SELECT rid % {N_SCHED_HOSTS} AS host, sz AS hsz FROM tasks
+          UNION ALL
+          SELECT CAST(i AS INT) AS host, CAST(0 AS BIGINT) AS hsz
+          FROM unnest(range(0, {N_SCHED_HOSTS})) t(i)
+        ) GROUP BY host)
     ),
     cf AS (SELECT CAST(max(sh) AS BIGINT) AS m FROM tasks),
     ideal AS (
@@ -679,7 +698,13 @@ from scache_spark.operators.eventlog import ATTEMPT_REDUCES_SQL  # noqa: E402
       ORDER BY count(*) DESC, jobid ASC LIMIT 1
     ),
     tasks AS (
-      SELECT CAST(row_number() OVER (ORDER BY jtid ASC) - 1 AS INT) AS rid,
+      -- NULLS FIRST pins the one possible NULL-jtid attempt (an
+      -- unparseable id line) to rid 0 in BOTH engines: Spark's asc is
+      -- NULLS FIRST while DuckDB defaults to NULLS LAST, and a
+      -- different rid mapping swaps task sizes between round-robin
+      -- hosts (found by test_trace_contracts_fuzzed)
+      SELECT CAST(row_number() OVER (ORDER BY jtid ASC NULLS FIRST) - 1
+                  AS INT) AS rid,
              CAST(fin_t - start_t - (sort_t - shuf_t) AS BIGINT) AS sz,
              CAST(sort_t - shuf_t AS BIGINT) AS sh
       FROM complete JOIN best_job USING (jobid)

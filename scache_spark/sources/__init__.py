@@ -15,6 +15,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def pin_thread_active_session(spark: SparkSession) -> None:
+    """Pin ``spark`` as the JVM-thread-local ACTIVE session for the
+    calling Python thread.
+
+    Python DataSource lookup (``format("avro_ocf")`` etc.) resolves
+    through the *active* session's DataSourceManager, and the JVM
+    active session is a thread-local.  py4j gives every Python thread
+    its own JVM connection thread, so a query built from a worker
+    thread (the threaded correctness suite, any driver-side thread
+    pool overlapping jobs per optimization-guide §2.6) sees NO active
+    session there and the lookup falls through to classloading —
+    DATA_SOURCE_NOT_FOUND on a source that IS registered.  Each
+    ``register_*`` helper calls this so the session is pinned on the
+    same thread that will run the read/write."""
+    spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(  # noqa: SLF001
+        spark._jsparkSession  # noqa: SLF001
+    )
+
+
 def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     r = spark.read
     if schema is not None:

@@ -631,4 +631,7 @@ class AvroOcfDataSource(DataSource):
 
 
 def register_avro_ocf(spark) -> None:
+    from scache_spark.sources import pin_thread_active_session
+
+    pin_thread_active_session(spark)
     spark.dataSource.register(AvroOcfDataSource)

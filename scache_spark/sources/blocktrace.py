@@ -85,6 +85,9 @@ class BlockTraceDataSource(DataSource):
 
 def register_blocktrace(spark) -> None:
     """Idempotently register the data source with the session."""
+    from scache_spark.sources import pin_thread_active_session
+
+    pin_thread_active_session(spark)
     spark.dataSource.register(BlockTraceDataSource)
 
 

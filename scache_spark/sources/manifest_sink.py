@@ -208,6 +208,9 @@ class ManifestJsonlDataSource(DataSource):
 
 
 def register_manifest_sink(spark) -> None:
+    from scache_spark.sources import pin_thread_active_session
+
+    pin_thread_active_session(spark)
     spark.dataSource.register(ManifestJsonlDataSource)
 
 
