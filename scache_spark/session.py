@@ -71,6 +71,23 @@ def get_session(
         # of shuffling the fact side (replication push analog,
         # SCache BlockManager.replicate) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- shuffle writer: always the serialized sort writer ---
+        # Every Spark SQL exchange has mapSideCombine=false, so with R
+        # below the bypass threshold (default 200) the bypass-merge
+        # writer runs and opens R partition FILES per map task — at
+        # M=32 maps and the AQE initial R=128 that is 4096 file
+        # creates per shuffle, pure filesystem-metadata overhead
+        # (measured 1.4-2.3s per tiny shuffle on this box vs 0.3s
+        # serialized; optimization guide §2.2: fewer, larger shuffle
+        # files).  At production scale R is in the thousands, the
+        # threshold never fires, and the serialized single-file-per-
+        # map writer is what runs anyway — forcing it locally makes
+        # the local shuffle machinery MATCH the at-scale one instead
+        # of exercising a small-R-only code path.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "1"),
+        )
         # --- codecs: lz4 everywhere, matching the reference default ---
         .config("spark.io.compression.codec", "lz4")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -38,6 +38,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spec = REGISTRY[name]
@@ -75,8 +77,32 @@ def main() -> None:
     )
     jobs = {}       # jobId -> {desc, t0, t1, stages: [ids]}
     stages = {}     # stageId -> metrics
-    with open(logs[-1]) as f:
-        for line in f:
+    target = logs[-1]
+    if os.path.isdir(target):  # Spark 4 rolling event-log dir
+        parts = sorted(
+            os.path.join(target, f)
+            for f in os.listdir(target)
+            if f.startswith("events")
+        )
+    else:
+        parts = [target]
+
+    def _lines():
+        for p in parts:
+            if p.endswith(".zstd"):
+                import io
+
+                import zstandard
+
+                with open(p, "rb") as fb:
+                    reader = zstandard.ZstdDecompressor().stream_reader(fb)
+                    yield from io.TextIOWrapper(reader, encoding="utf-8")
+            else:
+                with open(p) as f:
+                    yield from f
+
+    for line in _lines():
+        if True:
             try:
                 ev = json.loads(line)
             except ValueError:
@@ -110,7 +136,7 @@ def main() -> None:
                         return 0
 
                 stages[si["Stage ID"]] = {
-                    "name": si.get("Name", ""),
+                    "name": si.get("Stage Name", si.get("Name", "")),
                     "tasks": si.get("Number of Tasks", 0),
                     "ms": (si.get("Completion Time") or 0)
                     - (si.get("Submission Time") or 0),
@@ -122,6 +148,8 @@ def main() -> None:
                     "input": num("internal.metrics.input.bytesRead"),
                     "cpu_ms": num("internal.metrics.executorCpuTime") // 1_000_000,
                     "run_ms": num("internal.metrics.executorRunTime"),
+                    "deser_ms": num("internal.metrics.executorDeserializeTime"),
+                    "gc_ms": num("internal.metrics.jvmGCTime"),
                     "python_ms": num("internal.metrics.PythonUDFExecutionTime")
                     // 1_000_000,
                 }
@@ -144,6 +172,7 @@ def main() -> None:
             print(
                 f"   stage {sid:>4} {s['ms']:>6} ms  tasks={s['tasks']:<4}"
                 f" cpu={s['cpu_ms']:>6}ms run={s['run_ms']:>6}ms"
+                f" deser={s['deser_ms']:>5}ms gc={s['gc_ms']:>4}ms"
                 f" py={s['python_ms']:>5}ms"
                 f" in={s['input'] // 1024:>8}K"
                 f" sr={s['shuffle_read'] // 1024:>7}K"
