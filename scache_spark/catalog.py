@@ -221,6 +221,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(SCHEMAS[name]).parquet(table_path(sf_dir, name))
 
 
+def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Give a narrow scan cluster-wide parallelism before CPU-heavy
+    map work (optimization guide §2.5: unsplittable input).
+
+    A parquet row group is the atomic scan unit, and the sf fixtures
+    are single-row-group files — the scan is ONE task regardless of
+    core count, so an expensive per-row derivation right after it
+    (md5 gram hashing, per-vector distance math) serializes on one
+    core while the rest idle.  At production scale the same table
+    arrives in ~size/128MB splits, so the guard below makes this a
+    no-op exactly there: the repartition only fires when the scan has
+    fewer partitions than the cluster has task slots.  Hash
+    partitioning on ``keys`` keeps the row→partition mapping
+    deterministic under task retry (guide §2.5 / SPARK-38388 — never
+    round-robin a nondeterministic source).
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

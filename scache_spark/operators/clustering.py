@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scache_spark.catalog import load_table
+from scache_spark.catalog import load_table, widen_scan
 from scache_spark.functions import SQL_COSINE_READY, SQL_VECTOR_READY, vector_ready
 from scache_spark.registry import register
 
@@ -226,9 +226,9 @@ def kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without materialization each round re-scans the table.  Iterative
     # ML caches its input once — MLlib's own KMeans does exactly this —
     # so eager-checkpoint the vectors and derive every pass from it.
-    e = vector_ready(load_table(spark, sf_dir, "embeddings")).localCheckpoint(
-        eager=True
-    )
+    e = widen_scan(
+        vector_ready(load_table(spark, sf_dir, "embeddings")), "vec_id"
+    ).localCheckpoint(eager=True)
     assign0 = _assign(e, _centroids(spark, sf_dir, e=e))
     exploded = assign0.select(
         "cell", F.posexplode("embedding").alias("pos0", "val_f")
@@ -456,7 +456,9 @@ _NPROBES = (1, 2, 4)
     "per-cell sizes (a 16-row broadcast), never by re-scanning.",
 )
 def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = vector_ready(load_table(spark, sf_dir, "embeddings"))
+    e = widen_scan(
+        vector_ready(load_table(spark, sf_dir, "embeddings")), "vec_id"
+    )
     # The assignment subtree feeds THREE branches (query lookup, the
     # scored scan, per-cell sizes) and the heads feed two (truth +
     # every nprobe re-rank): materialize each once instead of paying

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scache_spark.catalog import load_table
+from scache_spark.catalog import load_table, widen_scan
 from scache_spark.functions import (
     SQL_COSINE_READY,
     bounded_window,
@@ -101,7 +101,12 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 1-3 variants map-side — no re-scan, no materialization, and
     every downstream dedup query inherits the single-scan plan."""
     return augment_doc_variants(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+        widen_scan(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "source"
+            ),
+            "doc_id",
+        )
     )
 
 

@@ -55,6 +55,21 @@ def get_session(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
         )
+        # AQE coalescing floor: with parallelismFirst (the default) AQE
+        # sizes post-shuffle partitions at max(total/defaultParallelism,
+        # minPartitionSize).  At cluster scale the first term is
+        # hundreds of MB and the floor never binds; on local[32] a
+        # CPU-dense self-join or window stage whose shuffle is only a
+        # few MB collapses to ONE task under the 1 MB default floor and
+        # serializes all its per-row math (measured: the 1.1 MB
+        # within-cell pair join of dedup_semantic_cells ran 1.5 s on a
+        # single core).  64 KB keeps such stages at defaultParallelism
+        # without changing anything once real data volumes arrive —
+        # the scale-adaptive direction §2.2 asks for.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
         # runtime row-level bloom filters: prune fact rows before the

@@ -139,9 +139,13 @@ def _staged_documents_dir(spark: SparkSession, sf_dir: str) -> str:
     row is needed; the single overwrite write keeps the ``_SUCCESS``
     ⇒ complete-corpus invariant of ``_staged_events_dir``."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STAGE_ROOT, f"docs_{key}_v1")
+    # _v2: 16 files instead of 4 — the replayed batch's scan stage
+    # carries the CPU-heavy shingle/minhash map work of the at-arrival
+    # dedup, and file count caps its parallelism (a real ingest feed
+    # arrives in many files; 4 was an artifact of the staging write).
+    out = os.path.join(_STAGE_ROOT, f"docs_{key}_v2")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        load_table(spark, sf_dir, "documents").repartition(16).write.mode(
             "overwrite"
         ).parquet(out)
     return out
