@@ -239,11 +239,32 @@ def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _scan_partitions(df) >= target:
         return df
     from pyspark.sql import functions as F
 
     return df.repartition(target, *[F.col(k) for k in keys])
+
+
+# widen_scan partition-count probe, memoized per (app, plan): df.rdd
+# runs full analysis + physical planning of the scan on EVERY call —
+# pure repeated driver work for a decision that is a constant of the
+# session (fixed confs) and the file layout.  Keyed on the analyzed
+# plan's string form, so a different path/column set misses the cache.
+_SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    spark = df.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        df._jdf.queryExecution().analyzed().toString(),
+    )
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    return n
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

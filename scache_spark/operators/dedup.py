@@ -205,10 +205,13 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst push the filter through the project and re-substitute
     # word_shingles, computing the array twice (measured ~2x on the
     # minhash family).  len(tokens) >= SHINGLE_N <=> len(sh) >= 1.
-    aug = (
-        augmented_docs(spark, sf_dir)
-        .filter(F.size(F.split(F.col("text"), " ")) >= SHINGLE_N)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # Parallelism comes from augmented_docs' widen_scan (pre-explode,
+    # keyed on the base doc_id) — re-repartitioning here on the
+    # post-explode doc_id added a SECOND full-text exchange for every
+    # minhash-family query (r9: 2 Exchange → 1, the variant rows of a
+    # base doc stay co-partitioned which no consumer cares about).
+    aug = augmented_docs(spark, sf_dir).filter(
+        F.size(F.split(F.col("text"), " ")) >= SHINGLE_N
     )
     return aug.select(
         "doc_id", "source", word_shingles(F.split(F.col("text"), " "), SHINGLE_N).alias("sh")
@@ -851,9 +854,10 @@ MAX_WINDOW_DOCS = 16  # boilerplate cutoff: drop windows shared too widely
     "suppresses single-window chance collisions.",
 )
 def dedup_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    aug = augmented_docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # widen_scan inside augmented_docs already fans the scan out
+    # (r9: dropping the second repartition removes one full-text
+    # exchange; see shingled_docs)
+    aug = augmented_docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     wins = aug.select(
         "doc_id",
