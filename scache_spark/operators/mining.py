@@ -77,7 +77,21 @@ MIN_PAIR_ORDERS = 3
     "corpus.",
 )
 def cooccurrence_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from scache_spark.catalog import widen_scan
+
+    # Project to the two join/group columns before any exchange (§2.3)
+    # and widen the single-row-group local scan keyed on l_orderkey
+    # (§2.5): the repartition pre-establishes the groupBy's required
+    # distribution, so the basket aggregation reuses it instead of
+    # adding its own exchange — and the scan→join→collect_set map work
+    # runs at full parallelism instead of on the scan's 1 task
+    # (r9: interleaved A/B 1.55s → 1.17s min, identical 300 rows; at
+    # production scale the widen guard no-ops and the groupBy plans
+    # its usual exchange).
+    li = widen_scan(
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"),
+        "l_orderkey",
+    )
     part = load_table(spark, sf_dir, "part")
     # The basket table is the working set of every downstream branch
     # (brand marginals, order total, pair generation); checkpoint so

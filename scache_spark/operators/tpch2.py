@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from scache_spark.catalog import load_table
+from scache_spark.catalog import load_table, widen_scan
 from scache_spark.registry import register
 
 
@@ -679,18 +679,27 @@ def tpch_q20_potential_promotion(
     "after order date, the receipt/commit stand-in).  The classic "
     "EXISTS / NOT-EXISTS pair is rewritten as one per-order "
     "aggregate — distinct suppliers vs distinct LATE suppliers — "
-    "then re-joined on orderkey: two shuffles total instead of two "
-    "correlated self-joins of lineitem, and the rewrite is "
-    "semantically exact, not an approximation.  The supplier name "
-    "join runs on the tiny survivor set (AQE picks the build side).",
+    "and (r9) the join-back is folded into the SAME aggregate: when "
+    "nl = 1 every late line of the order belongs to the one late "
+    "supplier, so max(late supplier) + count(late lines) identify "
+    "the waiting supplier and its line contribution without "
+    "re-reading lineitem.  ONE pass over the fact table, one "
+    "orderkey shuffle, then supplier-sized aggregates; semantically "
+    "exact, not an approximation.  The supplier name join runs on "
+    "the tiny survivor set (AQE picks the build side).",
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
+    # widen_scan: local single-row-group fixture only (no-op at scale)
     ln = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        widen_scan(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey", "l_shipdate"
+            ),
+            "l_orderkey",
+        )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey",
@@ -701,20 +710,35 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    st = ln.groupBy(F.col("l_orderkey").alias("sok")).agg(
-        F.count_distinct("l_suppkey").alias("ns"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    # Two-level aggregate instead of two count_distincts: the DISTINCT
+    # rewrite plans an Expand that (a) triples the shuffled rows at
+    # scale and (b) reports UnknownPartitioning, forcing a fresh
+    # exchange even over pre-partitioned input.  Level 1 collapses to
+    # one row per (order, supplier); level 2 is satisfied by any
+    # clustering on l_orderkey, so locally it rides the widen exchange
+    # with no further shuffle.
+    per_os = ln.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("any_late"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_sup"),
+    )
+    st = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("nl"),
+        F.sum("n_late_sup").alias("n_late_lines"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    per_supp = (
+        st.filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_lines").alias("w"))
     )
     return (
-        ln.filter(F.col("late"))
-        .join(st, F.col("l_orderkey") == F.col("sok"))
-        .filter((F.col("ns") > 1) & (F.col("nl") == 1))
-        .join(
+        per_supp.join(
             load_table(spark, sf_dir, "supplier").select(
                 "s_suppkey", "s_name"
             ),
-            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("late_supp") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("w").cast("long").alias("numwait"))
     )
