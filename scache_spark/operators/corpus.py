@@ -94,27 +94,44 @@ _SQL_SEGMENTS = f"""
 )
 def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    seg = _segments(d)
-    freq = seg.groupBy("seg").agg(
-        F.countDistinct("doc_id").alias("nd"),
+    # r9 restructure (§2.4): the removal verdict is identical for every
+    # occurrence of a (seg, doc) pair, so collapse to one row per pair
+    # FIRST (carrying the occurrence count) and key everything on seg:
+    # one repartition establishes the distribution that the pair
+    # aggregate, the span-frequency aggregate AND the verdict join all
+    # reuse — the old shape tokenized the corpus twice (seg fed two
+    # branches un-materialized), planned an Expand for the mixed
+    # countDistinct+min aggregate, and re-exchanged for the join.
+    # nd = count(*) over the pair level IS the distinct-doc count.
+    per_sd = (
+        _segments(d)
+        .repartition("seg")
+        .groupBy("seg", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    freq = per_sd.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("nd"),
         F.min("doc_id").alias("keeper"),
     )
-    marked = seg.join(freq, "seg").select(
+    marked = per_sd.join(freq, "seg").select(
         "doc_id",
-        "seg",
-        F.when(
-            (F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper")), 1
-        )
-        .otherwise(0)
-        .alias("removed"),
+        "n_occ",
+        F.length("seg").alias("seg_len"),
+        ((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper"))).alias(
+            "removed"
+        ),
     )
-    kept = F.sum(1 - F.col("removed"))
+    kept = F.sum(F.when(F.col("removed"), 0).otherwise(F.col("n_occ")))
     return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum("removed").cast("long").alias("n_removed"),
+        F.sum("n_occ").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("removed"), F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
         (
             F.sum(
-                F.when(F.col("removed") == 0, F.length("seg")).otherwise(0)
+                F.when(
+                    F.col("removed"), 0
+                ).otherwise(F.col("n_occ") * F.col("seg_len"))
             )
             + F.when(kept > 1, kept - 1).otherwise(0)
         )
@@ -318,14 +335,22 @@ def dsir_weights(
         is_target.alias("__t"),
         F.explode(tokens(F.col("text"))).alias("w"),
     ).select("doc_id", "__t", (hash64("w") % n_buckets).alias("bucket"))
-    # The bucket-count model state (n_buckets rows) feeds both the
-    # totals and the ratio map; checkpoint it so the corpus hashing
-    # pass runs once for the model, once for scoring — never three
-    # times (the scoring pass over feat is unavoidable second use).
-    counts = feat.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("c_t"),
-        F.count(F.lit(1)).alias("c_r"),
-    ).localCheckpoint(eager=True)
+    # r9: a doc's score is sum over buckets of n_occurrences·logratio,
+    # so collapse the token stream to per-(doc, bucket) counts FIRST
+    # and checkpoint THAT — the model counts roll up from it and the
+    # scoring weights it, so the corpus tokenizes + md5-hashes exactly
+    # ONCE (the old shape ran the full pass twice: model and scoring).
+    # The materialized frame is bounded by docs × n_buckets, far
+    # smaller than the token stream it replaces.
+    db = (
+        feat.groupBy("doc_id", "__t", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    counts = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__t"), F.col("n")).otherwise(0)).alias("c_t"),
+        F.sum("n").alias("c_r"),
+    )
     totals = counts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
     ratios = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
@@ -335,9 +360,9 @@ def dsir_weights(
         ).alias("logratio"),
     )
     return (
-        feat.join(F.broadcast(ratios), "bucket")
+        db.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("logratio"), 6).alias("log_weight"))
+        .agg(F.round(F.sum(F.col("n") * F.col("logratio")), 6).alias("log_weight"))
     )
 
 

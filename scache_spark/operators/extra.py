@@ -1853,18 +1853,28 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    incs = toks.select(
-        cms_increments(F.col("tok")).alias("rc")
+    # r9: the token stream fed BOTH the sketch build and the candidate
+    # shortlist — two full tokenize passes.  A CMS cell's count is the
+    # SUM of the counts of the tokens hashing into it, so both now
+    # derive from one vocab-sized count table (checkpointed — it is the
+    # smallest frame in the query): the corpus tokenizes once, the
+    # md5 cell hashing runs per DISTINCT token instead of per
+    # occurrence, and the sketch aggregate shrinks from O(occurrences)
+    # to O(vocab) input rows.
+    tok_counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    incs = tok_counts.select(
+        cms_increments(F.col("tok")).alias("rc"), "true_cnt"
     )
     sketch = incs.groupBy(
         F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    cand = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.col("true_cnt").desc(), F.col("tok").asc())
-        .limit(10)
-    )
+    ).agg(F.sum("true_cnt").alias("cnt"))
+    cand = tok_counts.orderBy(
+        F.col("true_cnt").desc(), F.col("tok").asc()
+    ).limit(10)
     probes = cand.select(
         "tok",
         "true_cnt",

@@ -741,22 +741,24 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scache_spark.operators.dedup import augmented_docs
 
-    # hashed (lean doc_id+digest) feeds the cluster map AND the assign
-    # join; assign feeds the leak check AND the final split counts.
-    # Checkpoint both so the corpus hashes once and the join runs once.
-    hashed = (
-        augmented_docs(spark, sf_dir)
-        .select("doc_id", F.md5("text").alias("h"))
-        .localCheckpoint(eager=True)
+    from pyspark.sql.window import Window
+
+    # r9: the cluster representative is a windowed min over the content
+    # hash — the old cluster-map + join-back paid a second exchange and
+    # a checkpoint for what ONE h-partitioned window computes in place.
+    # assign still checkpoints (it feeds the leak check AND the final
+    # split counts), so the corpus hashes exactly once.
+    hashed = augmented_docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
     )
-    clusters = hashed.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    rep = F.min("doc_id").over(Window.partitionBy("h"))
     m = (
         F.conv(F.substring(F.md5(F.col("rep").cast("string")), 1, 15), 16, 10)
         .cast("long")
         % 10
     )
     assign = (
-        hashed.join(clusters, "h")
+        hashed.select("doc_id", rep.alias("rep"))
         .select(
             "doc_id",
             "rep",

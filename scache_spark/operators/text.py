@@ -1232,8 +1232,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ARRAYS with dl already attached — so document length needs no
     # separate shuffle and no join-back.  The corpus still tokenizes
     # exactly once (the r3 judge's 4-FileScan finding).
-    n_parts = spark.sparkContext.defaultParallelism
-    tf = toks.repartition(n_parts, "doc_id").groupBy("doc_id", "tok").agg(
+    tf = toks.repartition("doc_id").groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     postings = (
