@@ -1029,11 +1029,18 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     li = load_table(spark, sf_dir, "lineitem").join(
         p, F.col("l_partkey") == F.col("p_partkey")
     )
-    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty")
-    )
+    # r9: the per-part average is a WINDOW over l_partkey instead of a
+    # groupBy + join-back — li fed two branches un-materialized, so
+    # lineitem was scanned and brand-joined twice; now one pass, one
+    # partkey exchange (partitions bounded by lines-per-part).  Same
+    # 4dp-rounded threshold, bit-identical cut.
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(pa, F.col("l_partkey") == F.col("pk"))
+        li.select(
+            "l_quantity",
+            "l_extendedprice",
+            F.round(F.avg("l_quantity").over(w), 4).alias("avg_qty"),
+        )
         .filter(F.col("l_quantity") * 5 < F.col("avg_qty"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),

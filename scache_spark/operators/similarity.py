@@ -555,27 +555,44 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one corpus scan feeds both rank legs
         .localCheckpoint(eager=True)
     )
+    # r9: both rank legs partition by q_id, so they STACK on one
+    # exchange (two Window operators, two local sorts) and the
+    # topf⋈topt join collapses into one conditional aggregate — was
+    # two window exchanges + two aggregates + a join.  Ranking the
+    # truncated leg with DESC NULLS LAST instead of pre-filtering is
+    # exact: non-null rows keep identical relative ranks, and the
+    # explicit isNotNull guard keeps a null row out of the top-k when
+    # a query has fewer than k rankable truncations (the empty-trunc
+    # query is then dropped, matching the old inner join).
     wf = Window.partitionBy("q_id").orderBy(
         F.col("cos_full").desc(), F.col("vec_id").asc()
     )
-    topf = (
-        scored.select("q_id", "vec_id", F.row_number().over(wf).alias("rk"))
-        .filter(F.col("rk") <= _MRL_K)
-        .groupBy("q_id")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids_full"))
-    )
     wt = Window.partitionBy("q_id").orderBy(
-        F.col("cos_trunc").desc(), F.col("vec_id").asc()
+        F.desc_nulls_last("cos_trunc"), F.col("vec_id").asc()
     )
-    topt = (
-        scored.filter(F.col("cos_trunc").isNotNull())
-        .select("q_id", "vec_id", F.row_number().over(wt).alias("rk"))
-        .filter(F.col("rk") <= _MRL_K)
+    t_ok = (F.col("rkt") <= _MRL_K) & F.col("cos_trunc").isNotNull()
+    both = (
+        scored.select(
+            "q_id",
+            "vec_id",
+            "cos_trunc",
+            F.row_number().over(wf).alias("rkf"),
+            F.row_number().over(wt).alias("rkt"),
+        )
+        .filter((F.col("rkf") <= _MRL_K) | t_ok)
         .groupBy("q_id")
-        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids_trunc"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("rkf") <= _MRL_K, F.col("vec_id")))
+            ).alias("ids_full"),
+            F.array_sort(
+                F.collect_list(F.when(t_ok, F.col("vec_id")))
+            ).alias("ids_trunc"),
+        )
+        .filter(F.size("ids_trunc") > 0)
     )
     overlap = F.size(F.array_intersect("ids_full", "ids_trunc"))
-    return topf.join(topt, "q_id").select(
+    return both.select(
         "q_id",
         overlap.cast("int").alias("n_overlap"),
         F.round(overlap.cast("double") / _MRL_K, 6).alias(f"recall_at_{_MRL_K}"),
