@@ -297,6 +297,16 @@ def main() -> None:
     # kept deliberately SHORT: it sits inside the ~2000-char
     # truncation-survivor budget alongside the shared block + timings
     noise_floor = {
+        # CONTRACT (r9 verdict item 6): the regression DETECTOR for the
+        # sum-of-min estimator is min_gap — how far a per-query minimum
+        # moves if its best sample is lost, i.e. the gap to the second-
+        # smallest sample — with the bar median_min_gap <= 0.15.  The
+        # max-based rel_spread stays recorded for load-blip forensics
+        # but is NOT the detector: on this box a 0.3 s query jitters
+        # ~0.1 s absolute under OS/GC load however many reps run, while
+        # its two smallest samples sit within a few percent.
+        "detector": "median_min_gap",
+        "detector_bar": 0.15,
         "median_rel_spread": round(spreads[len(spreads) // 2], 3) if spreads else None,
         "p90_rel_spread": round(spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
         "median_min_gap": round(gaps[len(gaps) // 2], 3) if gaps else None,

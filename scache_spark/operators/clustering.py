@@ -459,13 +459,16 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = widen_scan(
         vector_ready(load_table(spark, sf_dir, "embeddings")), "vec_id"
     )
-    # The assignment subtree feeds THREE branches (query lookup, the
-    # scored scan, per-cell sizes) and the heads feed two (truth +
-    # every nprobe re-rank): materialize each once instead of paying
-    # the broadcast-argmin / shard-scan recompute per branch — the
-    # same eager-localCheckpoint pattern dedup_minhash_pairs uses.
+    # ONE materialization (r10, §2.4/§1.2: the r9 shape ran ~15
+    # bounded-data jobs — two checkpoints plus a broadcast build per
+    # branch, each a scheduling round trip that exists at cluster
+    # scale too).  The assignment checkpoint is the only corpus-sized
+    # intermediate; everything downstream — query vectors, seed
+    # centroids (the seeds are corpus rows, so they come FROM the
+    # checkpoint instead of re-scanning parquet), cell ranks, truth,
+    # every nprobe re-rank — derives from it inside ONE final plan.
     assigned = (
-        _assign(e, _centroids(spark, sf_dir))
+        _assign(e, _centroids(spark, sf_dir, e=e))
         .select("vec_id", "embedding", "cell")
         .localCheckpoint(eager=True)
     )
@@ -482,27 +485,31 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             _l2sq(F.col("embedding"), F.col("q_emb")).alias("d2q"),
         )
     )
-    # Stage 1: per-(query, cell) top-10 — the per-shard scan an IVF
-    # index performs; every later top-k re-ranks only these heads.
+    # All three rank stages stack on ONE q_id exchange: hash(q_id)
+    # satisfies the (q_id, cell) shard window, the q_id truth window
+    # AND the (nprobe, q_id) re-rank window by the subset rule (the
+    # matryoshka stacked-window pattern), so the per-shard top-10, the
+    # exact top-10 flag and every probe-limited top-10 are consecutive
+    # sorts over the same partitions — no second shuffle, no second
+    # checkpoint, no per-branch re-rank jobs.
     shard_w = Window.partitionBy("q_id", "cell").orderBy(
         F.col("d2q").asc(), F.col("vec_id").asc()
-    )
-    heads = (
-        scored.withColumn("rn", F.row_number().over(shard_w))
-        .filter(F.col("rn") <= 10)
-        .drop("rn")
-        .localCheckpoint(eager=True)
     )
     truth_w = Window.partitionBy("q_id").orderBy(
         F.col("d2q").asc(), F.col("vec_id").asc()
     )
-    truth = (
-        heads.withColumn("rn", F.row_number().over(truth_w))
+    heads = (
+        scored.repartition("q_id")
+        .withColumn("rn", F.row_number().over(shard_w))
         .filter(F.col("rn") <= 10)
-        .select("q_id", "vec_id")
+        .withColumn("is_truth", F.row_number().over(truth_w) <= 10)
+        .drop("rn")
     )
+    # Per-(query, cell) probe rank from the 16-row centroid table —
+    # a broadcast joined onto the heads, then the 3 nprobe variants
+    # explode map-side and re-rank inside the same partitions.
     cellrank = (
-        _centroids(spark, sf_dir)
+        _centroids(spark, sf_dir, e=assigned)
         .crossJoin(F.broadcast(q))
         .select(
             "q_id",
@@ -517,36 +524,40 @@ def ann_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .select("q_id", "cell", F.col("rn").alias("cell_rn"))
     )
-    np_df = spark.createDataFrame(
-        [(n,) for n in _NPROBES], "nprobe int"
-    )
-    probes = np_df.join(
-        F.broadcast(cellrank), F.col("rn") <= F.col("nprobe")
-    ).select("nprobe", "q_id", "cell")
     approx_w = Window.partitionBy("nprobe", "q_id").orderBy(
         F.col("d2q").asc(), F.col("vec_id").asc()
     )
+    nparr = F.array(*[F.lit(n) for n in _NPROBES])
     approx = (
-        heads.join(F.broadcast(probes), ["q_id", "cell"])
+        heads.join(F.broadcast(cellrank), ["q_id", "cell"])
+        .select(
+            "q_id",
+            "vec_id",
+            "d2q",
+            "is_truth",
+            F.explode(F.filter(nparr, lambda n: F.col("cell_rn") <= n)).alias(
+                "nprobe"
+            ),
+        )
         .withColumn("rn", F.row_number().over(approx_w))
         .filter(F.col("rn") <= 10)
-        .select("nprobe", "q_id", "vec_id")
     )
-    hits = (
-        approx.join(
-            F.broadcast(truth.withColumn("__t", F.lit(1))),
-            ["q_id", "vec_id"],
-            "left",
-        )
-        .groupBy("nprobe")
-        .agg(F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("hits"))
+    hits = approx.groupBy("nprobe").agg(
+        F.sum(F.col("is_truth").cast("int")).cast("long").alias("hits")
     )
-    # Probe cost from per-cell sizes (16-row broadcast), minus the
+    # Probe cost from per-cell sizes (16-row aggregate), minus the
     # query vector itself (its own cell always ranks first).
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
     n_cand = (
-        probes.join(F.broadcast(sizes), "cell", "left")
+        cellrank.select(
+            "cell",
+            F.explode(
+                F.filter(nparr, lambda n: F.col("cell_rn") <= n)
+            ).alias("nprobe"),
+        )
+        .join(F.broadcast(sizes), "cell", "left")
         .groupBy("nprobe")
         .agg(
             (F.sum(F.coalesce(F.col("sz"), F.lit(0))) - len(_QUERY_IDS))

@@ -183,8 +183,14 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a broadcast join onto the token stream), bucket counts and the "
     "per-doc sum are both map-side combinable, and the final top-20 "
     "is a TakeOrdered — corpus never passes through a window or a "
-    "driver loop.  Rounded to 6 decimals (ln differs by ~1 ulp "
-    "between libm and the JVM).",
+    "driver loop.  The r9 single-tokenize shape materializes the "
+    f"per-(doc, bucket) count table (<= docs x {N_BUCKETS} rows, in "
+    "practice ~docs x distinct-buckets-per-doc) via localCheckpoint — "
+    "a footprint LINEAR in corpus doc count, traded for halving the "
+    "corpus tokenize passes; if executor storage memory pressures at "
+    "scale, checkpoint only the bucket-count model and let the "
+    "per-doc frame stay lazy (the pre-r9 shape).  Rounded to 6 "
+    "decimals (ln differs by ~1 ulp between libm and the JVM).",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

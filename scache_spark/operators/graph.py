@@ -617,8 +617,16 @@ def _sql_lpa_round(prev: str, rnd: int) -> str:
 )
 def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, edges = _star_graph(spark, sf_dir)
-    labels = cells.select(F.col("user_id").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # r10 (§5, the kmeans precedent): the INITIAL label frame is the
+    # node set — an invariant input the first round consumes TWICE
+    # (the neighbor-vote join and the self-vote union), each use
+    # re-deriving the events scan + distinct without this checkpoint.
+    # Later rounds' labels are already checkpointed inside the loop.
+    labels = (
+        cells.select(F.col("user_id").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(_LPA_ROUNDS):
         nbr = edges.join(

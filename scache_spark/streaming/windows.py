@@ -48,7 +48,7 @@ def _sweep_stale_run_dirs() -> None:
     """Bound the staging roots: per-run checkpoint/sink dirs are named
     ``<kind>_<pid>_<n>`` — any whose owning pid is dead is garbage from
     a finished driver/pytest/bench process and is removed here, once,
-    at import.  Staged SOURCE dirs (``*_x{copies}_v2``) are content-
+    at import.  Staged SOURCE dirs (``*_x{copies}_v{N}``) are content-
     addressed and deliberately reused, so they are never swept.
     Legacy un-pid-prefixed ``ckpt_audit_<n>`` dirs are always removed
     (a memory-sink stream cannot recover from a foreign checkpoint)."""
@@ -106,9 +106,15 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
     All copies and the flush row go out in ONE overwrite write, so
     ``_SUCCESS`` implies the complete corpus (an interrupted run can
     never leave an accepted half-staged dir).  The ``_v2`` suffix
-    versions the layout against pre-flush-row stagings."""
+    versioned the layout against pre-flush-row stagings; ``_v3`` (r10)
+    stages 16 files instead of 4 for the same reason the documents
+    staging moved to 16 in r9: the replayed data batch's SCAN stage
+    carries the map-side per-event work (window assignment, the CMS
+    md5 x3 explode) and file count caps its parallelism — a real
+    ingest feed arrives in many files; 4 was an artifact of the
+    staging write."""
     key = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(_STAGE_ROOT, f"{key}_x{copies}_v2")
+    out = os.path.join(_STAGE_ROOT, f"{key}_x{copies}_v3")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = load_table(spark, sf_dir, "events")
         flush = ev.agg(F.max("ts").alias("mx")).select(
@@ -122,7 +128,7 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1) -> str
         full = ev
         for _ in range(copies - 1):
             full = full.unionByName(ev)
-        full.unionByName(flush).repartition(4).write.mode("overwrite").parquet(out)
+        full.unionByName(flush).repartition(16).write.mode("overwrite").parquet(out)
     return out
 
 
