@@ -236,19 +236,24 @@ def sweep_plan_reports(
         name, spec = item
         try:
             report = None
+            confs_now = None
             with build_lock:
                 try:
                     df = spec.fn(spark, sf)
+                    confs_now = _set_confs()
                     if any(
-                        confs_base.get(k) != v
-                        for k, v in _set_confs().items()
+                        confs_base.get(k) != v for k, v in confs_now.items()
                     ):
                         # this builder set confs: physical-plan it NOW,
                         # under the lock and before the restore, so its
                         # plan reflects its own confs (r9 advice)
                         report = plan_report(df)
                 finally:
-                    for k, v in _set_confs().items():
+                    # a failed build may still have set confs before
+                    # raising — re-read in that case only
+                    if confs_now is None:
+                        confs_now = _set_confs()
+                    for k, v in confs_now.items():
                         if confs_base.get(k) != v:
                             if k in confs_base:
                                 spark.conf.set(k, confs_base[k])
@@ -267,5 +272,28 @@ def sweep_plan_reports(
         for n, s in REGISTRY.items()
         if not n.startswith(SHAPE_SKIP_PREFIXES)
     ]
-    with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        return dict(pool.map(one, todo))
+    # Explain-only sweep, so eager localCheckpoints are forced LAZY for
+    # its duration (r10, pytest-wall item): materializing a local
+    # checkpoint runs the builder's whole upstream job, and this sweep
+    # explains ~300 queries of which half carry one or more eager
+    # checkpoints — the single largest block of CI wall (256 s of the
+    # 16 m suite).  The STATIC plan is identical either way (the
+    # checkpointed frame is a LogicalRDD scan whether or not its RDD
+    # has materialized — verified report-for-report against the
+    # committed baseline), and generator and checker share this
+    # function, so both keep measuring the same thing.  The patch is
+    # scoped and restored even on failure; conf-setting builders still
+    # explain under the lock exactly as before.
+    from pyspark.sql import DataFrame as _DF
+
+    _orig_ckpt = _DF.localCheckpoint
+
+    def _lazy_ckpt(self, eager=True, *args, **kwargs):
+        return _orig_ckpt(self, False, *args, **kwargs)
+
+    _DF.localCheckpoint = _lazy_ckpt
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return dict(pool.map(one, todo))
+    finally:
+        _DF.localCheckpoint = _orig_ckpt

@@ -78,34 +78,37 @@ PRIORITY: tuple[str, ...] = (
     "bloom_filter_join_prune",  # B6/B21
     "rollup_region_nation",  # B8
     "sort_nulls_handling",  # B9
-    "theta_sketch_set_ops",  # B12/B7/B20 native theta set algebra (r5)
     "ivm_join_view_delta",  # B4/B7/B19 bilinear join-view IVM (r5)
-    # r9 rotation: the r8 verdict named the 15 strongest never-graded
-    # queries (the five r8 operators first, then the r7 linkage trio,
-    # the calibration/UDF/Arrow entries, and the four strongest TPC-H
-    # flagships — the whole 22-query battery was driver-unattested);
-    # all 15 enter the window and the 15 r8 first-timers (all graded
-    # green in CORRECTNESS_r08) cede seats.  Coverage invariant
-    # (every B1-B27 + A.2/A.5/temporal/north-star inside the first
-    # 50) re-checked by tests/test_registry_order.py.
-    "fellegi_sunter_linkage",  # B13/B24/B19 probabilistic linkage scoring (r9)
-    "classifier_auc_rank",  # B24/B20/B11 Mann-Whitney ROC-AUC + decile ROC (r9)
-    "colbert_maxsim_topk",  # B25/B17/B10 late-interaction MaxSim (r9)
-    "url_domain_curation",  # B24/B14/B7 URL/domain crawl curation (r9)
-    "manifest_time_travel_diff",  # B1/B22/B7 snapshot time-travel diff (r9)
-    "fastss_edit1_pairs",  # B13/B14/B24 deletion-neighborhood edit<=1 join (r9)
-    "snm_neighbor_pairs",  # B13/B24 sorted-neighborhood candidates (r9)
-    "pareto_frontier_docs",  # B24/B20/B11 Pareto skyline (r9)
-    "quality_calibration_ece",  # B24/B20/B19 calibration ECE audit (r9)
-    "sql_udf_money_tiers",  # B23/B19/B7 SQL UDF surface (r9)
-    "arrow_token_stats",  # B23/B24 mapInArrow token stats (r9)
-    "tpch_q9_product_type_profit",  # B4/B5/B7/B14 TPC-H Q9 (r9)
+    # r10 rotation (r9 verdict item 8: rotate to the strongest
+    # never-graded backlog, keep the one-per-family invariant): 14
+    # seats turn over.  IN: the four r10-optimized paths (bm25, rrf,
+    # ann_ivf, label-propagation — their plans changed this round, so
+    # the driver itself re-attests them, the r9 precedent for q17/q21)
+    # plus ten never-driver-graded entries (the r9 operator batch,
+    # the curation/eval/federation backlog, transformWithState).
+    # OUT: 14 already-attested veterans (r9/r7/r5 green in their
+    # CORRECTNESS files) cede seats; coverage invariant re-checked by
+    # tests/test_registry_order.py (multi_format_federation carries
+    # B12 for theta_sketch_set_ops; zipf_slope_fit stays for B26).
+    "text_bm25_topk",  # B24/B7/B10 BM25 postings dataflow (r10 rewrite)
+    "hybrid_rrf_retrieval",  # B25/B24/B10 RRF fusion over bm25 (r10 rewrite)
+    "ann_ivf_nprobe_recall",  # B25/B10 one-pass nprobe recall (r10 rewrite)
+    "community_label_propagation",  # graph/B7/B11 LPA (r10 ckpt change)
+    "winnowing_neardup_pairs",  # B24/B13/B17 MOSS winnowing (never graded)
+    "matryoshka_truncation_recall",  # B25/B17/B10 truncation recall (never graded)
+    "pii_redaction_audit",  # B24/B14/B20 PII audit (never graded)
+    "multimodal_decode_audit",  # north-star/B23/B7 decode health (never graded)
+    "embedding_ingest_audit",  # B25/B20/B17 vector defect census (never graded)
+    "url_canonical_dedup",  # B24/B14/B13 canonical-URL dedup (never graded)
+    "stream_transform_with_state_mix",  # B27/B23 transformWithState (never graded)
+    "training_corpus_e2e",  # B3/B7/B13/B14/B17 end-to-end curation (never graded)
+    "retrieval_ndcg_at_k",  # B25/B20/B10 NDCG eval (never graded)
+    "multi_format_federation",  # B1/B12/B13/B7 cross-format union (never graded)
+    "classifier_auc_rank",  # B24/B20/B11 ROC-AUC (r9; stays — r10 plan shrink)
     "tpch_q17_small_quantity_revenue",  # B4/B5/B7 TPC-H Q17 (r9)
-    "tpch_q18_large_volume_orders",  # B4/B7/B10 TPC-H Q18 (r9)
     "tpch_q21_waiting_suppliers",  # B4/B6/B7 TPC-H Q21 (r9)
     # r7 rotation survivors (kept for tag coverage)
-    "multimodal_frame_sample",  # north-star/B23 video frame sampling (r7)
-    "zipf_slope_fit",  # B24/B26/B16 Zipf rank-frequency slope fit (r7)
+    "zipf_slope_fit",  # B24/B26/B16 Zipf rank-frequency slope fit (r7, B26 cover)
     # r6 rotation survivors (first graded r6)
     "statestore_dedup_audit",  # B27/B22/B20 state-store reader audit (r6)
     "stream_scd2_pit_enrich",  # B27/B4/B11 SCD2 point-in-time enrich (r6)
@@ -140,27 +143,16 @@ PRIORITY: tuple[str, ...] = (
     "stream_late_data_filter",
     # --- end of the 50-entry graded window ---
     # Next in line if the driver widens its window: first the
-    # strongest never-driver-graded queries (the r9 rotation
-    # shortlist — graded automatically if the window widens), then
-    # the rotated-out veterans (all graded green in earlier rounds).
-    # r9 additions (new this round, next in the never-graded line)
-    "embedding_ingest_audit",  # B25/B20/B17 vector defect census (r9, never graded)
-    "url_canonical_dedup",  # B24/B14/B13 crawl-frontier canonical-URL dedup (r9, never graded)
-    "winnowing_neardup_pairs",  # B24/B13/B17 MOSS winnowing fingerprints (r9, never graded)
-    "pii_redaction_audit",  # B24/B14/B20 PII detection/redaction audit (r9, never graded)
-    "matryoshka_truncation_recall",  # B25/B17/B10 truncated-embedding recall (r9, never graded)
-    "multimodal_decode_audit",  # north-star/B23/B7 decode-health audit (r9, never graded)
+    # strongest never-driver-graded queries (graded automatically if
+    # the window widens), then the rotated-out veterans (all graded
+    # green in earlier rounds).
     "dedup_normalized_exact",  # B13/B24/B14 normalized exact dedup (never graded)
     "blockmanager_added_log_parse",  # B14/B18/A.5 log parse (never graded)
-    "multi_format_federation",  # B1/B12/B13/B7 cross-format union (never graded)
     "partition_pruned_read",  # B1/B3/B21 partition pruning (never graded)
     "salted_skew_join",  # B4/B21 salting for skew (never graded)
     "triangle_count_transitions",  # B4/B7/B12 graph triangles (never graded)
     "holt_linear_forecast",  # B15/B16/B23 Holt linear forecast (never graded)
     "ann_ivf_pq_topk",  # B25/B10 IVF-PQ ANN (never graded)
-    "retrieval_ndcg_at_k",  # B25/B20/B10 NDCG eval (never graded)
-    "training_corpus_e2e",  # B3/B7/B13/B14/B17 end-to-end curation (never graded)
-    "stream_transform_with_state_mix",  # B27/B23 transformWithState (never graded)
     # the rest of the never-graded TPC-H battery (the 4 strongest are
     # in the r9 window; these follow if the driver widens its window)
     "tpch_q3_shipping_priority",  # B4/B7/B10 TPC-H Q3 (never graded)
@@ -180,6 +172,22 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q7_volume_shipping",  # B4/B7/B15 (never graded)
     "tpch_q6_forecast_revenue",  # B3/B7 (never graded)
     "tpch_q4_order_priority",  # B6/B7 (never graded)
+    # r10 rotated-out veterans (graded green r9/r7/r5; seats ceded to
+    # the r10 rotation above)
+    "fellegi_sunter_linkage",  # B13/B24/B19 (r10: seat ceded to text_bm25_topk)
+    "colbert_maxsim_topk",  # B25/B17/B10 (r10: seat ceded to hybrid_rrf_retrieval)
+    "url_domain_curation",  # B24/B14/B7 (r10: seat ceded to ann_ivf_nprobe_recall)
+    "manifest_time_travel_diff",  # B1/B22/B7 (r10: seat ceded to community_label_propagation)
+    "fastss_edit1_pairs",  # B13/B14/B24 (r10: seat ceded to winnowing_neardup_pairs)
+    "snm_neighbor_pairs",  # B13/B24 (r10: seat ceded to matryoshka_truncation_recall)
+    "pareto_frontier_docs",  # B24/B20/B11 (r10: seat ceded to pii_redaction_audit)
+    "quality_calibration_ece",  # B24/B20/B19 (r10: seat ceded to multimodal_decode_audit)
+    "sql_udf_money_tiers",  # B23/B19/B7 (r10: seat ceded to embedding_ingest_audit)
+    "arrow_token_stats",  # B23/B24 (r10: seat ceded to url_canonical_dedup)
+    "tpch_q9_product_type_profit",  # B4/B5/B7/B14 (r10: seat ceded to stream_transform_with_state_mix)
+    "tpch_q18_large_volume_orders",  # B4/B7/B10 (r10: seat ceded to training_corpus_e2e)
+    "multimodal_frame_sample",  # north-star/B23 (r10: seat ceded to retrieval_ndcg_at_k)
+    "theta_sketch_set_ops",  # B12/B7/B20 (r10: seat ceded to multi_format_federation, which carries B12)
     # r9 rotated-out veterans (first graded r8)
     "dedup_minhash_capped_pairs",  # B24/B21 (r9: seat ceded to fellegi_sunter_linkage)
     "dedup_source_overlap_matrix",  # B24/B7/B13 (r9: seat ceded to classifier_auc_rank)
@@ -192,7 +200,6 @@ PRIORITY: tuple[str, ...] = (
     "kll_quantile_sketch_merge",  # B7/B20/B16 (r9: seat ceded to quality_calibration_ece)
     "observe_scan_metrics",  # B22/B20/B18 (r9: seat ceded to sql_udf_money_tiers)
     "hadoop_attempt_trace_parse",  # B14/B18/A.5 (r9: seat ceded to arrow_token_stats)
-    "community_label_propagation",  # graph/B7/B11 (r9: seat ceded to tpch_q9)
     "kcore_peeling",  # graph/B6/B7 (r9: seat ceded to tpch_q17)
     "dsir_importance_weights",  # B24/B16 (r9: seat ceded to tpch_q18)
     "tokenizer_fertility_stats",  # B24/B14 (r9: seat ceded to tpch_q21)
@@ -221,7 +228,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_span_rewrite",  # B24/B13 (r7: seat ceded to leakage_safe_split)
     "text_tfidf_top_terms",  # B24 (r7: seat ceded to text_repetition_signals)
     "pq_adc_topk",  # B25/B10 (r7: seat ceded to zipf_slope_fit)
-    "text_bm25_topk",  # B24/B10 (r7: seat ceded to corpus_ngram_novelty)
     "multimodal_features",  # north-star/B23 (r7: seat ceded to multimodal_phash_neardup)
     "expected_reduce_size_weighted",  # B26/A.5 (r7: seat ceded to multimodal_audio_energy)
     "stream_session_window",  # B27 (r7: seat ceded to multimodal_frame_sample)
@@ -231,14 +237,12 @@ PRIORITY: tuple[str, ...] = (
     "window_analytics",  # B11 (r6: seat ceded to interval_union_minutes)
     "pagerank_event_graph",  # B4/B7/B11 (r6: seat ceded to cdc_agg_apply_delta)
     "bucketed_join_revenue",  # B21/B22 (r6: seat ceded to compaction_plan_ffd)
-    "ann_ivf_nprobe_recall",  # B25/B10 (r6: seat ceded to pq_encode_codes)
     "schedule_policy_compare",  # A.2/A.5/B23 (r6: seat ceded to udtf_chunk_spans)
     "token_budget_selection",  # B11/B10 (r6: seat ceded to sequence_pattern_match)
     "udf_grouped_zscore",  # B23 (r6: seat ceded to woe_iv_binning)
     "udf_cogrouped_stats",  # B23 (r6: seat ceded to table_checksum_manifest)
     "blocktrace_stream_waves",  # B27/A.5/B1 (r6: seat ceded to statestore_dedup_audit)
     "retrieval_rerank_two_stage",  # B25 (r6: seat ceded to stream_scd2_pit_enrich)
-    "hybrid_rrf_retrieval",  # B25/B24 (r6: seat ceded to ccnet_perplexity_buckets)
     "dedup_exact_hash",  # B13/B24 (r6: seat ceded to bpe_merge_rounds)
     "dedup_minhash_pairs",  # B24 (r6: seat ceded to variant_props_extract)
     "stream_stream_join",  # B27/B4 (r6: seat ceded to avro_source_roundtrip)

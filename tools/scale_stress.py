@@ -23,6 +23,17 @@ Writes SCALE_STRESS_x{F}.json at the repo root.
 
 Other protocols (each its own flag, mutually exclusive; all accept
 name-substring scoping and write their own artifact):
+  --timed           TIMED x10 bench (r9 verdict item 2): per-query
+                    seconds on the uniform xF replica for the
+                    structurally-optimized paths + the streaming four,
+                    bench.py's estimator (untimed warm pass, then
+                    interleaved reps, per-query MIN), honoring
+                    $SPARK_GRAFT_CPUS — the sf0.1 box cannot show
+                    parallelism (fixed driver cost dominates sub-2s
+                    queries), so this is where plan-shape claims get
+                    timed at a scale where they bind.  No oracle
+                    compare (the x10 MATCH sweeps are separate);
+                    writes SCALE_STRESS_timed_x{F}_c{cpus}.json.
   --rest            the x10 pool complement (everything not in
                     DEFAULT_QUERIES, minus disclosed REST_EXCLUDE)
   --skew N          hot-key replica (one user holds N copies)
@@ -1000,6 +1011,103 @@ def hot_band_stats(sf_dir: str) -> dict:
     }
 
 
+# --timed pool: every path structurally changed in the r9/r10
+# optimization rounds (whose local wins were noise-bound or argued
+# from plan shape) plus the streaming four (whose cost is availableNow
+# machinery that should AMORTIZE, not grow, at x10).
+TIMED_QUERIES = [
+    # r9 structural rewrites
+    "tpch_q21_waiting_suppliers",
+    "tpch_q17_small_quantity_revenue",
+    "dedup_span_rewrite",
+    "heavy_hitters_cms",
+    "dsir_importance_weights",
+    "leakage_safe_split",
+    "matryoshka_truncation_recall",
+    "cooccurrence_brand_pairs",
+    "dedup_minhash_pairs",
+    "dedup_minhash_capped_pairs",
+    "dedup_source_overlap_matrix",
+    "dedup_incremental_batch",
+    "dedup_minhash_signature",
+    "dedup_substring_pairs",
+    "winnowing_neardup_pairs",
+    "kmeans_two_rounds",
+    # r10 structural rewrites
+    "text_bm25_topk",
+    "hybrid_rrf_retrieval",
+    "ann_ivf_nprobe_recall",
+    "community_label_propagation",
+    "classifier_auc_rank",
+    # the streaming four (bench headliners)
+    "stream_tumbling_window",
+    "stream_cms_heavy_users",
+    "stream_neardup_suppress",
+    "stream_transform_with_state_mix",
+]
+
+
+def run_timed(base: str, factor: int, subs: list[str]) -> None:
+    """Timed x10 bench over TIMED_QUERIES: bench.py's sum-of-min
+    estimator on the uniform replica.  Intentionally mirrors bench.py
+    (untimed warm pass first; each rep rebuilds fn() inside the timed
+    region, checkpoints included; interleaved passes; per-query MIN)
+    so the numbers are comparable to the sf0.1 bench modulo scale."""
+    from scache_spark.registry import REGISTRY, _ensure_loaded
+    from scache_spark.session import get_session
+
+    _ensure_loaded()
+    missing = [n for n in TIMED_QUERIES if n not in REGISTRY]
+    assert not missing, f"timed pool names not registered: {missing}"
+    names = [n for n in TIMED_QUERIES if not subs or any(s in n for s in subs)]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_TIMED_REPS", "3")))
+    print(f"staging x{factor} from {base} ...", flush=True)
+    sf_dir = stage(base, factor)
+    spark = get_session(f"scale-stress-timed-c{cpus}")
+    spark.range(1000).count()
+    if any(n.startswith("stream_") for n in names):
+        from scache_spark.streaming.windows import (
+            _staged_documents_dir,
+            _staged_events_dir,
+        )
+
+        _staged_events_dir(spark, sf_dir, copies=1)
+        _staged_documents_dir(spark, sf_dir)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    rows: dict[str, int] = {}
+    for rep in range(reps + 1):  # rep 0 = untimed warm
+        for name in names:
+            t0 = time.time()
+            rows[name] = REGISTRY[name].fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            if rep > 0:
+                samples[name].append(dt)
+            print(
+                f"  pass {rep}/{reps} {name:32s} {dt:6.1f}s "
+                f"({rows[name]} rows)",
+                flush=True,
+            )
+    timings = {n: round(min(ts), 3) for n, ts in samples.items()}
+    out = {
+        "base": base,
+        "mode": f"timed uniform x{factor}",
+        "metric": "per_query_min_sec",
+        "factor": factor,
+        "cpus": int(cpus),
+        "reps": reps,
+        "total_sec": round(sum(timings.values()), 3),
+        "queries": timings,
+        "samples": {n: [round(x, 3) for x in ts] for n, ts in samples.items()},
+        "rows": rows,
+    }
+    suffix = "" if not subs else "_" + "_".join(subs)[:40]
+    path = os.path.join(REPO, f"SCALE_STRESS_timed_x{factor}_c{cpus}{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path} (total {out['total_sec']}s over {len(timings)} queries)")
+
+
 # Excluded from the --rest sweep, each for a stated reason — never
 # silently (the no-silent-caps rule):
 REST_EXCLUDE = {
@@ -1337,6 +1445,7 @@ def main() -> None:
     # per-flag guard ladder had to enumerate every earlier flag and a
     # missed term would silently let two stagers share an artifact).
     protocols = {
+        "--timed": lambda: run_timed(base, factor, subs),
         "--boilerplate": lambda: run_boilerplate(base, factor, subs),
         "--checksum": lambda: run_checksum(base, factor),
         "--dirty": lambda: run_dirty(base, subs),
