@@ -562,3 +562,36 @@ def test_scan_counts_union_of_filtered_arms_counts_each_scan(spark, sf_dir):
 
     aug = augmented_docs(spark, sf_dir)
     assert plans.broad_scan_counts(aug).get("documents.parquet", 0) == 1
+
+
+def test_bm25_checkpoint_rows_are_bounded_flat(spark, sf_dir):
+    """r10 (ADVICE r9): bm25's materialized term-frequency table must
+    stay FLAT — no per-doc array column anywhere in the final plan, so
+    a single large-vocabulary document can never materialize an
+    unbounded row — and the query-term prune must happen as a
+    broadcast join (scoring cost bounded by the query term count)."""
+    from pyspark.sql import types as T
+
+    from scache_spark.operators.text import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the r9 shape aggregated postings via collect_list; its removal is
+    # the boundedness contract
+    assert "collect_list" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ann_ivf_nprobe_final_plan_reads_no_parquet(spark, sf_dir):
+    """r10: every branch of the nprobe recall curve (queries, seeds,
+    cell ranks, truth, re-ranks, sizes) must derive from the ONE
+    assignment checkpoint — a parquet scan in the final plan means a
+    branch regressed to re-reading the corpus (the r9 shape scanned
+    embeddings twice more for the seed centroids)."""
+    from scache_spark.operators.clustering import ann_ivf_nprobe_recall
+
+    df = ann_ivf_nprobe_recall(spark, sf_dir)
+    assert plans.broad_scan_counts(df).get("embeddings.parquet", 0) == 0, (
+        plans.formatted_plan(df)
+    )
+    assert plans.scan_counts(df).get("embeddings.parquet", 0) == 0
