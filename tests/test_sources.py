@@ -191,17 +191,27 @@ def test_blocktrace_stream_per_wave_batches(spark, tmp_path):
         .start()
     )
     try:
+        # Poll the PROGRESS list itself, not the sink row count: the
+        # memory sink's rows become visible before the final batch's
+        # StreamingQueryProgress is published, so a count-based exit
+        # raced the 4th progress event (observed flake: 3 reported
+        # batches while the assert message re-read 4) — snapshot
+        # recentProgress once per poll and assert on that snapshot.
         deadline = time.time() + 120
+        batches: list = []
         while time.time() < deadline:
-            if spark.table("per_wave_trace").count() >= 64 * 4:
+            batches = [
+                p
+                for p in q.recentProgress
+                if p["numInputRows"] and p["numInputRows"] > 0
+            ]
+            if (
+                len(batches) >= 4
+                and sum(p["numInputRows"] for p in batches) >= 64 * 4
+            ):
                 break
             time.sleep(0.5)
-        batches = [
-            p
-            for p in q.recentProgress
-            if p["numInputRows"] and p["numInputRows"] > 0
-        ]
-        assert len(batches) >= 4, [p["numInputRows"] for p in q.recentProgress]
+        assert len(batches) >= 4, [p["numInputRows"] for p in batches]
         # each non-empty micro-batch carried exactly one 16-map wave
         assert all(p["numInputRows"] == 16 * 4 for p in batches), [
             p["numInputRows"] for p in batches
